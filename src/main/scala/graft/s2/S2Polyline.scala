@@ -1,0 +1,106 @@
+package graft.s2
+
+/** An open chain of vertices on the sphere
+  * (`OpenSky.S2Geometry/S2Polyline.cs:19-327`). */
+final class S2Polyline(vertexSeq: IndexedSeq[S2Point]) extends S2Region {
+  private val vertices: Array[S2Point] = vertexSeq.toArray
+  val numVertices: Int = vertices.length
+
+  def vertex(k: Int): S2Point = vertices(k)
+
+  def arcLengthAngle: Double = {
+    var lengthSum = 0.0
+    var i = 1
+    while (i < numVertices) { lengthSum += vertex(i - 1).angle(vertex(i)); i += 1 }
+    lengthSum
+  }
+
+  def rectBound: S2LatLngRect = {
+    val bounder = new RectBounder
+    var i = 0
+    while (i < numVertices) { bounder.addPoint(vertex(i)); i += 1 }
+    bounder.bound
+  }
+
+  def capBound: S2Cap = rectBound.capBound
+
+  def containsCell(cell: S2Cell): Boolean =
+    throw new UnsupportedOperationException(
+      "'containment' is not numerically well-defined except at the polyline vertices")
+
+  /** Cell x polyline crossing test (`S2Polyline.cs:123-159`). */
+  def mayIntersectCell(cell: S2Cell): Boolean = {
+    if (numVertices == 0) return false
+    var i = 0
+    while (i < numVertices) {
+      if (cell.contains(vertex(i))) return true
+      i += 1
+    }
+    val cellVertices = Array.tabulate(4)(cell.getVertex)
+    var j = 0
+    while (j < 4) {
+      val crosser = new EdgeCrosser(cellVertices(j), cellVertices((j + 1) & 3), vertex(0))
+      var k = 1
+      while (k < numVertices) {
+        if (crosser.robustCrossing(vertex(k)) >= 0) return true
+        k += 1
+      }
+      j += 1
+    }
+    false
+  }
+
+  /** Arc-length interpolation along the chain (`S2Polyline.cs:245-276`). */
+  def interpolate(fraction: Double): S2Point = {
+    if (fraction <= 0) return vertex(0)
+    var lengthSum = 0.0
+    var i = 1
+    while (i < numVertices) { lengthSum += vertex(i - 1).angle(vertex(i)); i += 1 }
+    var target = fraction * lengthSum
+    i = 1
+    while (i < numVertices) {
+      val length = vertex(i - 1).angle(vertex(i))
+      if (target < length) {
+        val f = math.sin(target) / math.sin(length)
+        return (vertex(i - 1) * (math.cos(target) - f * math.cos(length))) + (vertex(i) * f)
+      }
+      target -= length
+      i += 1
+    }
+    vertex(numVertices - 1)
+  }
+
+  def getNearestEdgeIndex(point: S2Point): Int = {
+    require(numVertices > 0, "Empty polyline")
+    if (numVertices == 1) return 0
+    var minDistance = 10.0
+    var minIndex = -1
+    var i = 0
+    while (i < numVertices - 1) {
+      val d = S2EdgeUtil.getDistance(point, vertex(i), vertex(i + 1))
+      if (d < minDistance) { minDistance = d; minIndex = i }
+      i += 1
+    }
+    minIndex
+  }
+
+  def projectToEdge(point: S2Point, index: Int): S2Point = {
+    require(numVertices > 0, "Empty polyline")
+    if (numVertices == 1) return vertex(0)
+    S2EdgeUtil.getClosestPoint(point, vertex(index), vertex(index + 1))
+  }
+
+  def isValid: Boolean = {
+    var i = 0
+    while (i < numVertices) {
+      if (!S2Predicates.isUnitLength(vertices(i))) return false
+      i += 1
+    }
+    i = 1
+    while (i < numVertices) {
+      if (vertices(i - 1) == vertices(i) || vertices(i - 1) == -vertices(i)) return false
+      i += 1
+    }
+    true
+  }
+}
