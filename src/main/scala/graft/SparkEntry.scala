@@ -1,13 +1,395 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.s2functions._
+import graft.operators._
+import graft.s2.{S2LatLngRect, S2Region, R1Interval, S1Interval}
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md section 2), with DuckDB oracle SQL wherever the semantics are
+  * ANSI-SQL-expressible; geometry-kernel conformance beyond SQL reach is
+  * covered bit-for-bit by the ScalaTest suite against the reference's
+  * golden vectors. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Deterministic lat/lon derivation from o_orderkey — identical integer
+    * arithmetic runs in Spark and in the DuckDB oracle. */
+  private val LatSql = "CAST((o_orderkey * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"
+  private val LonSql = "CAST((o_orderkey * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"
+
+  private def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+
+  private def points(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .withColumn("lat", expr(LatSql))
+      .withColumn("lon", expr(LonSql))
+
+  private def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  private def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+  private def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+  private def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The three lat/lng-rect query regions of the rect PIP join (one wraps
+    * the antimeridian); bounds sit on .005 offsets so no derived point can
+    * land within fp distance of a boundary. */
+  private def rectRegions: Seq[(String, S2Region)] = SparkEntryRegions.rects
+
+  private val RectOracleSql =
+    s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
+       |SELECT 'r_europe' AS region_id, o_orderkey FROM pts
+       | WHERE lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005
+       |UNION ALL
+       |SELECT 'r_andes' AS region_id, o_orderkey FROM pts
+       | WHERE lat BETWEEN -40.005 AND -5.005 AND lon BETWEEN -80.005 AND -60.005
+       |UNION ALL
+       |SELECT 'r_pacific_wrap' AS region_id, o_orderkey FROM pts
+       | WHERE lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)
+       |""".stripMargin
+
+  /** Shell+hole diamond polygon plus the reference's candy-cane loop —
+    * exercised without a SQL oracle (spherical PIP is not ANSI-expressible);
+    * conformance is pinned by the ScalaTest brute-force comparison. */
+  private def polygonRegions: Seq[(String, S2Region)] = {
+    import graft.s2.TextShapes
+    Seq(
+      "p_diamond_holed" -> TextShapes.polygon("0:-30, 30:0, 0:30, -30:0; 0:-10, 10:0, 0:10, -10:0"),
+      "p_candy_cane" -> TextShapes.polygon("-20:150, -20:-70, 0:70, 10:-150, 10:70, -10:-70"))
+  }
+
+  private val HaversineSql =
+    // identical formula to graft.s2.S2LatLng.getDistance, radius 6367000 m
+    """2 * atan2(sqrt(hx), sqrt(greatest(0.0, 1.0 - hx))) * 6367000.0"""
+
+  private def haversineExpr(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val rl1 = s"(($lat1) * (pi() / 180))"
+    val rl2 = s"(($lat2) * (pi() / 180))"
+    val rg1 = s"(($lon1) * (pi() / 180))"
+    val rg2 = s"(($lon2) * (pi() / 180))"
+    val hx = s"(power(sin(0.5 * ($rl2 - $rl1)), 2) + power(sin(0.5 * ($rg2 - $rg1)), 2) * cos($rl1) * cos($rl2))"
+    s"2 * atan2(sqrt($hx), sqrt(greatest(0.0, 1.0 - $hx))) * 6367000.0"
+  }
+
+  private val KnnQueries = Seq(
+    ("q_vienna", 48.2, 16.37),
+    ("q_sydney", -33.87, 151.2),
+    ("q_lima", -12.05, -77.05))
+
+  // ---------------------------------------------------------------------------
+
+  /** Flagship on sf0.001: synthesize the image+caption table, tile-assign,
+    * covering PIP join, verify payload invariants. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val images = ImagePayload.synthesize(part(spark, dir).select("p_partkey"), "p_partkey")
+    val verified = ImagePayload.verifyPayload(images, "p_partkey")
+      .where(col("psnr_ok") && col("caption_ok"))
+    val tiled = Tiling.tileAssign(verified, "lat", "lon", 8)
+    SpatialJoin.pipJoin(tiled, "lat", "lon", rectRegions)
+      .select("region_id", "image_id", "tile_token", "lat", "lon")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational skeleton (joins / aggs / windows over the big tables) ---
+    "q1_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_join_agg" -> ((s, dir) => {
+      orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        .orderBy("n_name")
+    }),
+
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    }),
+
+    "q_events_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          countDistinct("user_id").as("users"))
+        .orderBy("event_type")
+    }),
+
+    "q_events_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      events(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 2)
+        .select("user_id", "event_id", "rnk")
+    }),
+
+    // --- S2 kernel self-consistency over every derived point ---
+    "q_tile_roundtrip" -> ((s, dir) => {
+      points(s, dir)
+        .withColumn("leaf", s2_cell_id(col("lat"), col("lon")))
+        .withColumn("t11", s2_parent(col("leaf"), 11))
+        .withColumn("t8", s2_parent(col("leaf"), 8))
+        .where(
+          s2_cell_from_token(s2_token(col("t11"))) === col("t11") &&
+          s2_level(col("t11")) === 11 &&
+          s2_cell_contains(col("t11"), col("leaf")) &&
+          s2_cell_contains(col("t8"), col("t11")) &&
+          s2_cell_id(s2_cell_lat(col("leaf")), s2_cell_lon(col("leaf"))) === col("leaf") &&
+          s2_ord(s2_range_min(col("t8"))) <= s2_ord(col("leaf")) &&
+          s2_ord(s2_range_max(col("t8"))) >= s2_ord(col("leaf")))
+        .select("o_orderkey")
+    }),
+
+    // --- tiling (token histogram; tokens have no SQL oracle -> rows-only) ---
+    "q_tile_counts" -> ((s, dir) => {
+      Tiling.tileStats(points(s, dir), "lat", "lon", 4)
+        .orderBy("tile_token")
+    }),
+
+    // --- covering PIP joins ---
+    "q_pip_rect" -> ((s, dir) =>
+      SpatialJoin.pipJoin(points(s, dir), "lat", "lon", rectRegions)
+        .select("region_id", "o_orderkey")),
+
+    "q_pip_polygon" -> ((s, dir) =>
+      SpatialJoin.pipJoin(points(s, dir), "lat", "lon", polygonRegions)
+        .select("region_id", "o_orderkey")),
+
+    "q_doughnut" -> ((s, dir) =>
+      SpatialJoin.doughnutJoin(points(s, dir), "lat", "lon", Seq("o_orderkey"),
+        Seq(("d_vienna", 10.0, 20.0, 3000000.0, 1000000.0)))
+        .select("region_id", "o_orderkey")),
+
+    "q_knn" -> ((s, dir) =>
+      Knn.knnJoin(points(s, dir), "lat", "lon", Seq("o_orderkey"),
+        KnnQueries, k = 5, startLevel = 4)
+        .select("query_id", "o_orderkey")),
+
+    // --- dedup family over documents (augmented with planted duplicates) ---
+    "q_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(documents(s, dir), "doc_id", Seq("text"))
+        .select("doc_id", "dup_count")),
+
+    // LSH is the recall stage (bands of 2 rows: P(miss | jaccard >= 0.9)
+    // ~ (1 - 0.81)^16 ~ 3e-12); exact n-gram Jaccard is the verified output.
+    "q_minhash_pairs" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, minEstJaccard = 0.5)
+      Dedup.ngramJaccard(docs, "doc_id", "text", cand.select("id_a", "id_b"))
+        .where(col("jaccard") >= 0.9)
+        .select("id_a", "id_b")
+    }),
+
+    "q_simhash_pairs" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+        .select("id_a", "id_b")
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, minEstJaccard = 0.5)
+      Dedup.ngramJaccard(docs, "doc_id", "text", cand.select("id_a", "id_b"))
+        .where(col("jaccard") >= 0.9)
+        .select("id_a", "id_b", "jaccard")
+    }),
+
+    // --- similarity search over embeddings ---
+    "q_ann_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embeddings(s, dir), "vec_id", "embedding",
+        queryIds = 0L until 10L, k = 5)
+        .select("query_id", "neighbor_id")),
+
+    "q_ann_bucketed" -> ((s, dir) =>
+      Similarity.bucketedAnn(embeddings(s, dir), "vec_id", "embedding",
+        queryIds = 0L until 10L, k = 5)
+        .select("query_id", "neighbor_id")),
+
+    "q_embed_stats" -> ((s, dir) =>
+      embeddings(s, dir)
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+          min(element_at(col("embedding"), 1)).as("min_e1"),
+          max(element_at(col("embedding"), 1)).as("max_e1"))
+        .orderBy("label")),
+
+    // --- text analysis ---
+    "q_text_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    "q_lang_agg" -> ((s, dir) =>
+      documents(s, dir).groupBy("lang").agg(count(lit(1)).as("cnt")).orderBy("lang")),
+
+    "q_langid_pred" -> ((s, dir) =>
+      TextAnalysis.langId(documents(s, dir), "doc_id", "text")
+        .select("doc_id", "lang_pred")),
+
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(documents(s, dir), "doc_id", "text")
+        .select("doc_id", "n_tokens", "quality")),
+
+    "q_fingerprint_dups" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+        .select("doc_id", "dup_count")),
+
+    // --- image payload (synthesize + verify the north-rule invariants) ---
+    "q_image_payload" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      ImagePayload.verifyPayload(images, "p_partkey")
+        .where(col("psnr_ok") && col("caption_ok"))
+        .select("p_partkey")
+    }),
+
+    "q_image_tile_join" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val tiled = Tiling.tileAssign(images, "lat", "lon", 8)
+      SpatialJoin.pipJoin(tiled, "lat", "lon", rectRegionsForParts)
+        .select("region_id", "image_id")
+    })
+  )
+
+  /** Rect regions for the part-key-derived image points (same bounds). */
+  private def rectRegionsForParts: Seq[(String, S2Region)] = rectRegions
+
+  private val PartLatSql = "CAST((p_partkey * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"
+  private val PartLonSql = "CAST((p_partkey * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n_name, count(*) AS order_cnt,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) t WHERE rnk <= 2""".stripMargin,
+
+    "q_events_agg" ->
+      """SELECT event_type, count(*) AS cnt, min(value) AS min_value, max(value) AS max_value,
+        | count(DISTINCT user_id) AS users FROM events GROUP BY 1""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT user_id, event_id, CAST(rnk AS INTEGER) AS rnk FROM (
+        | SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+        | FROM events) t WHERE rnk <= 2""".stripMargin,
+
+    "q_tile_roundtrip" -> "SELECT o_orderkey FROM orders",
+
+    "q_pip_rect" -> RectOracleSql,
+
+    "q_doughnut" -> {
+      val d = haversineExpr("lat", "lon", "10.0", "20.0")
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
+         |SELECT 'd_vienna' AS region_id, o_orderkey FROM pts
+         |WHERE $d <= 3000000.0 AND $d > 1000000.0""".stripMargin
+    },
+
+    "q_knn" -> {
+      val cases = KnnQueries.map { case (qid, qlat, qlon) =>
+        val d = haversineExpr("lat", "lon", qlat.toString, qlon.toString)
+        s"""SELECT '$qid' AS query_id, o_orderkey FROM (
+           | SELECT o_orderkey, row_number() OVER (ORDER BY $d, o_orderkey) AS rnk FROM pts) t
+           |WHERE rnk <= 5""".stripMargin
+      }
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
+         |${cases.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    "q_exact_dedup" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text",
+
+    "q_minhash_pairs" ->
+      """WITH docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) >= 0.9""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) AS jaccard
+        |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) >= 0.9""".stripMargin,
+
+    "q_ann_brute" ->
+      """SELECT query_id, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, embeddings q
+        | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t WHERE rnk <= 5""".stripMargin,
+
+    "q_embed_stats" ->
+      """SELECT label, count(*) AS cnt, min(embedding[1]) AS min_e1, max(embedding[1]) AS max_e1
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,
+        | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "q_lang_agg" -> "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+
+    "q_image_payload" -> "SELECT p_partkey FROM part",
+
+    "q_image_tile_join" ->
+      s"""WITH pts AS (SELECT printf('img%012d', p_partkey) AS image_id,
+         |  $PartLatSql AS lat, $PartLonSql AS lon FROM part)
+         |SELECT 'r_europe' AS region_id, image_id FROM pts
+         | WHERE lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005
+         |UNION ALL
+         |SELECT 'r_andes' AS region_id, image_id FROM pts
+         | WHERE lat BETWEEN -40.005 AND -5.005 AND lon BETWEEN -80.005 AND -60.005
+         |UNION ALL
+         |SELECT 'r_pacific_wrap' AS region_id, image_id FROM pts
+         | WHERE lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)
+         |""".stripMargin
+  )
 }

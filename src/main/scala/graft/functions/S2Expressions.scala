@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.s2.{S2CellId, S2LatLng}
+
+/** Catalyst expressions for the S2 kernels.
+  *
+  * Each hot-path scalar op generates a single static call into the pure-Scala
+  * kernel (`graft.s2.S2CellId`), so it inlines into whole-stage codegen over
+  * columnar parquet scans — the Spark-native analogue of the reference's
+  * row-at-a-time encode kernels (`S2CellId.cs:410-425,527-533,594-677`).
+  * Array-valued neighbor ops are eval-based (they run on small frontiers in
+  * kNN ring expansion, not per-scan-row).
+  */
+
+/** `s2_cell_id(latDeg, lonDeg)` -> level-30 leaf cell id (LongType). */
+case class S2CellIdFromLatLng(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"s2_cell_id needs (double, double), got (${left.dataType}, ${right.dataType})")
+  }
+  override protected def nullSafeEval(lat: Any, lon: Any): Any =
+    S2CellId.fromLatLngDegrees(lat.asInstanceOf[Double], lon.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon) => s"graft.s2.S2CellId.fromLatLngDegrees($lat, $lon)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): S2CellIdFromLatLng =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "s2_cell_id"
+}
+
+/** `s2_parent(cellId, level)` -> ancestor cell id at the level (tile assignment). */
+case class S2CellParent(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(cell: Any, level: Any): Any =
+    S2CellId.parentForLevel(cell.asInstanceOf[Long], level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (cell, level) => s"graft.s2.S2CellId.parentForLevel($cell, $level)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): S2CellParent =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "s2_parent"
+}
+
+/** `s2_token(cellId)` -> compact hex token string. */
+case class S2Token(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(cell: Any): Any =
+    UTF8String.fromString(S2CellId.toToken(cell.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      cell => s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.s2.S2CellId.toToken($cell))")
+  override protected def withNewChildInternal(newChild: Expression): S2Token = copy(child = newChild)
+  override def prettyName: String = "s2_token"
+}
+
+/** `s2_cell_from_token(str)` -> cell id. */
+case class S2CellFromToken(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(tok: Any): Any =
+    S2CellId.fromToken(tok.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, tok => s"graft.s2.S2CellId.fromToken($tok.toString())")
+  override protected def withNewChildInternal(newChild: Expression): S2CellFromToken = copy(child = newChild)
+  override def prettyName: String = "s2_cell_from_token"
+}
+
+/** `s2_level(cellId)` -> level 0..30. */
+case class S2CellLevel(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(cell: Any): Any = S2CellId.level(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cell => s"graft.s2.S2CellId.level($cell)")
+  override protected def withNewChildInternal(newChild: Expression): S2CellLevel = copy(child = newChild)
+  override def prettyName: String = "s2_level"
+}
+
+/** `s2_range_min(cellId)` -> first leaf id of the cell's Hilbert span. */
+case class S2CellRangeMin(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(cell: Any): Any = S2CellId.rangeMin(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cell => s"graft.s2.S2CellId.rangeMin($cell)")
+  override protected def withNewChildInternal(newChild: Expression): S2CellRangeMin = copy(child = newChild)
+  override def prettyName: String = "s2_range_min"
+}
+
+/** `s2_range_max(cellId)` -> last leaf id of the cell's Hilbert span. */
+case class S2CellRangeMax(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(cell: Any): Any = S2CellId.rangeMax(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cell => s"graft.s2.S2CellId.rangeMax($cell)")
+  override protected def withNewChildInternal(newChild: Expression): S2CellRangeMax = copy(child = newChild)
+  override def prettyName: String = "s2_range_max"
+}
+
+/** `s2_cell_contains(ancestor, descendant)` -> unsigned Hilbert-range test
+  * (`S2CellId.cs:508-512`). */
+case class S2CellContains(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    S2CellId.contains(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.s2.S2CellId.contains($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): S2CellContains =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "s2_cell_contains"
+}
+
+/** `s2_cell_lat(cellId)` -> cell-center latitude in degrees. */
+case class S2CellLat(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(cell: Any): Any = S2CellId.toLatDegrees(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cell => s"graft.s2.S2CellId.toLatDegrees($cell)")
+  override protected def withNewChildInternal(newChild: Expression): S2CellLat = copy(child = newChild)
+  override def prettyName: String = "s2_cell_lat"
+}
+
+/** `s2_cell_lon(cellId)` -> cell-center longitude in degrees. */
+case class S2CellLon(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(cell: Any): Any = S2CellId.toLngDegrees(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cell => s"graft.s2.S2CellId.toLngDegrees($cell)")
+  override protected def withNewChildInternal(newChild: Expression): S2CellLon = copy(child = newChild)
+  override def prettyName: String = "s2_cell_lon"
+}
+
+object S2DistanceMeters {
+  /** Haversine surface distance, earth radius 6367000 m (`S2LatLng.cs:223-269`). */
+  def distance(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+    S2LatLng.fromDegrees(lat1, lon1).getEarthDistance(S2LatLng.fromDegrees(lat2, lon2))
+}
+
+/** `s2_distance_m(lat1, lon1, lat2, lon2)` -> haversine meters (kNN ranking key). */
+case class S2Distance(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(lat1: Any, lon1: Any, lat2: Any, lon2: Any): Any =
+    S2DistanceMeters.distance(
+      lat1.asInstanceOf[Double], lon1.asInstanceOf[Double],
+      lat2.asInstanceOf[Double], lon2.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.functions.S2DistanceMeters.distance($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression, newFourth: Expression): S2Distance =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+  override def prettyName: String = "s2_distance_m"
+}
+
+/** `s2_all_neighbors(cellId, level)` -> array of all touching cells at the
+  * level; may contain duplicates near face corners, matching the reference
+  * (`S2CellId.cs:813-863`). Eval-only: runs on kNN frontiers, not scans. */
+case class S2AllNeighbors(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(cell: Any, level: Any): Any =
+    new GenericArrayData(S2CellId.allNeighbors(cell.asInstanceOf[Long], level.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): S2AllNeighbors =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "s2_all_neighbors"
+}
+
+/** `s2_edge_neighbors(cellId)` -> the 4 edge-adjacent cells (S, E, N, W). */
+case class S2EdgeNeighbors(child: Expression)
+    extends UnaryExpression with CodegenFallback with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(cell: Any): Any =
+    new GenericArrayData(S2CellId.edgeNeighbors(cell.asInstanceOf[Long]))
+  override protected def withNewChildInternal(newChild: Expression): S2EdgeNeighbors = copy(child = newChild)
+  override def prettyName: String = "s2_edge_neighbors"
+}
+
+/** `s2_vertex_neighbors(cellId, level)` -> 3-4 cells sharing the closest vertex. */
+case class S2VertexNeighbors(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(cell: Any, level: Any): Any =
+    new GenericArrayData(S2CellId.vertexNeighbors(cell.asInstanceOf[Long], level.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): S2VertexNeighbors =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "s2_vertex_neighbors"
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.lit
+
+/** Column-API facade over the S2 Catalyst expressions — the engine's scalar
+  * function surface (SURVEY.md section 2.1/2.2). */
+object s2functions {
+
+  private def expr(e: Expression): Column = ColumnBridge.column(e)
+  private def child(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Leaf (level-30) cell id from lat/lon degrees. */
+  def s2_cell_id(latDeg: Column, lonDeg: Column): Column =
+    expr(S2CellIdFromLatLng(child(latDeg), child(lonDeg)))
+
+  /** Ancestor at the given level — the raster-tile assignment operator. */
+  def s2_parent(cellId: Column, level: Column): Column =
+    expr(S2CellParent(child(cellId), child(level)))
+  def s2_parent(cellId: Column, level: Int): Column = s2_parent(cellId, lit(level))
+
+  /** Point -> tile at level in one call (reference `CellIDForCoordinates`). */
+  def s2_tile(latDeg: Column, lonDeg: Column, level: Int): Column =
+    s2_parent(s2_cell_id(latDeg, lonDeg), level)
+
+  def s2_token(cellId: Column): Column = expr(S2Token(child(cellId)))
+  def s2_cell_from_token(token: Column): Column = expr(S2CellFromToken(child(token)))
+  def s2_level(cellId: Column): Column = expr(S2CellLevel(child(cellId)))
+  def s2_range_min(cellId: Column): Column = expr(S2CellRangeMin(child(cellId)))
+  def s2_range_max(cellId: Column): Column = expr(S2CellRangeMax(child(cellId)))
+  def s2_cell_contains(ancestor: Column, descendant: Column): Column =
+    expr(S2CellContains(child(ancestor), child(descendant)))
+  def s2_cell_lat(cellId: Column): Column = expr(S2CellLat(child(cellId)))
+  def s2_cell_lon(cellId: Column): Column = expr(S2CellLon(child(cellId)))
+
+  def s2_distance_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    expr(S2Distance(child(lat1), child(lon1), child(lat2), child(lon2)))
+
+  def s2_all_neighbors(cellId: Column, level: Column): Column =
+    expr(S2AllNeighbors(child(cellId), child(level)))
+  def s2_all_neighbors(cellId: Column, level: Int): Column = s2_all_neighbors(cellId, lit(level))
+  def s2_edge_neighbors(cellId: Column): Column = expr(S2EdgeNeighbors(child(cellId)))
+  def s2_vertex_neighbors(cellId: Column, level: Int): Column =
+    expr(S2VertexNeighbors(child(cellId), child(lit(level))))
+
+  /** Map an unsigned cell id onto the signed ordering (flip the sign bit) so
+    * builtin range predicates / sorts / range joins order ids correctly. */
+  def s2_ord(cellId: Column): Column = cellId.bitwiseXOR(lit(Long.MinValue))
+
+  /** Register all s2_* functions for SQL use on the given session. */
+  def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val registry = spark.sessionState.functionRegistry
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+      registry.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder)
+
+    reg("s2_cell_id", { case Seq(a, b) => S2CellIdFromLatLng(a, b) })
+    reg("s2_parent", { case Seq(a, b) => S2CellParent(a, b) })
+    reg("s2_token", { case Seq(a) => S2Token(a) })
+    reg("s2_cell_from_token", { case Seq(a) => S2CellFromToken(a) })
+    reg("s2_level", { case Seq(a) => S2CellLevel(a) })
+    reg("s2_range_min", { case Seq(a) => S2CellRangeMin(a) })
+    reg("s2_range_max", { case Seq(a) => S2CellRangeMax(a) })
+    reg("s2_cell_contains", { case Seq(a, b) => S2CellContains(a, b) })
+    reg("s2_cell_lat", { case Seq(a) => S2CellLat(a) })
+    reg("s2_cell_lon", { case Seq(a) => S2CellLon(a) })
+    reg("s2_distance_m", { case Seq(a, b, c, d) => S2Distance(a, b, c, d) })
+    reg("s2_all_neighbors", { case Seq(a, b) => S2AllNeighbors(a, b) })
+    reg("s2_edge_neighbors", { case Seq(a) => S2EdgeNeighbors(a) })
+    reg("s2_vertex_neighbors", { case Seq(a, b) => S2VertexNeighbors(a, b) })
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The image+caption payload plumbing for the north-rule input table
+  * (`BASELINE.json.input_hint`): images(image_id, bytes, w, h, fmt, caption,
+  * phash) + derived lat/lon.
+  *
+  * Image bytes are an opaque `binary` column carried through the spatial
+  * operators; decode only happens in the verification path (never on the
+  * hot path). Synthesis is deterministic: pixels are a pure function of the
+  * source key, PNG-encoded (lossless), so the decoded-pixel PSNR invariant
+  * is exactly infinite and the check degenerates to bit equality — while
+  * still exercising a real PNG encode/decode roundtrip via javax.imageio.
+  */
+object ImagePayload {
+
+  /** Deterministic RGB pixel for (key, x, y): a cheap integer mix. */
+  def pixel(key: Long, x: Int, y: Int): Int = {
+    var h = key * 0x9e3779b97f4a7c15L + x * 0xc2b2ae3d27d4eb4fL + y * 0x165667b19e3779f9L
+    h ^= (h >>> 31); h *= 0x7fb5d329728ea185L; h ^= (h >>> 27)
+    (h & 0xffffff).toInt
+  }
+
+  /** Deterministic raster for a key. */
+  def renderImage(key: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(key, x, y)); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  def encodePng(key: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(renderImage(key, w, h), "png", out)
+    out.toByteArray
+  }
+
+  /** PSNR between a decoded image and the expected deterministic raster;
+    * Double.PositiveInfinity for exact match. */
+  def psnrVsExpected(bytes: Array[Byte], key: Long, w: Int, h: Int): Double = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth != w || img.getHeight != h) return 0.0
+    var sse = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val got = img.getRGB(x, y) & 0xffffff
+        val exp = pixel(key, x, y)
+        val dr = ((got >> 16) & 0xff) - ((exp >> 16) & 0xff)
+        val dg = ((got >> 8) & 0xff) - ((exp >> 8) & 0xff)
+        val db = (got & 0xff) - (exp & 0xff)
+        sse += dr * dr + dg * dg + db * db
+        x += 1
+      }
+      y += 1
+    }
+    if (sse == 0.0) Double.PositiveInfinity
+    else {
+      val mse = sse / (w.toLong * h * 3)
+      10.0 * math.log10(255.0 * 255.0 / mse)
+    }
+  }
+
+  private val encodeUdf = udf((key: Long, w: Int, h: Int) => encodePng(key, w, h))
+  private val psnrUdf = udf((bytes: Array[Byte], key: Long, w: Int, h: Int) =>
+    psnrVsExpected(bytes, key, w, h))
+
+  /** Deterministic lat/lon derivation from an integer key — pure integer
+    * arithmetic so a SQL oracle derives the identical values. */
+  def latFromKey(key: Column): Column =
+    ((key * 9973 + 12345) % 18000).cast("double") / lit(100.0) - lit(90.0)
+  def lonFromKey(key: Column): Column =
+    ((key * 31337 + 54321) % 36000).cast("double") / lit(100.0) - lit(180.0)
+
+  /** Synthesize the images table from a table of integer keys.
+    * Columns: image_id, bytes, w, h, fmt, caption, phash, lat, lon. */
+  def synthesize(keys: DataFrame, keyCol: String,
+                 width: Int = 16, height: Int = 16): DataFrame = {
+    val key = col(keyCol)
+    keys
+      .withColumn("image_id", format_string("img%012d", key))
+      .withColumn("w", lit(width))
+      .withColumn("h", lit(height))
+      .withColumn("fmt", lit("png"))
+      .withColumn("lat", latFromKey(key))
+      .withColumn("lon", lonFromKey(key))
+      .withColumn("bytes", encodeUdf(key, col("w"), col("h")))
+      .withColumn("phash", xxhash64(col("bytes")))
+      .withColumn("caption",
+        concat(lit("caption of "), col("image_id"), lit(" at "), col("lat"), lit(","), col("lon")))
+  }
+
+  /** Per-row payload verification: decoded-pixel PSNR >= 40 dB and caption
+    * equality vs the synthesis rule (`BASELINE.json.input_hint`). */
+  def verifyPayload(images: DataFrame, keyCol: String): DataFrame = {
+    val key = col(keyCol)
+    images
+      .withColumn("psnr", psnrUdf(col("bytes"), key, col("w"), col("h")))
+      .withColumn("psnr_ok", col("psnr") >= 40.0)
+      .withColumn("caption_ok",
+        col("caption") === concat(lit("caption of "), col("image_id"),
+          lit(" at "), col("lat"), lit(","), col("lon")))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.s2functions._
+import graft.s2._
+
+/** k-nearest-neighbor join via cell-neighbor ring expansion.
+  *
+  * Two exact phases, both broadcast-only on the big side:
+  *
+  *  - Phase A (bound discovery): starting from each query's cell at
+  *    `startLevel`, expand rings of neighbors (`GetAllNeighbors`,
+  *    `S2CellId.cs:813-863`) until the candidate cells hold >= k points per
+  *    query; the k-th smallest candidate distance is then an upper bound
+  *    d_k on the true k-th neighbor distance. Each round is one broadcast
+  *    semi-join + count — the ring sets stay tiny.
+  *  - Phase B (exact): a spherical cap of radius d_k per query is covered
+  *    ([[S2RegionCoverer]]) and fed through the covering join; every true
+  *    neighbor lies inside by construction. Exact haversine distance +
+  *    `row_number()` top-k finishes the job with a partial-aggregated
+  *    shuffle that only carries candidate rows.
+  *
+  * The reference's analogue is the linear min-scan over loop vertices
+  * (`S2Loop.cs:841-854`) plus ring expansion via `S2CellUnion.Expand`
+  * (`S2CellUnion.cs:593-648`).
+  */
+object Knn {
+
+  /** @param points  big side with latCol/lonCol and idCols to carry through
+    * @param queries (query_id, latDeg, lonDeg)
+    * @return columns: query_id, idCols..., distance_m, rank
+    */
+  def knnJoin(points: DataFrame,
+              latCol: String,
+              lonCol: String,
+              idCols: Seq[String],
+              queries: Seq[(String, Double, Double)],
+              k: Int,
+              startLevel: Int = 8,
+              maxRounds: Int = 12): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    require(queries.nonEmpty && k > 0)
+
+    val withLeaf = points.withColumn("__leaf", s2_cell_id(col(latCol), col(lonCol)))
+
+    // --- Phase A: ring expansion until every query has >= k candidates ---
+    var frontier: Map[String, Set[Long]] = queries.map { case (qid, lat, lon) =>
+      qid -> Set(S2CellId.parentForLevel(S2CellId.fromLatLngDegrees(lat, lon), startLevel))
+    }.toMap
+    var covered: Map[String, Set[Long]] = frontier
+
+    val queryDf = queries.toDF("__qid", "__qlat", "__qlon")
+
+    def candidateCounts(cells: Map[String, Set[Long]]): Map[String, Long] = {
+      val cellDf = cells.toSeq.flatMap { case (qid, cs) => cs.map(c => (qid, c)) }
+        .toDF("__qid", "__cell")
+      withLeaf
+        .withColumn("__cell", s2_parent(col("__leaf"), startLevel))
+        .join(broadcast(cellDf), "__cell")
+        .groupBy("__qid").count()
+        .as[(String, Long)].collect().toMap
+    }
+
+    var counts = candidateCounts(covered)
+    var round = 0
+    while (round < maxRounds && queries.exists { case (qid, _, _) => counts.getOrElse(qid, 0L) < k }) {
+      // expand the ring for under-filled queries only
+      val next = covered.map { case (qid, cs) =>
+        if (counts.getOrElse(qid, 0L) >= k) qid -> cs
+        else {
+          val ring = frontier(qid).flatMap(c => S2CellId.allNeighbors(c, startLevel)) -- cs
+          qid -> (cs ++ ring)
+        }
+      }
+      frontier = covered.keys.map(qid => qid -> (next(qid) -- covered(qid))).toMap
+      covered = next
+      counts = candidateCounts(covered)
+      round += 1
+    }
+
+    // k-th smallest candidate distance per query = upper bound d_k
+    val candCellDf = covered.toSeq.flatMap { case (qid, cs) => cs.map(c => (qid, c)) }
+      .toDF("__qid", "__cell")
+    val w = Window.partitionBy("__qid").orderBy(col("__d"), col(idCols.head))
+    val dk: Map[String, Double] = withLeaf
+      .withColumn("__cell", s2_parent(col("__leaf"), startLevel))
+      .join(broadcast(candCellDf), "__cell")
+      .join(broadcast(queryDf), "__qid")
+      .withColumn("__d", s2_distance_m(col(latCol), col(lonCol), col("__qlat"), col("__qlon")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy("__qid").agg(max("__d").as("__dk"))
+      .as[(String, Double)].collect().toMap
+
+    // --- Phase B: exact top-k inside the d_k cap covering ---
+    val regions: Seq[(String, S2Region)] = queries.map { case (qid, lat, lon) =>
+      val axis = S2LatLng.fromDegrees(lat, lon).toPoint
+      val dkM = dk.getOrElse(qid,
+        // fewer than k points exist in the expanded rings: fall back to the
+        // whole sphere for exactness
+        math.Pi * S2LatLng.EarthRadiusMeters)
+      val angle = math.min(math.Pi, dkM / S2LatLng.EarthRadiusMeters * (1 + 1e-9) + 1e-12)
+      qid -> (S2Cap.fromAxisAngle(axis, angle): S2Region)
+    }
+
+    val wFinal = Window.partitionBy("__qid").orderBy(col("distance_m"), col(idCols.head))
+    SpatialJoin.pipJoin(points, latCol, lonCol, regions, maxCells = 32)
+      .withColumnRenamed("region_id", "__qid")
+      .join(broadcast(queryDf), "__qid")
+      .withColumn("distance_m", s2_distance_m(col(latCol), col(lonCol), col("__qlat"), col("__qlon")))
+      .withColumn("rank", row_number().over(wFinal))
+      .where(col("rank") <= k)
+      .select((col("__qid").as("query_id") +: idCols.map(col)) :+ col("distance_m") :+ col("rank"): _*)
+  }
+}

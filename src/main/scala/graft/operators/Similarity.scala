@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exactness baseline (broadcast the query
+  * vectors; one pass over the table; per-partition top-k via window). The
+  * random-hyperplane LSH variant is the 100-TB path: candidates are
+  * restricted to the query's signature bucket and its hamming-neighbor
+  * buckets, so the big side is probed by a broadcast equi-join instead of a
+  * cross join.
+  */
+object Similarity {
+
+  /** dot(a, b) with builtin higher-order functions (codegen'd, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k for each query id drawn from the table
+    * itself. Output: (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = embeddings
+      .where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    embeddings
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(queries))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__vec"), col("__qvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic gaussian hyperplanes for the LSH signature. */
+  def randomPlanes(dim: Int, bits: Int, seed: Long = 42L): Seq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane signature: bit i = sign(dot(vec, plane_i)). For unit
+    * vectors P(bit agrees) = 1 - theta/pi, the classic cosine LSH. */
+  def hyperplaneBucket(vec: Column, planes: Seq[IndexedSeq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce[Column](_ bitwiseOR _)
+
+  private def vecDim(embeddings: DataFrame, vecCol: String): Int =
+    embeddings.select(size(col(vecCol))).head().getInt(0)
+
+  /** Multi-table signature column: array of (table_id, bucket) structs. Using
+    * L independent short signatures instead of one long one keeps recall high
+    * even in the weak-similarity regime (top-k cosine ~0.3). */
+  private def tableBuckets(vec: Column, dim: Int, tables: Int, bits: Int, seed: Long): Column =
+    array((0 until tables).map { t =>
+      val planes = randomPlanes(dim, bits, seed + t * 7919)
+      struct(lit(t).as("tbl"), hyperplaneBucket(vec, planes).as("bucket"))
+    }: _*)
+
+  /** Approximate NN via multi-table hyperplane LSH: candidates are rows
+    * sharing any table's bucket with the query; exact cosine re-rank.
+    * Output: (query_id, neighbor_id, cosine, rank). */
+  def bucketedAnn(embeddings: DataFrame, idCol: String, vecCol: String,
+                  queryIds: Seq[Long], k: Int,
+                  tables: Int = 16, bits: Int = 6, seed: Long = 42L): DataFrame = {
+    val dim = vecDim(embeddings, vecCol)
+    val bucketed = embeddings.withColumn("__tb",
+      explode(tableBuckets(col(vecCol), dim, tables, bits, seed)))
+      .select(col(idCol), col(vecCol), col("__tb.tbl"), col("__tb.bucket"))
+    val probes = bucketed
+      .where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"), col("tbl"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    bucketed
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec"), col("tbl"), col("bucket"))
+      .join(broadcast(probes), Seq("tbl", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "__vec", "__qvec").distinct()
+      .withColumn("cosine", cosine(col("__vec"), col("__qvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH bucket in any
+    * table: (id_a, id_b, cosine) with cosine >= minCosine. */
+  def embeddingNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
+                       minCosine: Double, tables: Int = 16, bits: Int = 6,
+                       seed: Long = 42L): DataFrame = {
+    val dim = vecDim(embeddings, vecCol)
+    val bucketed = embeddings.withColumn("__tb",
+      explode(tableBuckets(col(vecCol), dim, tables, bits, seed)))
+      .select(col(idCol), col(vecCol), col("__tb.tbl"), col("__tb.bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+}

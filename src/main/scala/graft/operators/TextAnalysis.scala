@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language id, quality scoring,
+  * token counting, fingerprinting. Pure builtin column expressions — every
+  * op stays inside whole-stage codegen over the scan. */
+object TextAnalysis {
+
+  /** Small deterministic stopword lists per language for the heuristic
+    * language id (n-gram/stopword voting). */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "für"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "pas", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "que", "los", "una", "por", "con", "para", "como", "más"),
+    "it" -> Seq("il", "che", "di", "la", "per", "una", "sono", "non", "con", "del")
+  )
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count estimate: words + punctuation marks + digit runs. */
+  def subwordCountEstimate(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0)) +
+      length(regexp_replace(text, "[^\\p{Punct}]", "")) +
+      size(filter(split(regexp_replace(text, "[^0-9]", " "), "\\s+"), t => length(t) > 0))
+
+  /** Stopword-vote language id over the distinct token set; "und"
+    * (undetermined) when nothing matches. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = Stopwords.toSeq.flatMap { case (lang, words) => words.map(w => (w, lang)) }
+      .toDF("tok", "cand_lang")
+    val toks = df.select(col(idCol), explode(split(lower(col(textCol)), "[^\\p{L}]+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val votes = toks.join(broadcast(dict), "tok")
+      .groupBy(col(idCol), col("cand_lang")).count()
+    val best = votes
+      .groupBy(col(idCol))
+      .agg(max_by(col("cand_lang"), struct(col("count"), col("cand_lang"))).as("lang_pred"),
+        max(col("count")).as("votes"))
+    df.select(col(idCol)).distinct()
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
+  }
+
+  /** Heuristic quality features + a composite score in [0, 1]. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val nChars = length(text)
+    val nTokens = tokenCount(text)
+    val punctRatio = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+      greatest(nChars, lit(1)).cast("double")
+    val upperRatio = length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+      greatest(nChars, lit(1)).cast("double")
+    val meanWordLen = nChars.cast("double") / greatest(nTokens, lit(1)).cast("double")
+    val score =
+      when(nTokens < 5, 0.0)
+        .otherwise(
+          greatest(lit(0.0), lit(1.0)
+            - when(punctRatio > lit(0.2), (punctRatio - 0.2) * 2).otherwise(0.0)
+            - when(upperRatio > lit(0.3), (upperRatio - 0.3) * 2).otherwise(0.0)
+            - when(meanWordLen > lit(12), (meanWordLen - 12) * 0.05).otherwise(0.0)
+            - when(meanWordLen < lit(3), (lit(3) - meanWordLen) * 0.2).otherwise(0.0)))
+    df.select(col(idCol), nChars.as("n_chars_m"), nTokens.as("n_tokens"),
+      round(punctRatio, 6).as("punct_ratio"), round(upperRatio, 6).as("upper_ratio"),
+      round(meanWordLen, 6).as("mean_word_len"), round(score, 6).as("quality"))
+  }
+
+  /** Document fingerprint: a stable 64-bit hash of the
+    * whitespace-normalized lowercased text (rolling-hash analogue). */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(text, "\\s+", " ")))
+}

@@ -8,7 +8,7 @@ package graft.s2
   * (`OpenSky.S2Geometry/S1Interval.cs:6-595`) — this type is the subtle core
   * of the lat/lng-rect region math and is heavily unit-tested there.
   */
-final class S1Interval private (val lo: Double, val hi: Double) {
+final class S1Interval private (val lo: Double, val hi: Double) extends Serializable {
   import S1Interval._
 
   def isValid: Boolean =

@@ -8,7 +8,7 @@ final class S2Cell private (val id: Long,
                             val level: Int,
                             val orientation: Int,
                             // uv(d)(0..1): lo/hi bound along u (d=0) and v (d=1)
-                            private[s2] val uv: Array[Array[Double]]) extends S2Region {
+                            private[s2] val uv: Array[Array[Double]]) extends S2Region with Serializable {
   import S2Cell._
 
   def isLeaf: Boolean = level == S2CellId.MaxLevel

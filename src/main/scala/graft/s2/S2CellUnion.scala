@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
   * raw 64-bit ids. Engine-side, the exploded `(region_id, cell_id)` form of
   * this type is the build side of the covering join.
   */
-final class S2CellUnion private (private val ids: ArrayBuffer[Long]) extends S2Region {
+final class S2CellUnion private (private val ids: ArrayBuffer[Long]) extends S2Region with Serializable {
 
   def size: Int = ids.length
   def cellId(i: Int): Long = ids(i)

@@ -13,7 +13,7 @@ final case class S2AreaCentroid(area: Double, centroid: Option[S2Point])
   * engine scale candidate pruning is done by the distributed covering join
   * instead, and query loops are broadcast-side objects with few vertices.
   */
-final class S2Loop private (vertexSeq: IndexedSeq[S2Point], precomputedBound: Option[S2LatLngRect]) extends S2Region {
+final class S2Loop private (vertexSeq: IndexedSeq[S2Point], precomputedBound: Option[S2LatLngRect]) extends S2Region with Serializable {
   def this(vertexSeq: IndexedSeq[S2Point]) = this(vertexSeq, scala.None)
 
   private val vertices: Array[S2Point] = vertexSeq.toArray

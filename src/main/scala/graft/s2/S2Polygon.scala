@@ -9,7 +9,7 @@ import scala.collection.mutable
   * A point is inside iff it is contained by an odd number of loops
   * (`S2Polygon.cs:944-964`).
   */
-final class S2Polygon(inputLoops: Seq[S2Loop]) extends S2Region {
+final class S2Polygon(inputLoops: Seq[S2Loop]) extends S2Region with Serializable {
   private val loops = mutable.ArrayBuffer.empty[S2Loop]
   private var _bound: S2LatLngRect = S2LatLngRect.Empty
   private var hasHoles: Boolean = false

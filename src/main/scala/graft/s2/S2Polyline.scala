@@ -2,7 +2,7 @@ package graft.s2
 
 /** An open chain of vertices on the sphere
   * (`OpenSky.S2Geometry/S2Polyline.cs:19-327`). */
-final class S2Polyline(vertexSeq: IndexedSeq[S2Point]) extends S2Region {
+final class S2Polyline(vertexSeq: IndexedSeq[S2Point]) extends S2Region with Serializable {
   private val vertices: Array[S2Point] = vertexSeq.toArray
   val numVertices: Int = vertices.length
 

@@ -2,7 +2,7 @@ package graft.s2
 
 /** A two-dimensional region on the unit sphere; the contract the region
   * coverer subdivides against (`OpenSky.S2Geometry/IS2Region.cs:11-43`). */
-trait S2Region {
+trait S2Region extends Serializable {
   /** A bounding spherical cap (may be conservative). */
   def capBound: S2Cap
 
