@@ -150,6 +150,11 @@ object SparkEntry {
         .select("user_id", "event_id", "rnk")
     }),
 
+    // --- streaming-equivalent sessionization (batch window-function form) ---
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapMillis = 30 * 60 * 1000L)
+        .select("user_id", "session_start", "session_end", "n_events")),
+
     // --- S2 kernel self-consistency over every derived point ---
     "q_tile_roundtrip" -> ((s, dir) => {
       points(s, dir)
@@ -315,6 +320,17 @@ object SparkEntry {
         | SELECT user_id, event_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
         | FROM events) t WHERE rnk <= 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM x)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM y GROUP BY user_id, sid""".stripMargin,
 
     "q_tile_roundtrip" -> "SELECT o_orderkey FROM orders",
 

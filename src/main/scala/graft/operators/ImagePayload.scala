@@ -88,7 +88,9 @@ object ImagePayload {
   def synthesize(keys: DataFrame, keyCol: String,
                  width: Int = 16, height: Int = 16): DataFrame = {
     val key = col(keyCol)
+    val spread = keys.sparkSession.sparkContext.defaultParallelism
     keys
+      .repartition(spread) // PNG encode is CPU-bound; spread single-file inputs
       .withColumn("image_id", format_string("img%012d", key))
       .withColumn("w", lit(width))
       .withColumn("h", lit(height))

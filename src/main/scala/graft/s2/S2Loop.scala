@@ -43,17 +43,39 @@ final class S2Loop private (vertexSeq: IndexedSeq[S2Point], precomputedBound: Op
   def rectBound: S2LatLngRect = _bound
   def capBound: S2Cap = _bound.capBound
 
-  /** Point-in-loop parity test (`S2Loop.cs:794-833`). */
+  /** Point-in-loop parity test (`S2Loop.cs:794-833`); loops with >= 2000
+    * vertices consult the per-loop edge index instead of the full chain. */
   def contains(p: S2Point): Boolean = {
     if (!_bound.contains(p)) return false
     var inside = originInside
-    val crosser = new EdgeCrosser(S2Const.Origin, p, vertices(numVertices - 1))
-    var i = 0
-    while (i < numVertices) {
-      inside ^= crosser.edgeOrVertexCrossing(vertices(i))
-      i += 1
+    val origin = S2Const.Origin
+    val crosser = new EdgeCrosser(origin, p, vertices(numVertices - 1))
+    if (numVertices < 2000) {
+      var i = 0
+      while (i < numVertices) {
+        inside ^= crosser.edgeOrVertexCrossing(vertices(i))
+        i += 1
+      }
+    } else {
+      val it = edgeIterator(numVertices)
+      var previousIndex = -2
+      for (ai <- it.candidates(origin, p).sorted) {
+        if (previousIndex != ai - 1) crosser.restartAt(vertices(ai))
+        previousIndex = ai
+        inside ^= crosser.edgeOrVertexCrossing(vertex(ai + 1))
+      }
     }
     inside
+  }
+
+  @transient private var index: S2LoopEdgeIndex = _
+
+  /** Lazy per-loop edge index with the brute-vs-index cost model
+    * (`S2Loop.cs:857-873`). */
+  private def edgeIterator(expectedQueries: Int): S2LoopEdgeIndex = {
+    if (index == null) index = new S2LoopEdgeIndex(this)
+    index.predictAdditionalCalls(expectedQueries)
+    index
   }
 
   /** Shortest angle from p to the loop boundary (`S2Loop.cs:841-854`). */
@@ -140,6 +162,7 @@ final class S2Loop private (vertexSeq: IndexedSeq[S2Point], precomputedBound: Op
       i -= 1
     }
     vertexToIndex = null
+    index = null
     originInside ^= true
     if (_bound.lat.lo > -S2Const.PiOver2 && _bound.lat.hi < S2Const.PiOver2) {
       _bound = S2LatLngRect.Full
@@ -180,6 +203,52 @@ final class S2Loop private (vertexSeq: IndexedSeq[S2Point], precomputedBound: Op
   def areaAndCentroid: S2AreaCentroid = getAreaCentroid(doCentroid = true)
   def area: Double = getAreaCentroid(doCentroid = false).area
   def centroid: Option[S2Point] = getAreaCentroid(doCentroid = true).centroid
+
+  /** Validity: >= 3 distinct unit-length vertices, no non-adjacent edge
+    * crossings (nearly-colinear quadruples excused, `S2Loop.cs:201-305`). */
+  def isValid: Boolean = {
+    if (numVertices < 3) return false
+    var i = 0
+    while (i < numVertices) {
+      if (!S2Predicates.isUnitLength(vertex(i))) return false
+      i += 1
+    }
+    val vmap = new java.util.HashMap[S2Point, Integer]()
+    i = 0
+    while (i < numVertices) {
+      if (vmap.put(vertex(i), i) != null) return false
+      i += 1
+    }
+    val maxIntersectionError = 1e-15
+    val it = edgeIterator(numVertices)
+    var a1 = 0
+    while (a1 < numVertices) {
+      val a2 = (a1 + 1) % numVertices
+      val crosser = new EdgeCrosser(vertex(a1), vertex(a2), vertex(0))
+      var previousIndex = -2
+      for (b1 <- it.candidates(vertex(a1), vertex(a2))) {
+        val b2 = (b1 + 1) % numVertices
+        if (a1 != b2 && a2 != b1 && a1 != b1) {
+          // ignore nearly-colinear quadruples: robustCcw would need
+          // arbitrary precision there
+          val abc = S2Predicates.angle(vertex(a1), vertex(a2), vertex(b1))
+          val abcLinear = math.abs(abc) <= maxIntersectionError ||
+            math.abs(abc - S2Const.Pi) <= maxIntersectionError
+          val abd = S2Predicates.angle(vertex(a1), vertex(a2), vertex(b2))
+          val abdLinear = math.abs(abd) <= maxIntersectionError ||
+            math.abs(abd - S2Const.Pi) <= maxIntersectionError
+          if (!(abcLinear && abdLinear)) {
+            if (previousIndex != b1) crosser.restartAt(vertex(b1))
+            val crosses = crosser.robustCrossing(vertex(b2)) > 0
+            previousIndex = b2
+            if (crosses) return false
+          }
+        }
+      }
+      a1 += 1
+    }
+    true
+  }
 
   /** Total ordering on loops: vertex count, then vertices from each loop's
     * first logical vertex (`S2Loop.cs:307-328,419-430`). */
@@ -262,12 +331,17 @@ final class S2Loop private (vertexSeq: IndexedSeq[S2Point], precomputedBound: Op
   private def checkEdgeCrossings(
       b: S2Loop,
       relation: (S2Point, S2Point, S2Point, S2Point, S2Point) => Int): Int = {
+    // 'this' usually has many more vertices than 'b': index this side and
+    // loop over b's edges (`S2Loop.cs:989-1044`).
+    val it = edgeIterator(b.numVertices)
     var result = 1
     var j = 0
     while (j < b.numVertices) {
       val crosser = new EdgeCrosser(b.vertex(j), b.vertex(j + 1), vertex(0))
-      var i = 0
-      while (i < numVertices) {
+      var previousIndex = -2
+      for (i <- it.candidates(b.vertex(j), b.vertex(j + 1)).sorted) {
+        if (previousIndex != i - 1) crosser.restartAt(vertex(i))
+        previousIndex = i
         val crossing = crosser.robustCrossing(vertex(i + 1))
         if (crossing > 0) return -1
         if (crossing == 0 && vertex(i + 1) == b.vertex(j + 1)) {
@@ -275,7 +349,6 @@ final class S2Loop private (vertexSeq: IndexedSeq[S2Point], precomputedBound: Op
             relation(vertex(i), vertex(i + 1), vertex(i + 2), b.vertex(j), b.vertex(j + 2)))
           if (result < 0) return result
         }
-        i += 1
       }
       j += 1
     }

@@ -251,4 +251,26 @@ final class S2Polygon(inputLoops: Seq[S2Loop]) extends S2Region with Serializabl
 
 object S2Polygon {
   def apply(loops: S2Loop*): S2Polygon = new S2Polygon(loops)
+
+  /** Valid iff no duplicate (undirected) edges across loops, every loop is
+    * normalized, and no two loops cross (`S2Polygon.cs:348-400`); assumes
+    * each loop already validated. */
+  def isValidPolygon(loops: Seq[S2Loop]): Boolean = {
+    if (loops.length > 1) {
+      val edges = new java.util.HashSet[(S2Point, S2Point)]()
+      for (lp <- loops; j <- 0 until lp.numVertices) {
+        val a = lp.vertex(j)
+        val b = lp.vertex(j + 1)
+        val key = if (a.lessThan(b)) (a, b) else (b, a)
+        if (!edges.add(key)) return false
+      }
+    }
+    for (i <- loops.indices) {
+      if (!loops(i).isNormalized) return false
+      for (j <- i + 1 until loops.length) {
+        if (loops(i).containsOrCrosses(loops(j)) < 0) return false
+      }
+    }
+    true
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.S2Extensions
+import graft.s2.{R1Interval, S1Interval, S2LatLngRect, TextShapes}
+
+/** SparkSessionExtensions: SQL function registration and the
+  * spatial-predicate bounds-pushdown rule. */
+class ExtensionsSpec extends SparkTestBase {
+
+  private def pointsDf = {
+    spark.read.parquet(s"${sf("sf0.001")}/orders.parquet")
+      .withColumn("lat", expr("CAST((o_orderkey * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"))
+      .withColumn("lon", expr("CAST((o_orderkey * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"))
+      .select("o_orderkey", "lat", "lon")
+  }
+
+  test("s2_* functions usable from SQL after registration") {
+    S2Extensions.install(spark)
+    pointsDf.createOrReplaceTempView("pts")
+    val row = spark.sql(
+      """SELECT s2_token(s2_parent(s2_cell_id(48.11027908325195D, 16.569721221923828D), 11)) AS tok,
+        | s2_level(s2_parent(s2_cell_id(lat, lon), 8)) AS lvl
+        |FROM pts LIMIT 1""".stripMargin).collect()(0)
+    assert(row.getString(0) == "476c544")
+    assert(row.getInt(1) == 8)
+  }
+
+  test("st_contains predicate matches pipJoin refinement semantics") {
+    S2Extensions.install(spark)
+    val poly = TextShapes.polygon("0:-30, 30:0, 0:30, -30:0")
+    val viaPredicate = pointsDf
+      .where(S2Extensions.st_contains(poly, col("lat"), col("lon")))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val brute = pointsDf.collect().filter { r =>
+      graft.operators.SpatialJoin.regionContains(poly, r.getDouble(1), r.getDouble(2))
+    }.map(_.getLong(0)).toSet
+    assert(viaPredicate == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("PushS2RegionBounds injects scan-pushable lat/lon conjuncts") {
+    S2Extensions.install(spark)
+    val rect = S2LatLngRect(
+      R1Interval(math.toRadians(10), math.toRadians(20)),
+      S1Interval(math.toRadians(30), math.toRadians(40)))
+    val df = pointsDf.where(S2Extensions.st_contains(rect, col("lat"), col("lon")))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the rule must have conjoined plain comparisons on lat/lon
+    assert(optimized.contains(">= 9.99") || optimized.contains(">= 10.0"),
+      s"no pushed lat bound in:\n$optimized")
+    // and the result is still exact
+    val got = df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val brute = pointsDf.collect().filter { r =>
+      graft.operators.SpatialJoin.regionContains(rect, r.getDouble(1), r.getDouble(2))
+    }.map(_.getLong(0)).toSet
+    assert(got == brute)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Streaming operators: windowed aggregation on a real MemoryStream source
+  * and sessionization vs its batch window-function equivalent. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("watermarked windowed counts over a MemoryStream") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0),
+      Event(4, ts(70), 2, "click", 4.0))
+
+    val query = EventStreams.windowedCounts(input.toDF(), "5 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, cnt FROM win_counts ORDER BY window_start, event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("click", 2L), ("click", 1L), ("view", 1L)))
+    } finally query.stop()
+  }
+
+  test("stateful sessionize (flatMapGroupsWithState) == batch window-function sessionize") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0),
+      Event(2, ts(10), 1, "a", 2.0),
+      Event(3, ts(100), 1, "b", 3.0), // > 30 min gap: new session
+      Event(4, ts(0), 2, "a", 4.0),
+      Event(5, ts(200), 2, "a", 5.0), // new session
+      Event(6, ts(205), 2, "a", 6.0))
+
+    val streaming = EventStreams.sessionize(events.toDS(), gapMillis = 30 * 60 * 1000L)
+      .collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.n_events, s.total_value))
+      .toSet
+
+    val batch = EventStreams.sessionizeBatch(events.toDF(), gapMillis = 30 * 60 * 1000L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").getTime,
+        r.getAs[Long]("n_events").toInt, r.getAs[Double]("total_value")))
+      .toSet
+
+    assert(streaming == batch)
+    assert(streaming.size == 4)
+  }
+
+  test("sessionizeBatch on the events table produces plausible sessions") {
+    val df = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val sessions = EventStreams.sessionizeBatch(df)
+    val n = sessions.count()
+    assert(n > 0 && n <= df.count())
+    val agg = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(agg == df.count(), "every event belongs to exactly one session")
+  }
+}
