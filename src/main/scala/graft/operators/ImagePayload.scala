@@ -103,6 +103,72 @@ object ImagePayload {
         concat(lit("caption of "), col("image_id"), lit(" at "), col("lat"), lit(","), col("lon")))
   }
 
+  // ---------------------------------------------------------------------------
+  // Multimodal column operations: decode / feature-extract / resize run for
+  // real via javax.imageio + AWT (present in the JDK); video frame-sampling
+  // and audio decode are deterministic STUBS (no codecs in this container) —
+  // the Spark-side plumbing (schema, batching, partitioning) is real.
+  // ---------------------------------------------------------------------------
+
+  /** Real decode + bilinear resize to (w, h), re-encoded as PNG. */
+  def resizeImage(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null) return Array.emptyByteArray
+    val dst = new BufferedImage(newW, newH, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, newW, newH, null)
+    g.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** Real decode + feature extraction: [meanR, meanG, meanB, luma-stddev]. */
+  def imageFeatures(bytes: Array[Byte]): Array[Float] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) return Array.emptyFloatArray
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sl += l; sl2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val meanL = sl / n
+    Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+      math.sqrt(math.max(0, sl2 / n - meanL * meanL)).toFloat)
+  }
+
+  /** STUB: video frame sampling. No video codecs exist in this container;
+    * a real deployment would decode via a bundled codec inside
+    * `mapPartitions` exactly like the image ops. Here each "frame" is the
+    * deterministic raster at (key + frameIdx), PNG-encoded, preserving the
+    * schema/batching contract of the real operator. */
+  def sampleFramesStub(key: Long, nFrames: Int, w: Int, h: Int): Array[Array[Byte]] =
+    Array.tabulate(nFrames)(i => encodePng(key + i, w, h))
+
+  private val resizeUdf = udf((bytes: Array[Byte], w: Int, h: Int) => resizeImage(bytes, w, h))
+  private val featuresUdf = udf((bytes: Array[Byte]) => imageFeatures(bytes))
+
+  /** Thumbnail column via real decode + resize (batch-parallel UDF). */
+  def withThumbnail(images: DataFrame, w: Int = 8, h: Int = 8): DataFrame =
+    images.withColumn("thumb", resizeUdf(col("bytes"), lit(w), lit(h)))
+
+  /** Feature column ([meanR, meanG, meanB, lumaStd]) via real decode. */
+  def withFeatures(images: DataFrame): DataFrame =
+    images.withColumn("features", featuresUdf(col("bytes")))
+
   /** Per-row payload verification: decoded-pixel PSNR >= 40 dB and caption
     * equality vs the synthesis rule (`BASELINE.json.input_hint`). */
   def verifyPayload(images: DataFrame, keyCol: String): DataFrame = {

@@ -49,6 +49,15 @@ object Knn {
     val withLeaf = points.withColumn("__leaf", s2_cell_id(col(latCol), col(lonCol)))
 
     // --- Phase A: ring expansion until every query has >= k candidates ---
+    // One pass precomputes per-cell population at startLevel (bounded by the
+    // cell count at that level, e.g. ~393k cells at level 8 for the whole
+    // planet), so the ring expansion itself is a pure driver-side loop —
+    // the big table is scanned exactly 3x total regardless of ring count.
+    val cellPop: Map[Long, Long] = withLeaf
+      .groupBy(s2_parent(col("__leaf"), startLevel).as("__cell"))
+      .count()
+      .as[(Long, Long)].collect().toMap
+
     var frontier: Map[String, Set[Long]] = queries.map { case (qid, lat, lon) =>
       qid -> Set(S2CellId.parentForLevel(S2CellId.fromLatLngDegrees(lat, lon), startLevel))
     }.toMap
@@ -56,22 +65,13 @@ object Knn {
 
     val queryDf = queries.toDF("__qid", "__qlat", "__qlon")
 
-    def candidateCounts(cells: Map[String, Set[Long]]): Map[String, Long] = {
-      val cellDf = cells.toSeq.flatMap { case (qid, cs) => cs.map(c => (qid, c)) }
-        .toDF("__qid", "__cell")
-      withLeaf
-        .withColumn("__cell", s2_parent(col("__leaf"), startLevel))
-        .join(broadcast(cellDf), "__cell")
-        .groupBy("__qid").count()
-        .as[(String, Long)].collect().toMap
-    }
+    def countOf(cells: Set[Long]): Long = cells.iterator.map(cellPop.getOrElse(_, 0L)).sum
 
-    var counts = candidateCounts(covered)
     var round = 0
-    while (round < maxRounds && queries.exists { case (qid, _, _) => counts.getOrElse(qid, 0L) < k }) {
+    while (round < maxRounds && queries.exists { case (qid, _, _) => countOf(covered(qid)) < k }) {
       // expand the ring for under-filled queries only
       val next = covered.map { case (qid, cs) =>
-        if (counts.getOrElse(qid, 0L) >= k) qid -> cs
+        if (countOf(cs) >= k) qid -> cs
         else {
           val ring = frontier(qid).flatMap(c => S2CellId.allNeighbors(c, startLevel)) -- cs
           qid -> (cs ++ ring)
@@ -79,7 +79,6 @@ object Knn {
       }
       frontier = covered.keys.map(qid => qid -> (next(qid) -- covered(qid))).toMap
       covered = next
-      counts = candidateCounts(covered)
       round += 1
     }
 

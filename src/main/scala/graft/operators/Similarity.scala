@@ -61,12 +61,34 @@ object Similarity {
 
   /** Multi-table signature column: array of (table_id, bucket) structs. Using
     * L independent short signatures instead of one long one keeps recall high
-    * even in the weak-similarity regime (top-k cosine ~0.3). */
-  private def tableBuckets(vec: Column, dim: Int, tables: Int, bits: Int, seed: Long): Column =
-    array((0 until tables).map { t =>
-      val planes = randomPlanes(dim, bits, seed + t * 7919)
-      struct(lit(t).as("tbl"), hyperplaneBucket(vec, planes).as("bucket"))
-    }: _*)
+    * even in the weak-similarity regime (top-k cosine ~0.3).
+    *
+    * Implemented as a single closure over all tables' planes: expanding
+    * tables x bits dot products into higher-order-function expressions makes
+    * Catalyst analysis/codegen dominate the query (observed seconds of
+    * planning for 96 aggregate() terms), so one vectorized UDF wins here. */
+  private def tableBuckets(vec: Column, dim: Int, tables: Int, bits: Int, seed: Long): Column = {
+    val planes: Array[Array[Double]] = (0 until tables).flatMap { t =>
+      randomPlanes(dim, bits, seed + t * 7919).map(_.toArray)
+    }.toArray
+    val f = udf { v: Seq[Float] =>
+      (0 until tables).map { t =>
+        var bucket = 0L
+        var i = 0
+        while (i < bits) {
+          val p = planes(t * bits + i)
+          var d = 0.0
+          var j = 0
+          val n = math.min(v.length, p.length)
+          while (j < n) { d += v(j) * p(j); j += 1 }
+          if (d > 0) bucket |= 1L << i
+          i += 1
+        }
+        (t, bucket)
+      }
+    }
+    f(vec).cast("array<struct<tbl:int,bucket:bigint>>")
+  }
 
   /** Approximate NN via multi-table hyperplane LSH: candidates are rows
     * sharing any table's bucket with the query; exact cosine re-rank.
@@ -86,7 +108,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec"), col("tbl"), col("bucket"))
       .join(broadcast(probes), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "__vec", "__qvec").distinct()
+      .select("query_id", "neighbor_id", "__vec", "__qvec").dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("__vec"), col("__qvec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -106,7 +128,7 @@ object Similarity {
     val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("tbl"), col("bucket"))
     a.join(b, Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .select("id_a", "id_b", "vec_a", "vec_b").dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")

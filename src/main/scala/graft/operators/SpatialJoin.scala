@@ -33,17 +33,46 @@ object SpatialJoin {
   final case class CoverCell(regionId: String, cell: Long, level: Int, interior: Boolean)
 
   /** Driver-side planning: region -> disjoint covering cells with interior
-    * flags. */
-  def coverRegions(regions: Seq[(String, S2Region)], maxCells: Int): Seq[CoverCell] = {
+    * flags, quantized to the given level set.
+    *
+    * Quantization matters at scale: the probe side explodes once per
+    * *distinct covering level*, so an unconstrained covering (levels 3..12)
+    * would multiply the 10^12-row side 8-10x. Re-expanding each covering
+    * cell to the next allowed level keeps the explode factor at
+    * |quantizeLevels| while only growing the (tiny, broadcast) build side;
+    * children that don't intersect the region are pruned and children fully
+    * inside it upgrade to the interior fast path. */
+  def coverRegions(regions: Seq[(String, S2Region)], maxCells: Int,
+                   quantizeLevels: Seq[Int] = DefaultCoverLevels): Seq[CoverCell] = {
+    val levels = quantizeLevels.sorted
+    require(levels.nonEmpty)
     regions.flatMap { case (regionId, region) =>
-      val coverer = new S2RegionCoverer().setMaxCells(maxCells)
+      val coverer = new S2RegionCoverer().setMaxCells(maxCells).setMaxLevel(levels.max)
       val covering = coverer.getCoveringUnion(region)
-      covering.cellIds.map { cell =>
-        CoverCell(regionId, cell, S2CellId.level(cell),
-          interior = region.containsCell(S2Cell(cell)))
+      covering.cellIds.flatMap { cell =>
+        val level = S2CellId.level(cell)
+        val target = levels.find(_ >= level).getOrElse(levels.max)
+        if (target == level) {
+          Seq(CoverCell(regionId, cell, level, interior = region.containsCell(S2Cell(cell))))
+        } else {
+          // re-expand to the allowed level, pruning non-intersecting children
+          val out = scala.collection.mutable.ArrayBuffer.empty[CoverCell]
+          var child = S2CellId.childBeginForLevel(cell, target)
+          val end = S2CellId.childEndForLevel(cell, target)
+          while (child != end) {
+            val c = S2Cell(child)
+            if (region.mayIntersectCell(c))
+              out += CoverCell(regionId, child, target, interior = region.containsCell(c))
+            child = S2CellId.next(child)
+          }
+          out
+        }
       }
     }
   }
+
+  /** Covering levels used by default: coarse / city / block granularity. */
+  val DefaultCoverLevels: Seq[Int] = Seq(4, 8, 12)
 
   /** Exact containment of a (lat, lon) point in a region, matching the
     * reference refinement pipeline bit-for-bit. */
