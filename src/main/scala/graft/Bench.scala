@@ -67,7 +67,7 @@ object Bench {
       .withColumn("lat", ((col("id") * 9973 + 12345) % 18000).cast("double") / lit(100.0) - lit(90.0))
       .withColumn("lon", ((col("id") * 31337 + 54321) % 36000).cast("double") / lit(100.0) - lit(180.0))
     val tiled = Tiling.tileAssign(pts, "lat", "lon", 8)
-    val joined = SpatialJoin.pipJoin(tiled, "lat", "lon", SparkEntryRegions.rects)
+    val joined = graft.plans.S2PipJoin.pipJoinExec(tiled, "lat", "lon", SparkEntryRegions.rects)
     tiled.agg(sum(length(col("tile_token")))).collect()
     joined.count()
   }

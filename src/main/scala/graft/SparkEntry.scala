@@ -183,6 +183,11 @@ object SparkEntry {
       SpatialJoin.pipJoin(points(s, dir), "lat", "lon", rectRegions)
         .select("region_id", "o_orderkey")),
 
+    // same join through the custom physical operator (S2PipJoinExec)
+    "q_pip_rect_exec" -> ((s, dir) =>
+      graft.plans.S2PipJoin.pipJoinExec(points(s, dir), "lat", "lon", rectRegions)
+        .select("region_id", "o_orderkey")),
+
     "q_pip_polygon" -> ((s, dir) =>
       SpatialJoin.pipJoin(points(s, dir), "lat", "lon", polygonRegions)
         .select("region_id", "o_orderkey")),
@@ -335,6 +340,8 @@ object SparkEntry {
     "q_tile_roundtrip" -> "SELECT o_orderkey FROM orders",
 
     "q_pip_rect" -> RectOracleSql,
+
+    "q_pip_rect_exec" -> RectOracleSql,
 
     "q_doughnut" -> {
       val d = haversineExpr("lat", "lon", "10.0", "20.0")
