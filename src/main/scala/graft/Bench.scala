@@ -72,6 +72,23 @@ object Bench {
     joined.count()
   }
 
+  /** Skew variant: 30% of rows land on one hot city tile (the north rule's
+    * "skewed hot cells" case). The covering join broadcasts its build side
+    * and never shuffles the big side by cell, so throughput should hold
+    * within noise of the uniform case; measuring proves it. */
+  private def skewedJob(spark: SparkSession, nRows: Long): Long = {
+    val cores = spark.sparkContext.defaultParallelism
+    val pts = spark.range(nRows, 2 * nRows, 1, cores * 2)
+      .withColumn("lat", when(col("id") % 10 < 3, lit(48.2))
+        .otherwise(((col("id") * 9973 + 12345) % 18000).cast("double") / lit(100.0) - lit(90.0)))
+      .withColumn("lon", when(col("id") % 10 < 3, lit(16.37))
+        .otherwise(((col("id") * 31337 + 54321) % 36000).cast("double") / lit(100.0) - lit(180.0)))
+    val tiled = Tiling.tileAssign(pts, "lat", "lon", 8)
+    val joined = graft.plans.S2PipJoin.pipJoinExec(tiled, "lat", "lon", SparkEntryRegions.rects)
+    tiled.agg(sum(length(col("tile_token")))).collect()
+    joined.count()
+  }
+
   private def timeScaling(cores: Int, nRows: Long, reps: Int): Double = {
     val spark = session(cores)
     try {
@@ -109,6 +126,11 @@ object Bench {
     flagship(spark, sfDir, expand)
     val flagshipSec = (System.nanoTime() - tF0) / 1e9
     val flagshipRps = nRows / flagshipSec
+    // skewed hot-cell variant on the same row count
+    skewedJob(spark, nRows) // warm
+    val tS0 = System.nanoTime()
+    skewedJob(spark, nRows)
+    val skewRps = nRows / ((System.nanoTime() - tS0) / 1e9)
     spark.stop()
 
     // --- scaling evidence: identical job at N and 4N cores, two pairs ---
@@ -137,7 +159,7 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"flagship_rows":$nRows,"flagship_sec":$flagshipSec%.3f,"flagship_rows_per_sec":$flagshipRps%.1f,"scaling":$scalingJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"flagship_rows":$nRows,"flagship_sec":$flagshipSec%.3f,"flagship_rows_per_sec":$flagshipRps%.1f,"skewed_rows_per_sec":$skewRps%.1f,"scaling":$scalingJson,"sf":"$sfDir"}""")
   }
 }
 
