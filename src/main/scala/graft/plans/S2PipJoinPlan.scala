@@ -40,59 +40,62 @@ case class S2PipJoinPlan(child: LogicalPlan,
     copy(child = newChild)
 }
 
-/** Sorted-interval table built once on the driver and shipped via task
-  * closure (small: <= regions x maxCells entries). */
+/** Per-region sorted disjoint-interval tables built once on the driver and
+  * shipped via task closure (small: <= regions x maxCells entries).
+  *
+  * Each region's covering cells are disjoint, so its [rangeMin, rangeMax]
+  * spans are non-overlapping sorted intervals: a point probe is ONE binary
+  * search per region (find last start <= leaf, test its end), O(|regions| *
+  * log cells) per row with no scan — the cost is identical for uniform and
+  * hot-cell-skewed data. */
 final class CoverIntervals(cover: Seq[CoverCell], regions: Seq[(String, S2Region)])
     extends Serializable {
-  // flipped to signed ordering so plain Long comparisons work
-  private val starts: Array[Long] = new Array(cover.length)
-  private val ends: Array[Long] = new Array(cover.length)
-  private val regionIdx: Array[Int] = new Array(cover.length)
-  private val interior: Array[Boolean] = new Array(cover.length)
   val regionIds: Array[String] = regions.map(_._1).toArray
   @transient lazy val regionObjs: Array[S2Region] = regions.map(_._2).toArray
 
+  // flipped to signed ordering so plain Long comparisons work
+  private val starts: Array[Array[Long]] = new Array(regionIds.length)
+  private val ends: Array[Array[Long]] = new Array(regionIds.length)
+  private val interior: Array[Array[Boolean]] = new Array(regionIds.length)
+
   locally {
-    val sorted = cover.sortBy(c => S2CellId.rangeMin(c.cell) ^ Long.MinValue)
-    val idIndex = regionIds.zipWithIndex.toMap
-    var i = 0
-    for (c <- sorted) {
-      starts(i) = S2CellId.rangeMin(c.cell) ^ Long.MinValue
-      ends(i) = S2CellId.rangeMax(c.cell) ^ Long.MinValue
-      regionIdx(i) = idIndex(c.regionId)
-      interior(i) = c.interior
-      i += 1
+    val byRegion = cover.groupBy(_.regionId)
+    var r = 0
+    while (r < regionIds.length) {
+      val cells = byRegion.getOrElse(regionIds(r), Nil)
+        .sortBy(c => S2CellId.rangeMin(c.cell) ^ Long.MinValue)
+      starts(r) = cells.map(c => S2CellId.rangeMin(c.cell) ^ Long.MinValue).toArray
+      ends(r) = cells.map(c => S2CellId.rangeMax(c.cell) ^ Long.MinValue).toArray
+      interior(r) = cells.map(_.interior).toArray
+      r += 1
     }
   }
 
-  /** Indices of intervals containing the leaf; intervals of different
-    * regions may nest, so scan left from the upper bound while starts could
-    * still cover the leaf. Coverings are tiny, nesting depth tinier. */
+  /** Region indices whose covering contains the leaf; bit 31 flags an
+    * interior hit. */
   def findMatches(leaf: Long, out: java.util.ArrayList[Int]): Unit = {
     out.clear()
     val key = leaf ^ Long.MinValue
-    var lo = 0
-    var hi = starts.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (starts(mid) <= key) lo = mid + 1 else hi = mid
-    }
-    // lo = first interval with start > key; scan left over candidates.
-    // A containing interval's end >= key; since intervals of one region are
-    // disjoint, at most |regions| intervals can contain the leaf, but
-    // non-containing earlier intervals may separate them — bound the scan
-    // by the maximum nesting (here: full left scan cut off once starts
-    // drop below the minimal possible ancestor start).
-    val floor = (S2CellId.rangeMin(S2CellId.parentForLevel(leaf, 0)) ^ Long.MinValue)
-    var i = lo - 1
-    while (i >= 0 && starts(i) >= floor) {
-      if (ends(i) >= key) out.add(i)
-      i -= 1
+    var r = 0
+    while (r < starts.length) {
+      val s = starts(r)
+      // last interval with start <= key
+      var lo = 0
+      var hi = s.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (s(mid) <= key) lo = mid + 1 else hi = mid
+      }
+      val i = lo - 1
+      if (i >= 0 && ends(r)(i) >= key) {
+        out.add(if (interior(r)(i)) r | Int.MinValue else r)
+      }
+      r += 1
     }
   }
 
-  def regionIndexAt(i: Int): Int = regionIdx(i)
-  def isInterior(i: Int): Boolean = interior(i)
+  def regionIndexAt(m: Int): Int = m & Int.MaxValue
+  def isInterior(m: Int): Boolean = m < 0
 }
 
 case class S2PipJoinExec(child: SparkPlan,
