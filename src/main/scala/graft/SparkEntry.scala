@@ -400,6 +400,25 @@ object SparkEntry {
 
     "q_lang_agg" -> "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
 
+    // heuristic language id replicated in SQL; the corpus is pure ASCII so
+    // the [^a-z]+ tokenizer matches Spark's [^\p{L}]+ exactly
+    "q_langid_pred" ->
+      """WITH dict(tok, cand_lang) AS (VALUES ('the','en'),('and','en'),('of','en'),('to','en'),('in','en'),('is','en'),('that','en'),('for','en'),('with','en'),('was','en'),('der','de'),('die','de'),('und','de'),('das','de'),('ist','de'),('nicht','de'),('mit','de'),('ein','de'),('von','de'),('für','de'),('le','fr'),('la','fr'),('et','fr'),('les','fr'),('des','fr'),('est','fr'),('pas','fr'),('pour','fr'),('dans','fr'),('que','fr'),('el','es'),('la','es'),('que','es'),('los','es'),('una','es'),('por','es'),('con','es'),('para','es'),('como','es'),('más','es'),('il','it'),('che','it'),('di','it'),('la','it'),('per','it'),('una','it'),('sono','it'),('non','it'),('con','it'),('del','it')),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |  x -> len(x) > 0)) AS tok FROM documents),
+        |votes AS (SELECT doc_id, cand_lang, count(*) AS cnt
+        |  FROM toks JOIN dict USING (tok) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, max(printf('%010d|%s', cnt, cand_lang)) AS key
+        |  FROM votes GROUP BY 1)
+        |SELECT d.doc_id, CASE WHEN b.key IS NULL THEN 'und' ELSE split_part(b.key, '|', 2) END AS lang_pred
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN best b USING (doc_id)""".stripMargin,
+
+    // fingerprint groups == normalized-text groups (64-bit hash collisions
+    // are vanishingly unlikely at this cardinality and would fail loudly)
+    "q_fingerprint_dups" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
+        |GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')""".stripMargin,
+
     "q_image_payload" -> "SELECT p_partkey FROM part",
 
     "q_image_tile_join" ->
