@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.s2._
+
+/** Raster -> vector: turn a set of S2 cells (tiles) back into the polygon
+  * outlining their union — the inverse of tile assignment, completing the
+  * north rule's "raster<->vector" pair.
+  *
+  * Mechanics: every cell contributes its 4-vertex CCW boundary loop to a
+  * DirectedXor polygon builder; edges shared by two adjacent cells appear in
+  * opposite directions and cancel, leaving exactly the outline
+  * (`S2PolygonBuilder.cs:74-142` XOR semantics). */
+object Vectorize {
+
+  /** Outline polygon of a cell set (driver-side; tile sets per region are
+    * small — for huge unions, pre-merge with [[graft.s2.S2CellUnion]]
+    * normalization first). */
+  def cellsToPolygon(cells: Iterable[Long]): S2Polygon = {
+    val builder = new S2PolygonBuilder(S2PolygonBuilderOptions.DirectedXor)
+    val union = S2CellUnion.normalized(cells)
+    if (union.size == 0) return new S2Polygon(Nil)
+    // cells must all sit at ONE level: a coarse cell adjacent to two finer
+    // cells shares only part of its edge, which directed-XOR cannot cancel
+    // (different vertex pairs). Denormalizing to the finest level present
+    // makes every shared edge an exact vertex-pair match.
+    val maxLevel = union.cellIds.map(S2CellId.level).max
+    for (id <- union.denormalize(maxLevel, 1))
+      builder.addLoop(S2Loop.fromCell(S2Cell(id)))
+    builder.assemblePolygon()._1
+  }
+
+  /** Vectorize each group's tiles: collects (group, tile) pairs — tile sets
+    * per group are coverings, i.e. tiny — and assembles one polygon per
+    * group on the driver. */
+  def vectorizeGroups(df: DataFrame, groupCol: String, tileCol: String): Map[String, S2Polygon] = {
+    df.select(groupCol, tileCol).distinct().collect()
+      .groupBy(_.get(0).toString)
+      .map { case (g, rows) => g -> cellsToPolygon(rows.map(_.getLong(1))) }
+  }
+}
