@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.s2functions._
@@ -24,4 +24,52 @@ object Tiling {
     tileAssign(df, latCol, lonCol, level)
       .groupBy("tile_token")
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Write the table spatially clustered: hive-partitioned by the coarse
+    * tile token at `coarseLevel` and sorted within files by the unsigned
+    * leaf cell id (SURVEY.md sections 2.9/4.2). Spatial predicates then
+    * prune whole partition directories (coarse tile equality from
+    * `s2_parent`) and parquet row groups (leaf-cell min/max stats on the
+    * sorted `__leaf_ord` column). */
+  def clusteredWrite(df: DataFrame, latCol: String, lonCol: String,
+                     outDir: String, coarseLevel: Int = 5): Unit = {
+    df.withColumn("__leaf", s2_cell_id(col(latCol), col(lonCol)))
+      .withColumn("coarse_tile", s2_token(s2_parent(col("__leaf"), coarseLevel)))
+      .withColumn("__leaf_ord", s2_ord(col("__leaf")))
+      .repartition(col("coarse_tile"))
+      .sortWithinPartitions("coarse_tile", "__leaf_ord")
+      .drop("__leaf")
+      .write.mode("overwrite")
+      .partitionBy("coarse_tile")
+      .parquet(outDir)
+  }
+
+  /** Read a clustered table restricted to the cells of a covering: the
+    * coarse-tile IN-list prunes partition directories before any file is
+    * opened; the `__leaf_ord` range conjuncts reach parquet row-group
+    * stats. */
+  def readClusteredForCells(spark: SparkSession, dir: String,
+                            cells: Seq[Long], coarseLevel: Int = 5): DataFrame = {
+    import graft.s2.S2CellId
+    val coarse = cells
+      .flatMap { c =>
+        // every coarse tile overlapping the cell
+        if (S2CellId.level(c) >= coarseLevel) Seq(S2CellId.parentForLevel(c, coarseLevel))
+        else {
+          var id = S2CellId.childBeginForLevel(c, coarseLevel)
+          val end = S2CellId.childEndForLevel(c, coarseLevel)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (id != end) { out += id; id = S2CellId.next(id) }
+          out
+        }
+      }
+      .distinct.map(S2CellId.toToken)
+    val rangePred = cells.map { c =>
+      col("__leaf_ord").between(
+        S2CellId.rangeMin(c) ^ Long.MinValue, S2CellId.rangeMax(c) ^ Long.MinValue)
+    }.reduce(_ || _)
+    spark.read.parquet(dir)
+      .where(col("coarse_tile").isin(coarse: _*))
+      .where(rangePred)
+  }
 }
