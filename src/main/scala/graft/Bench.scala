@@ -139,7 +139,7 @@ object Bench {
     // (cpus/16 -> cpus/4), which stays within physical capacity, is the
     // faithful proxy for N -> 4N executors on a real cluster.
     val scalingJson = if (doScaling) {
-      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "150000000").toLong
+      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "60000000").toLong
       def pair(nLo: Int): (Int, Int, Double, Double, Double) = {
         val nHi = nLo * 4
         val secLo = timeScaling(nLo, scaleRows, reps = 2)
