@@ -163,3 +163,56 @@ class S2CellIdSpec extends AnyFunSuite {
     assert(!isValid(-1L)) // sentinel: face 7
   }
 }
+
+/** Exact neighbor-formula vectors and the allNeighbors/vertexNeighbors
+  * equivalence, ported 1:1 from `S2CellIdTest.cs:65-296`. */
+class S2CellIdNeighborParitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import S2CellId._
+
+  test("vertex neighbors of face-2 center at level 5 match the (i,j) formula (S2CellIdTest.cs:257-264)") {
+    val nbrs = vertexNeighbors(fromPoint(S2Point(0, 0, 1)), 5)
+      .sorted(Ordering.fromLessThan(unsignedLess))
+    assert(nbrs.length == 4)
+    for (i <- 0 until 4) {
+      val expected = parentForLevel(
+        fromFaceIj(2,
+          (1 << 29) - (if (i < 2) 1 else 0),
+          (1 << 29) - (if (i == 0 || i == 3) 1 else 0)), 5)
+      assert(nbrs(i) == expected, s"neighbor $i")
+    }
+  }
+
+  test("corner vertex neighbors are exactly the face cells 0, 4, 5 (S2CellIdTest.cs:268-276)") {
+    val id = fromFacePosLevel(0, 0, MaxLevel)
+    val nbrs = vertexNeighbors(id, 0).sorted(Ordering.fromLessThan(unsignedLess))
+    assert(nbrs.toSeq == Seq(
+      fromFacePosLevel(0, 0, 0), fromFacePosLevel(4, 0, 0), fromFacePosLevel(5, 0, 0)))
+  }
+
+  test("allNeighbors == union of children's vertexNeighbors, 1000 random cells (S2CellIdTest.cs:70-94,279-294)") {
+    val rnd = new scala.util.Random(123456)
+    def randomCellId(): Long = {
+      val f = rnd.nextInt(6)
+      val pos = rnd.nextLong() & (-1L >>> FaceBits)
+      fromFacePosLevel(f, pos, rnd.nextInt(MaxLevel + 1))
+    }
+    for (_ <- 0 until 1000) {
+      var toTest = randomCellId()
+      if (isLeaf(toTest)) toTest = parent(toTest)
+      val maxDiff = math.min(6, MaxLevel - level(toTest) - 1)
+      val lvl = level(toTest) + rnd.nextInt(maxDiff + 1)
+
+      val all = scala.collection.mutable.HashSet.empty[Long]
+      val expected = scala.collection.mutable.HashSet.empty[Long]
+      all ++= allNeighbors(toTest, lvl)
+      val end = childEndForLevel(toTest, lvl + 1)
+      var c = childBeginForLevel(toTest, lvl + 1)
+      while (c != end) {
+        all += parent(c)
+        expected ++= vertexNeighbors(c, lvl)
+        c = next(c)
+      }
+      assert(all == expected, s"mismatch for ${toToken(toTest)} at level $lvl")
+    }
+  }
+}
