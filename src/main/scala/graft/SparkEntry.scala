@@ -193,7 +193,7 @@ object SparkEntry {
         .select("region_id", "o_orderkey")),
 
     "q_doughnut" -> ((s, dir) =>
-      SpatialJoin.doughnutJoin(points(s, dir), "lat", "lon", Seq("o_orderkey"),
+      SpatialJoin.doughnutJoin(points(s, dir), "lat", "lon",
         Seq(("d_vienna", 10.0, 20.0, 3000000.0, 1000000.0)))
         .select("region_id", "o_orderkey")),
 

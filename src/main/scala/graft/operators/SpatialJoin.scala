@@ -120,7 +120,8 @@ object SpatialJoin {
       regionContains(regionMap.value(regionId), lat, lon)
     }
 
-    // Latitude band from the union of region bounds: pushed down to the scan.
+    // Lat band + (when not antimeridian-wrapping) lng band from the union of
+    // region bounds: plain comparisons Catalyst pushes into the scan.
     val pre: DataFrame =
       if (!prefilter) points
       else {
@@ -129,7 +130,18 @@ object SpatialJoin {
         else {
           val latLo = math.toDegrees(bound.lat.lo)
           val latHi = math.toDegrees(bound.lat.hi)
-          points.where(col(latCol) >= latLo && col(latCol) <= latHi)
+          val latPred = col(latCol) >= latLo && col(latCol) <= latHi
+          val pred =
+            if (bound.lng.isFull) latPred
+            else {
+              val lngLo = math.toDegrees(bound.lng.lo)
+              val lngHi = math.toDegrees(bound.lng.hi)
+              if (bound.lng.isInverted)
+                latPred && (col(lonCol) >= lngLo || col(lonCol) <= lngHi)
+              else
+                latPred && col(lonCol) >= lngLo && col(lonCol) <= lngHi
+            }
+          points.where(pred)
         }
       }
 
@@ -157,7 +169,6 @@ object SpatialJoin {
   def doughnutJoin(points: DataFrame,
                    latCol: String,
                    lonCol: String,
-                   idCols: Seq[String],
                    queries: Seq[(String, Double, Double, Double, Double)],
                    maxCells: Int = 64): DataFrame = {
     val spark = points.sparkSession

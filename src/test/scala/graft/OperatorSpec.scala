@@ -86,7 +86,7 @@ class OperatorSpec extends SparkTestBase {
 
   test("doughnutJoin == brute force haversine annulus") {
     val queries = Seq(("d0", 10.0, 20.0, 3000000.0, 1000000.0))
-    val result = SpatialJoin.doughnutJoin(pointsDf, "lat", "lon", Seq("o_orderkey"), queries)
+    val result = SpatialJoin.doughnutJoin(pointsDf, "lat", "lon", queries)
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     val center = S2LatLng.fromDegrees(10.0, 20.0)
     val expected = pointsDf.collect().filter { r =>
