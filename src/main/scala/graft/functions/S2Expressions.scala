@@ -53,6 +53,22 @@ case class S2CellParent(left: Expression, right: Expression)
   override def prettyName: String = "s2_parent"
 }
 
+/** `s2_cell_from_face_pos(face, pos, level)` -> cell id (E9,
+  * `S2CellId.cs:400-403`). */
+case class S2CellFromFacePos(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(face: Any, pos: Any, level: Any): Any =
+    S2CellId.fromFacePosLevel(face.asInstanceOf[Int], pos.asInstanceOf[Long], level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, p, l) => s"graft.s2.S2CellId.fromFacePosLevel($f, $p, $l)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): S2CellFromFacePos =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "s2_cell_from_face_pos"
+}
+
 /** `s2_token(cellId)` -> compact hex token string. */
 case class S2Token(child: Expression)
     extends UnaryExpression with Serializable {

@@ -26,6 +26,8 @@ object s2functions {
     s2_parent(s2_cell_id(latDeg, lonDeg), level)
 
   def s2_token(cellId: Column): Column = expr(S2Token(child(cellId)))
+  def s2_cell_from_face_pos(face: Column, pos: Column, level: Column): Column =
+    expr(S2CellFromFacePos(child(face), child(pos), child(level)))
   def s2_cell_from_token(token: Column): Column = expr(S2CellFromToken(child(token)))
   def s2_level(cellId: Column): Column = expr(S2CellLevel(child(cellId)))
   def s2_range_min(cellId: Column): Column = expr(S2CellRangeMin(child(cellId)))
@@ -61,6 +63,7 @@ object s2functions {
     reg("s2_cell_id", { case Seq(a, b) => S2CellIdFromLatLng(a, b) })
     reg("s2_parent", { case Seq(a, b) => S2CellParent(a, b) })
     reg("s2_token", { case Seq(a) => S2Token(a) })
+    reg("s2_cell_from_face_pos", { case Seq(a, b, c) => S2CellFromFacePos(a, b, c) })
     reg("s2_cell_from_token", { case Seq(a) => S2CellFromToken(a) })
     reg("s2_level", { case Seq(a) => S2CellLevel(a) })
     reg("s2_range_min", { case Seq(a) => S2CellRangeMin(a) })

