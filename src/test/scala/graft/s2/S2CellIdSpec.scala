@@ -44,9 +44,9 @@ class S2CellIdSpec extends AnyFunSuite {
     }
   }
 
-  test("encode/decode roundtrip on random leaf cells (S2CellIdTest.cs:21-32)") {
+  test("encode/decode roundtrip on random leaf cells, full reference count (S2CellIdTest.cs:21-32)") {
     val rnd = new scala.util.Random(123456)
-    for (_ <- 0 until 20000) {
+    for (_ <- 0 until 200000) {
       val f = rnd.nextInt(6)
       val pos = rnd.nextLong() & (-1L >>> FaceBits)
       val id = fromFacePosLevel(f, pos, MaxLevel)

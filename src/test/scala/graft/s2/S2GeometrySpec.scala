@@ -74,9 +74,9 @@ class S2GeometrySpec extends AnyFunSuite {
     }
   }
 
-  test("coverer: 1-cell covering of a cell is that cell (S2RegionCovererTest.cs:107-123)") {
+  test("coverer: 1-cell covering of a cell is that cell, full reference count (S2RegionCovererTest.cs:107-123)") {
     val rnd = new scala.util.Random(123456)
-    for (_ <- 0 until 1000) {
+    for (_ <- 0 until 10000) {
       val level = rnd.nextInt(S2CellId.MaxLevel + 1)
       val id = randomCellId(rnd, level)
       val coverer = new S2RegionCoverer().setMaxCells(1)
