@@ -244,6 +244,22 @@ object SparkEntry {
         queryIds = 0L until 10L, k = 5)
         .select("query_id", "neighbor_id")),
 
+    // embedding-cosine near-duplicate pairs: exact all-pairs form (small
+    // vector tables; oracle-checked) and the LSH-bucketed scale path
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.crossJoin(b)
+        .where(col("id_a") < col("id_b"))
+        .where(Similarity.cosine(col("vec_a"), col("vec_b")) >= 0.3)
+        .select("id_a", "id_b")
+    }),
+
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.embeddingNearDup(embeddings(s, dir), "vec_id", "embedding", minCosine = 0.3)
+        .select("id_a", "id_b")),
+
     "q_embed_stats" -> ((s, dir) =>
       embeddings(s, dir)
         .groupBy("label")
@@ -388,6 +404,12 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk
         | FROM embeddings e, embeddings q
         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t WHERE rnk <= 5""".stripMargin,
+
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin,
 
     "q_embed_stats" ->
       """SELECT label, count(*) AS cnt, min(embedding[1]) AS min_e1, max(embedding[1]) AS max_e1
