@@ -300,6 +300,16 @@ object SparkEntry {
         .select("p_partkey")
     }),
 
+    // real PNG decode + feature extraction must succeed for every row
+    "q_image_features" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      ImagePayload.withFeatures(images)
+        .where(size(col("features")) === 4 &&
+          element_at(col("features"), 1).between(0f, 255f) &&
+          element_at(col("features"), 4) > 0f)
+        .select("p_partkey")
+    }),
+
     "q_image_tile_join" -> ((s, dir) => {
       val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
       val tiled = Tiling.tileAssign(images, "lat", "lon", 8)
@@ -456,6 +466,8 @@ object SparkEntry {
         |GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')""".stripMargin,
 
     "q_image_payload" -> "SELECT p_partkey FROM part",
+
+    "q_image_features" -> "SELECT p_partkey FROM part",
 
     "q_image_tile_join" ->
       s"""WITH pts AS (SELECT printf('img%012d', p_partkey) AS image_id,
