@@ -123,19 +123,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // flagship throughput at the same parallelism
     val nRows = spark.read.parquet(s"$sfDir/orders.parquet").count() * expand
-    flagship(spark, sfDir, expand) // warm up codegen + page cache
-    val tF0 = System.nanoTime()
-    flagship(spark, sfDir, expand)
-    val flagshipSec = (System.nanoTime() - tF0) / 1e9
-    val flagshipRps = nRows / flagshipSec
-    // skewed hot-cell variant on the same row count
-    skewedJob(spark, nRows) // warm
-    val tS0 = System.nanoTime()
-    skewedJob(spark, nRows)
-    val skewRps = nRows / ((System.nanoTime() - tS0) / 1e9)
     spark.stop()
+
+    // flagship + skew throughput in FRESH sessions: the query sweep leaves
+    // the heap full of aged garbage that would otherwise tax these
+    // measurements with old-gen GC
+    val flagshipSec = {
+      val s2 = session(cpus)
+      try {
+        flagship(s2, sfDir, expand) // warm up codegen + page cache
+        val t0 = System.nanoTime()
+        flagship(s2, sfDir, expand)
+        (System.nanoTime() - t0) / 1e9
+      } finally s2.stop()
+    }
+    val flagshipRps = nRows / flagshipSec
+    val skewRps = {
+      val s3 = session(cpus)
+      try {
+        skewedJob(s3, nRows) // warm
+        val t0 = System.nanoTime()
+        skewedJob(s3, nRows)
+        nRows / ((System.nanoTime() - t0) / 1e9)
+      } finally s3.stop()
+    }
 
     // --- scaling evidence: identical job at N and 4N cores, two pairs ---
     // The high pair (cpus/4 -> cpus) crosses this host's physical-core/SMT

@@ -248,11 +248,13 @@ object SparkEntry {
     // vector tables; oracle-checked) and the LSH-bucketed scale path
     "q_embed_neardup" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"),
+        Similarity.norm(col("embedding")).as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"),
+        Similarity.norm(col("embedding")).as("nb"))
       a.crossJoin(b)
         .where(col("id_a") < col("id_b"))
-        .where(Similarity.cosine(col("vec_a"), col("vec_b")) >= 0.3)
+        .where(Similarity.cosineFast(col("vec_a"), col("vec_b"), col("na"), col("nb")) >= 0.3)
         .select("id_a", "id_b")
     }),
 
@@ -303,10 +305,8 @@ object SparkEntry {
     // real PNG decode + feature extraction must succeed for every row
     "q_image_features" -> ((s, dir) => {
       val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
-      ImagePayload.withFeatures(images)
-        .where(size(col("features")) === 4 &&
-          element_at(col("features"), 1).between(0f, 255f) &&
-          element_at(col("features"), 4) > 0f)
+      ImagePayload.featureGate(images)
+        .where(col("features_ok"))
         .select("p_partkey")
     }),
 

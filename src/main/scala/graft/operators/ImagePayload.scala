@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object ImagePayload {
 
+  // ImageIO's default disk-backed stream cache serializes concurrent
+  // decodes on temp-file I/O; in-memory caching keeps the UDFs CPU-bound.
+  ImageIO.setUseCache(false)
+
   /** Deterministic RGB pixel for (key, x, y): a cheap integer mix. */
   def pixel(key: Long, x: Int, y: Int): Int = {
     var h = key * 0x9e3779b97f4a7c15L + x * 0xc2b2ae3d27d4eb4fL + y * 0x165667b19e3779f9L
@@ -168,6 +172,17 @@ object ImagePayload {
   /** Feature column ([meanR, meanG, meanB, lumaStd]) via real decode. */
   def withFeatures(images: DataFrame): DataFrame =
     images.withColumn("features", featuresUdf(col("bytes")))
+
+  private val featureGateUdf = udf { bytes: Array[Byte] =>
+    val f = imageFeatures(bytes)
+    f.length == 4 && f(0) >= 0 && f(0) <= 255 && f(3) > 0
+  }
+
+  /** Single-call decode+feature sanity gate. Deterministic UDFs get
+    * duplicated by Catalyst when a filter references their output several
+    * times, so multi-condition gates must run inside ONE udf call. */
+  def featureGate(images: DataFrame): DataFrame =
+    images.withColumn("features_ok", featureGateUdf(col("bytes")))
 
   /** Per-row payload verification: decoded-pixel PSNR >= 40 dB and caption
     * equality vs the synthesis rule (`BASELINE.json.input_hint`). */

