@@ -248,7 +248,10 @@ object SparkEntry {
     // vector tables; oracle-checked) and the LSH-bucketed scale path
     "q_embed_neardup" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"),
+      // spread the streamed side of the cartesian across cores (the table
+      // is one parquet file = one input split)
+      val a = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id_a"), col("embedding").as("vec_a"),
         Similarity.norm(col("embedding")).as("na"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"),
         Similarity.norm(col("embedding")).as("nb"))
