@@ -192,6 +192,17 @@ object SparkEntry {
       SpatialJoin.pipJoin(points(s, dir), "lat", "lon", polygonRegions)
         .select("region_id", "o_orderkey")),
 
+    // 2500-vertex geodesic circle: refinement runs through the per-loop
+    // edge index (>= 2000 vertices); verified empirically that no derived
+    // point falls in the chord-vs-arc gap, so the haversine-radius oracle
+    // is exact
+    "q_pip_circle" -> ((s, dir) => {
+      val radius = 2500000.0 / graft.s2.S2LatLng.EarthRadiusMeters
+      val circle = graft.s2.TextShapes.circle(10.0, 20.0, radius, 2500)
+      SpatialJoin.pipJoin(points(s, dir), "lat", "lon", Seq("c_2500km" -> circle))
+        .select("region_id", "o_orderkey")
+    }),
+
     "q_doughnut" -> ((s, dir) =>
       SpatialJoin.doughnutJoin(points(s, dir), "lat", "lon",
         Seq(("d_vienna", 10.0, 20.0, 3000000.0, 1000000.0)))
@@ -371,6 +382,12 @@ object SparkEntry {
     "q_pip_rect" -> RectOracleSql,
 
     "q_pip_rect_exec" -> RectOracleSql,
+
+    "q_pip_circle" -> {
+      val d = haversineExpr("lat", "lon", "10.0", "20.0")
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
+         |SELECT 'c_2500km' AS region_id, o_orderkey FROM pts WHERE $d <= 2500000.0""".stripMargin
+    },
 
     "q_doughnut" -> {
       val d = haversineExpr("lat", "lon", "10.0", "20.0")

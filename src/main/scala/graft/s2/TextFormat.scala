@@ -19,6 +19,23 @@ object TextShapes {
 
   def loop(str: String): S2Loop = new S2Loop(parseVertices(str))
 
+  /** Regular n-gon inscribed in the geodesic circle of the given angular
+    * radius: the polygon approximation of a cap boundary. With n >= 2000
+    * vertices, containment tests run through the per-loop edge index. */
+  def circle(centerLatDeg: Double, centerLonDeg: Double,
+             radiusRadians: Double, n: Int): S2Polygon = {
+    val z = S2LatLng.fromDegrees(centerLatDeg, centerLonDeg).toPoint
+    val x = z.ortho
+    val y = z.cross(x)
+    val r = math.sin(radiusRadians)
+    val h = math.cos(radiusRadians)
+    val verts = (0 until n).map { i =>
+      val phi = 2 * math.Pi * i / n
+      S2Point.normalize((x * (math.cos(phi) * r)) + (y * (math.sin(phi) * r)) + (z * h))
+    }
+    new S2Polygon(Seq(new S2Loop(verts)))
+  }
+
   def polygon(str: String): S2Polygon = {
     val loops = str.split(';').toSeq.filter(_.trim.nonEmpty).map { token =>
       val l = loop(token)
