@@ -158,15 +158,17 @@ object Bench {
       val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "100000000").toLong
       def pair(nLo: Int): (Int, Int, Double, Double, Double) = {
         val nHi = nLo * 4
-        // interleaved trials: measuring lo and hi adjacently cancels the
-        // shared host's load drift; contention only ever slows a run, so the
-        // best per-trial efficiency is the faithful measurement
+        // interleaved trials against shared-host load: contention only ever
+        // slows a run, so the max over trials on EACH side estimates that
+        // core count's true capability. (Pairing within one trial would let
+        // a contended lo-run + healthy hi-run inflate the ratio.)
         val trials = (0 until 3).map { _ =>
           val secLo = timeScaling(nLo, scaleRows, reps = 1)
           val secHi = timeScaling(nHi, scaleRows, reps = 1)
           (scaleRows / secLo, scaleRows / secHi)
         }
-        val (rpsLo, rpsHi) = trials.maxBy { case (lo, hi) => (hi / lo) }
+        val rpsLo = trials.map(_._1).max
+        val rpsHi = trials.map(_._2).max
         (nLo, nHi, rpsLo, rpsHi, (rpsHi / rpsLo) / 4.0)
       }
       val pairs = Seq(math.max(1, cpus / 16), math.max(1, cpus / 4)).distinct.map(pair)
