@@ -23,7 +23,7 @@ object SparkEntry {
   private def orders(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/orders.parquet")
 
-  private def points(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def points(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
       .withColumn("lat", expr(LatSql))
       .withColumn("lon", expr(LonSql))
@@ -60,19 +60,51 @@ object SparkEntry {
        | WHERE lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)
        |""".stripMargin
 
-  /** Shell+hole diamond polygon plus the reference's candy-cane loop —
-    * exercised without a SQL oracle (spherical PIP is not ANSI-expressible);
-    * conformance is pinned by the ScalaTest brute-force comparison. */
+  /** Shell+hole diamond polygon (`S2Polygon.cs:944-964` containment
+    * semantics). Both loops are convex, so spherical containment IS
+    * ANSI-expressible: inside iff the point's unit vector lies on the
+    * interior side of every edge's great-circle plane — see
+    * [[convexLoopSql]]. The reference's candy-cane loop (non-convex,
+    * full-longitude) stays covered by the ScalaTest brute-force comparison
+    * (OperatorSpec / PipJoinExecSpec). */
+  private[graft] val DiamondShell = Seq((0.0, -30.0), (30.0, 0.0), (0.0, 30.0), (-30.0, 0.0))
+  private[graft] val DiamondHole = Seq((0.0, -10.0), (10.0, 0.0), (0.0, 10.0), (-10.0, 0.0))
+
   private def polygonRegions: Seq[(String, S2Region)] = {
     import graft.s2.TextShapes
-    Seq(
-      "p_diamond_holed" -> TextShapes.polygon("0:-30, 30:0, 0:30, -30:0; 0:-10, 10:0, 0:10, -10:0"),
-      "p_candy_cane" -> TextShapes.polygon("-20:150, -20:-70, 0:70, 10:-150, 10:70, -10:-70"))
+    def loopText(vs: Seq[(Double, Double)]) = vs.map { case (la, lo) => s"$la:$lo" }.mkString(", ")
+    Seq("p_diamond_holed" ->
+      TextShapes.polygon(s"${loopText(DiamondShell)}; ${loopText(DiamondHole)}"))
   }
 
-  private val HaversineSql =
-    // identical formula to graft.s2.S2LatLng.getDistance, radius 6367000 m
-    """2 * atan2(sqrt(hx), sqrt(greatest(0.0, 1.0 - hx))) * 6367000.0"""
+  /** Exact spherical containment for a CONVEX loop as an ANSI-SQL predicate
+    * over a unit vector (px, py, pz): strictly inside every edge plane
+    * v_i x v_{i+1}. The plane normals are computed here with the very same
+    * double arithmetic as the kernel (`S2LatLng.toPoint`, `S2Point.cross`)
+    * and inlined as exact round-trip literals, so engine and oracle evaluate
+    * the sign of the same determinant `(v_i x v_{i+1}) . p` that
+    * `RobustCcw` decides (`S2.cs` RobustCcw); they can only disagree for
+    * points within ~1e-15 of an edge plane, while the nearest derived grid
+    * point sits >= ~1e-8 rad away (asserted in OracleMarginSpec).
+    * Orientation (which side is "inside") is resolved against a known
+    * interior point, so the emitted predicate does not depend on the listed
+    * vertex order. */
+  private def convexLoopSql(vertsLatLon: Seq[(Double, Double)],
+                            interiorLatLon: (Double, Double)): String = {
+    import graft.s2.S2LatLng
+    val pts = vertsLatLon.map { case (la, lo) => S2LatLng.fromDegrees(la, lo).toPoint }
+    val c = S2LatLng.fromDegrees(interiorLatLon._1, interiorLatLon._2).toPoint
+    val normals = pts.indices.map(i => pts(i).cross(pts((i + 1) % pts.size)))
+    val insidePositive = normals.map(n => c.dot(n) > 0)
+    require(insidePositive.distinct.size == 1, s"loop not convex around $interiorLatLon")
+    val op = if (insidePositive.head) ">" else "<"
+    normals
+      .map(n => s"(px*(${n.x}) + py*(${n.y}) + pz*(${n.z}) $op 0)")
+      .mkString("(", " AND ", ")")
+  }
+
+  private val CircleRadiusM = 2500000.0
+  private val CircleBandM = 50.0
 
   private def haversineExpr(lat1: String, lon1: String, lat2: String, lon2: String): String = {
     val rl1 = s"(($lat1) * (pi() / 180))"
@@ -172,10 +204,20 @@ object SparkEntry {
         .select("o_orderkey")
     }),
 
-    // --- tiling (token histogram; tokens have no SQL oracle -> rows-only) ---
+    // --- tiling: the level-4 token histogram, then self-checked down to a
+    // derived oracle: the histogram must cover every input point exactly
+    // once (sum(n) == count(orders)), use only valid level-4 tokens that
+    // round-trip, and fit in the 6*4^4 = 1536 cells that exist at level 4.
+    // Any violation empties the output -> rows mismatch.
     "q_tile_counts" -> ((s, dir) => {
       Tiling.tileStats(points(s, dir), "lat", "lon", 4)
-        .orderBy("tile_token")
+        .agg(
+          sum("n").as("total_points"),
+          count(lit(1)).as("n_cells"),
+          sum(when(s2_level(s2_cell_from_token(col("tile_token"))) === 4, 1L)
+            .otherwise(0L)).as("lvl4_cells"))
+        .where(col("n_cells") === col("lvl4_cells") && col("n_cells").between(1, 1536))
+        .select("total_points")
     }),
 
     // --- covering PIP joins ---
@@ -193,13 +235,16 @@ object SparkEntry {
         .select("region_id", "o_orderkey")),
 
     // 2500-vertex geodesic circle: refinement runs through the per-loop
-    // edge index (>= 2000 vertices); verified empirically that no derived
-    // point falls in the chord-vs-arc gap, so the haversine-radius oracle
-    // is exact
+    // edge index (>= 2000 vertices). Both engine and oracle exclude a 50 m
+    // band around the radius, which dwarfs the ~2 m chord-vs-arc gap of the
+    // inscribed 2500-gon (R*(pi/n)^2/2), so the haversine-radius oracle is
+    // exact for ANY input data, not just the current derivation constants.
     "q_pip_circle" -> ((s, dir) => {
-      val radius = 2500000.0 / graft.s2.S2LatLng.EarthRadiusMeters
-      val circle = graft.s2.TextShapes.circle(10.0, 20.0, radius, 2500)
+      val circle = graft.s2.TextShapes.circle(10.0, 20.0,
+        CircleRadiusM / graft.s2.S2LatLng.EarthRadiusMeters, 2500)
       SpatialJoin.pipJoin(points(s, dir), "lat", "lon", Seq("c_2500km" -> circle))
+        .where(abs(s2_distance_m(col("lat"), col("lon"), lit(10.0), lit(20.0))
+          - CircleRadiusM) > CircleBandM)
         .select("region_id", "o_orderkey")
     }),
 
@@ -379,6 +424,8 @@ object SparkEntry {
 
     "q_tile_roundtrip" -> "SELECT o_orderkey FROM orders",
 
+    "q_tile_counts" -> "SELECT count(*) AS total_points FROM orders",
+
     "q_pip_rect" -> RectOracleSql,
 
     "q_pip_rect_exec" -> RectOracleSql,
@@ -386,7 +433,24 @@ object SparkEntry {
     "q_pip_circle" -> {
       val d = haversineExpr("lat", "lon", "10.0", "20.0")
       s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
-         |SELECT 'c_2500km' AS region_id, o_orderkey FROM pts WHERE $d <= 2500000.0""".stripMargin
+         |SELECT 'c_2500km' AS region_id, o_orderkey FROM pts
+         |WHERE $d < ${CircleRadiusM - CircleBandM}""".stripMargin
+    },
+
+    // exact spherical PIP for the convex shell+hole diamond: the point is in
+    // the polygon iff inside the shell's edge planes and not inside the
+    // hole's (see convexLoopSql for why this matches the kernel bit-for-bit
+    // away from a ~1e-15 edge-plane band no derived point enters)
+    "q_pip_polygon" -> {
+      val shell = convexLoopSql(DiamondShell, (0.0, 0.0))
+      val hole = convexLoopSql(DiamondHole, (0.0, 0.0))
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |xyz AS (SELECT o_orderkey,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts)
+         |SELECT 'p_diamond_holed' AS region_id, o_orderkey FROM xyz
+         |WHERE $shell AND NOT $hole""".stripMargin
     },
 
     "q_doughnut" -> {
