@@ -264,15 +264,12 @@ object SparkEntry {
         .select("doc_id", "dup_count")),
 
     // LSH is the recall stage (bands of 2 rows: P(miss | jaccard >= 0.9)
-    // ~ (1 - 0.81)^16 ~ 3e-12); exact n-gram Jaccard is the verified output.
-    "q_minhash_pairs" -> ((s, dir) => {
-      val docs = documents(s, dir).select("doc_id", "text")
-      val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
-        numHashes = 32, bands = 16, minEstJaccard = 0.5)
-      Dedup.ngramJaccard(docs, "doc_id", "text", cand.select("id_a", "id_b"))
-        .where(col("jaccard") >= 0.9)
-        .select("id_a", "id_b")
-    }),
+    // ~ (1 - 0.81)^16 ~ 3e-12); exact n-gram Jaccard verification runs on
+    // exact-dup representatives only, then expands (Dedup.nearDupPairs).
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+        numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
+        .select("id_a", "id_b")),
 
     "q_simhash_pairs" -> ((s, dir) => {
       val docs = documents(s, dir).select("doc_id", "text")
@@ -280,14 +277,10 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
-    "q_ngram_jaccard" -> ((s, dir) => {
-      val docs = documents(s, dir).select("doc_id", "text")
-      val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
-        numHashes = 32, bands = 16, minEstJaccard = 0.5)
-      Dedup.ngramJaccard(docs, "doc_id", "text", cand.select("id_a", "id_b"))
-        .where(col("jaccard") >= 0.9)
-        .select("id_a", "id_b", "jaccard")
-    }),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.nearDupPairs(documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+        numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
+        .select("id_a", "id_b", "jaccard")),
 
     // --- similarity search over embeddings ---
     "q_ann_brute" -> ((s, dir) =>
@@ -490,6 +483,32 @@ object SparkEntry {
         | CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) AS jaccard
         |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) >= 0.9""".stripMargin,
+
+    // SimHash recomputed bit-for-bit in SQL: Dedup.portableHash is the
+    // polynomial char-code fold (h*131 + c) mod 2^31-1, and bit i of the
+    // signature is the majority vote of g_i(h) = (a_i*h + b_i) mod P over
+    // the doc's distinct trigrams (same a_i/b_i from Dedup.gCoeffs). The
+    // engine's banded join is exact for hamming <= 3 (pigeonhole over four
+    // 16-bit bands), so it must equal this all-pairs hamming filter.
+    "q_simhash_pairs" -> {
+      val P = Dedup.HashP
+      val bitSums = (0 until 64).map { i =>
+        val (a, b) = Dedup.gCoeffs(i)
+        s"sum(CASE WHEN (($a * h + $b) % $P) * 2 < $P THEN 1 ELSE -1 END) AS s$i"
+      }.mkString(", ")
+      val bitsSel = (0 until 64).map(i => s"(CASE WHEN s$i > 0 THEN 1 ELSE 0 END) AS t$i").mkString(", ")
+      val hammingExpr = (0 until 64).map(i => s"(CASE WHEN x.t$i <> y.t$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS toks FROM documents),
+         |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |  i -> array_to_string(list_filter([toks[i], toks[i+1], toks[i+2]], t -> t IS NOT NULL), ' ')))) AS shingle FROM docs),
+         |hashed AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(shingle) + 1),
+         |  i -> CAST(ascii(substr(shingle, i, 1)) AS BIGINT)), (h, c) -> (h * 131 + c) % $P) AS h FROM tri),
+         |sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+         |bits AS (SELECT doc_id, $bitsSel FROM sums)
+         |SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |FROM bits x JOIN bits y ON x.doc_id < y.doc_id
+         |WHERE $hammingExpr <= 3""".stripMargin
+    },
 
     "q_ann_brute" ->
       """SELECT query_id, neighbor_id FROM (

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   * Near-dup features are word n-grams (not character shingles): on corpora
   * drawn from a narrow vocabulary, character shingles of unrelated documents
   * overlap heavily, while word n-grams stay discriminative.
+  *
+  * Skew guard: both LSH families first collapse EXACT duplicates (identical
+  * normalized text) to one representative per group, so a million-copy
+  * boilerplate document contributes one signature instead of a million
+  * identical ones (which would otherwise make one LSH bucket quadratic).
+  * Candidate generation and verification run on representatives only;
+  * [[expandPairs]] restores the full pair set afterwards. As a second line
+  * of defense the banded joins drop buckets larger than `maxBucketSize`
+  * (residual natural collisions); [[minhashBucketStats]] /
+  * [[simhashBucketStats]] expose the bucket-size distribution so a pipeline
+  * can alert on what the cap dropped.
   */
 object Dedup {
 
@@ -36,6 +47,68 @@ object Dedup {
           .as("shingle"))
       .distinct()
 
+  // --- exact-duplicate collapse / expansion -------------------------------
+
+  /** Normalized-text collapse key: lowercased, whitespace runs collapsed.
+    * Two documents with equal keys have identical token sequences, hence
+    * identical shingle sets, MinHash signatures and SimHashes, pairwise
+    * Jaccard 1.0 and Hamming distance 0. */
+  private def normKey(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** Collapse exact duplicates: returns (reps, members) where `reps` holds
+    * one representative row (min id) per distinct normalized text and
+    * `members` maps every id to its representative as (__id, __rep).
+    * One shuffle of (id, text) by the normalized key. */
+  def collapseExact(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val keyed = df.select(col(idCol), col(textCol), normKey(col(textCol)).as("__key"))
+    val groups = keyed.groupBy("__key")
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+    val members = keyed.select(col(idCol).as("__id"), col("__key"))
+      .join(groups.select(col(idCol).as("__rep"), col("__key")), "__key")
+      .select("__id", "__rep")
+    (groups.select(idCol, textCol), members)
+  }
+
+  /** Expand representative pairs (id_a, id_b, score...) back to all
+    * underlying document pairs: every cross pair between the two groups
+    * keeps the representative pair's scores (signatures are identical
+    * within a group), and every within-group pair gets `selfValues`
+    * (e.g. jaccard = 1.0, hamming = 0). Output pairs are oriented
+    * id_a < id_b. The within-group expansion is inherently quadratic in
+    * group size — that is the size of the answer, not of any shuffle the
+    * candidate stages perform. */
+  def expandPairs(repPairs: DataFrame, members: DataFrame,
+                  selfValues: Seq[(String, Column)]): DataFrame = {
+    val scoreCols = repPairs.columns.filterNot(c => c == "id_a" || c == "id_b").toSeq
+    val cross = repPairs
+      .join(members.select(col("__rep").as("id_a"), col("__id").as("__ma")), "id_a")
+      .join(members.select(col("__rep").as("id_b"), col("__id").as("__mb")), "id_b")
+      .select(Seq(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b")) ++ scoreCols.map(col): _*)
+    val selfMap = selfValues.toMap
+    require(scoreCols.forall(selfMap.contains),
+      s"selfValues must cover score columns $scoreCols")
+    val within = members.select(col("__rep"), col("__id").as("__ma"))
+      .join(members.select(col("__rep"), col("__id").as("__mb")), "__rep")
+      .where(col("__ma") < col("__mb"))
+      .select(Seq(col("__ma").as("id_a"), col("__mb").as("id_b")) ++
+        scoreCols.map(c => selfMap(c).as(c)): _*)
+    cross.unionByName(within)
+  }
+
+  /** Drop rows of (band, bucket) groups larger than `maxBucketSize` —
+    * the residual-skew guard behind the exact-dup collapse. */
+  private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) banded
+    else {
+      val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
+      banded.join(sizes.where(col("__bsz") <= maxBucketSize), Seq("band", "bucket"))
+        .drop("__bsz")
+    }
+
+  // --- MinHash + LSH ------------------------------------------------------
+
   /** MinHash signatures: numHashes independent hash functions realized as
     * xxhash64 salted by the hash index; one aggregation over the exploded
     * shingle rows. */
@@ -46,15 +119,16 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash + LSH banding: docs sharing any band bucket become candidate
-    * pairs; pairs are scored by signature agreement (estimated Jaccard).
-    * Returns (id_a, id_b, est_jaccard) with a < b. */
-  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-                           numHashes: Int = 32, bands: Int = 8,
-                           shingleN: Int = 3, minEstJaccard: Double = 0.5): DataFrame = {
+  /** Banded-LSH candidate pairs over an ALREADY-COLLAPSED (or known
+    * dup-free) table: docs sharing any band bucket become candidates,
+    * scored by signature agreement (estimated Jaccard). (id_a, id_b,
+    * est_jaccard) with a < b. */
+  def bandedMinhashPairs(reps: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int, bands: Int, shingleN: Int,
+                         minEstJaccard: Double, maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val sig = minhashSignatures(reps, idCol, textCol, numHashes, shingleN)
 
     val sigCols = (0 until numHashes).map(j => col(s"mh$j"))
     val banded = sig.select(
@@ -65,9 +139,10 @@ object Dedup {
           xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*).as("bucket"))
       }: _*)).as("__bb"))
       .select(col(idCol), col("__sig"), col("__bb.band"), col("__bb.bucket"))
+    val capped = capBuckets(banded, maxBucketSize)
 
-    val a = banded.select(col(idCol).as("id_a"), col("__sig").as("sig_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("__sig").as("sig_b"), col("band"), col("bucket"))
+    val a = capped.select(col(idCol).as("id_a"), col("__sig").as("sig_a"), col("band"), col("bucket"))
+    val b = capped.select(col(idCol).as("id_b"), col("__sig").as("sig_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -77,13 +152,90 @@ object Dedup {
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** MinHash-LSH candidate pairs over the raw corpus: exact-dup collapse,
+    * banded join on representatives, expansion back to all pairs
+    * (within-group pairs get est_jaccard = 1.0). */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 32, bands: Int = 8,
+                           shingleN: Int = 3, minEstJaccard: Double = 0.5,
+                           maxBucketSize: Int = 100000): DataFrame = {
+    val (reps, members) = collapseExact(df, idCol, textCol)
+    val cand = bandedMinhashPairs(reps, idCol, textCol, numHashes, bands, shingleN,
+      minEstJaccard, maxBucketSize)
+    expandPairs(cand, members, Seq("est_jaccard" -> lit(1.0)))
+  }
+
+  /** (band, bucket, size) distribution of the MinHash banded join (after
+    * collapse) — feed to monitoring; buckets above the cap are dropped by
+    * the candidate join and should be alerted on. */
+  def minhashBucketStats(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 32, bands: Int = 8,
+                         shingleN: Int = 3): DataFrame = {
+    val (reps, _) = collapseExact(df, idCol, textCol)
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(reps, idCol, textCol, numHashes, shingleN)
+    sig.select(col(idCol),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*).as("bucket"))
+        }: _*)).as("__bb"))
+      .select(col("__bb.band"), col("__bb.bucket"))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
+  }
+
+  /** End-to-end near-duplicate pairs, the 100-TB composition: exact-dup
+    * collapse -> MinHash-LSH candidates over unique texts -> exact n-gram
+    * Jaccard verification on REPRESENTATIVE pairs only -> expansion back to
+    * all document pairs (within-group pairs are jaccard 1.0 by identity).
+    * Output: (id_a, id_b, jaccard) with jaccard >= minJaccard. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, bands: Int = 16, shingleN: Int = 3,
+                   minJaccard: Double = 0.9, minEstJaccard: Double = 0.5,
+                   maxBucketSize: Int = 100000): DataFrame = {
+    val (reps, members) = collapseExact(df, idCol, textCol)
+    val cand = bandedMinhashPairs(reps, idCol, textCol, numHashes, bands, shingleN,
+      minEstJaccard, maxBucketSize)
+    val verified = ngramJaccard(reps, idCol, textCol, cand.select("id_a", "id_b"), shingleN)
+      .where(col("jaccard") >= minJaccard)
+    expandPairs(verified, members, Seq("jaccard" -> lit(1.0)))
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** Modulus of the portable 31-bit hash family (2^31 - 1, prime). */
+  private[graft] val HashP = 2147483647L
+
+  /** Affine coefficients of the i-th bit hash g_i(h) = (a*h + b) mod HashP.
+    * Shared with the DuckDB oracle SQL (SparkEntry), which re-derives the
+    * same constants. */
+  private[graft] def gCoeffs(i: Int): (Long, Long) = {
+    val a = ((i + 1).toLong * 2654435761L) % HashP
+    val b = ((i + 1).toLong * (i + 1) * 40503L + 2747636419L) % HashP
+    (a, b)
+  }
+
+  /** Portable polynomial rolling hash of a string: fold over UTF-8-ASCII
+    * char codes, h <- (h*131 + code) mod (2^31-1). Chosen (over xxhash64)
+    * because the identical arithmetic is expressible in ANSI SQL, so the
+    * driver's DuckDB oracle can recompute SimHash signatures bit-for-bit. */
+  def portableHash(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (h, c) => (h * lit(131L) + c) % lit(HashP)))
+
   /** 64-bit SimHash over word-trigram features: per-bit weighted majority
-    * vote, computed as 64 conditional sums in one aggregation. */
+    * vote, computed as 64 conditional sums in one aggregation. Bit i is
+    * derived from the portable token hash via the affine family
+    * [[gCoeffs]]; bit weight is +1 iff g_i(h) < HashP/2. */
   def simhash(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
     val features = shingles(df, idCol, textCol, shingleN)
-      .withColumn("__h", xxhash64(col("shingle")))
+      .withColumn("__h", portableHash(col("shingle")))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+      val (a, b) = gCoeffs(i)
+      sum(when(((lit(a) * col("__h") + lit(b)) % lit(HashP)) * 2 < lit(HashP), 1)
+        .otherwise(-1)).as(s"b$i")
     }
     val agg = features.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 64).map { i =>
@@ -92,25 +244,48 @@ object Dedup {
     agg.select(col(idCol), sim.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: pairs within `maxHamming` bits, bucketed
-    * by 16-bit bands so only same-band pairs are compared (hamming <= 3
-    * implies at least one of 4 bands matches exactly). */
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
+  /** SimHash banded candidates over an already-collapsed table: pairs
+    * within `maxHamming` bits, bucketed by 16-bit bands (hamming <= 3
+    * implies at least one of 4 bands matches exactly — pigeonhole). */
+  def bandedSimhashPairs(reps: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val sig = simhash(reps, idCol, textCol)
     val banded = sig.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("__bb"))
       .select(col(idCol), col("simhash"), col("__bb.band"), col("__bb.bucket"))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("bucket"))
+    val capped = capBuckets(banded, maxBucketSize)
+    val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bucket"))
+    val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup candidate pairs over the raw corpus: exact-dup
+    * collapse, banded join on representatives, expansion back to all pairs
+    * (within-group pairs get hamming = 0). */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+    val (reps, members) = collapseExact(df, idCol, textCol)
+    val cand = bandedSimhashPairs(reps, idCol, textCol, maxHamming, maxBucketSize)
+    expandPairs(cand, members, Seq("hamming" -> lit(0).cast("int")))
+  }
+
+  /** (band, bucket, size) distribution of the SimHash banded join (after
+    * collapse). */
+  def simhashBucketStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (reps, _) = collapseExact(df, idCol, textCol)
+    simhash(reps, idCol, textCol)
+      .select(explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("__bb"))
+      .select(col("__bb.band"), col("__bb.bucket"))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
   }
 
   /** Exact word n-gram Jaccard for given candidate pairs (id_a, id_b). */

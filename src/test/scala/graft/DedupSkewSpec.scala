@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Adversarial-skew behavior of the LSH dedup family: a heavily-replicated
+  * boilerplate document (the classic web-corpus case) must NOT make any
+  * banded-join bucket quadratic. The guard is exact-dup collapse before
+  * signatures; the banded join then sees one representative per distinct
+  * text, and the final expansion restores the (inherently quadratic-sized)
+  * answer without any quadratic shuffle in the candidate stages. */
+class DedupSkewSpec extends SparkTestBase {
+
+  private def vocabDoc(i: Int): String =
+    s"the quick brown fox number $i jumps over the lazy dog near river $i"
+
+  test("1000-copy planted doc: banded candidates stay linear, output still complete") {
+    import spark.implicits._
+    val distinctDocs = (0 until 20).map(i => (i.toLong, vocabDoc(i)))
+    val planted = (0 until 1000).map(j => (1000L + j, vocabDoc(0)))
+    val docs = (distinctDocs ++ planted).toDF("doc_id", "text")
+
+    val (reps, members) = Dedup.collapseExact(docs, "doc_id", "text")
+    assert(reps.count() === 20) // 1000 planted copies -> the one vocabDoc(0) rep
+    assert(members.count() === 1020)
+
+    // candidate stage on representatives: bounded by rep-pair count, far
+    // below the ~500k pairs a naive banded join over the raw corpus makes
+    val repCand = Dedup.bandedMinhashPairs(reps, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleN = 3,
+      minEstJaccard = 0.0, maxBucketSize = Int.MaxValue).count()
+    assert(repCand <= 20L * 19 / 2)
+
+    // the banded buckets themselves never exceed the distinct-text count
+    val maxBucket = Dedup.minhashBucketStats(docs, "doc_id", "text",
+      numHashes = 32, bands = 16).agg(max("size")).head().getLong(0)
+    assert(maxBucket <= 20)
+
+    // ...while the expanded contract output still contains every
+    // within-group pair (est_jaccard 1.0 by identity)
+    val full = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, minEstJaccard = 0.5)
+    assert(full.where(col("id_a") >= 1000 || col("id_b") >= 1000 ||
+      col("id_a") === 0 || col("id_b") === 0)
+      .where(col("est_jaccard") === 1.0).count() >= 1001L * 1000 / 2)
+
+    // simhash path: same collapse, within-group pairs carry hamming = 0
+    val sim = Dedup.simhashCandidates(docs.where(col("doc_id") < 1100), "doc_id", "text")
+    assert(sim.where(col("hamming") === 0).count() >= 101L * 100 / 2)
+  }
+
+  test("bucket cap drops residual oversized buckets of near-identical-but-distinct docs") {
+    import spark.implicits._
+    // 300 DISTINCT docs sharing most shingles: collapse cannot merge them,
+    // so they land in common band buckets — the cap's job
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa token$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, minEstJaccard = 0.0, maxBucketSize = Int.MaxValue).count()
+    val capped = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, minEstJaccard = 0.0, maxBucketSize = 50).count()
+    assert(uncapped > 0)
+    assert(capped < uncapped)
+    val stats = Dedup.minhashBucketStats(docs, "doc_id", "text", numHashes = 32, bands = 16)
+    assert(stats.agg(max("size")).head().getLong(0) > 50) // something was actually capped
+  }
+}
