@@ -77,6 +77,20 @@ object Similarity {
   private def vecDim(embeddings: DataFrame, vecCol: String): Int =
     embeddings.select(size(col(vecCol))).head().getInt(0)
 
+  /** How many b-bit hyperplane-LSH tables are needed so a pair at exactly
+    * `minCosine` lands in a shared bucket with probability >= targetRecall:
+    * per-bit agreement p1 = 1 - acos(c)/pi, per-table collision p1^b,
+    * T = ceil(ln(1-R) / ln(1-p1^b)). At c = 0.3, b = 6 this gives 65 tables
+    * for R = 0.95 (the round-1 default of 16 tables measured only ~56%
+    * recall — see EmbeddingRecallSpec, which pins the fixed recall). */
+  def hyperplaneTables(minCosine: Double, bits: Int = 6, targetRecall: Double = 0.95): Int = {
+    val c = math.max(-1.0, math.min(1.0, minCosine))
+    val p1 = 1.0 - math.acos(c) / math.Pi
+    val pTable = math.pow(p1, bits)
+    require(pTable > 0 && pTable < 1, s"degenerate LSH plan: cosine=$minCosine bits=$bits")
+    math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt)
+  }
+
   /** Multi-table signature column: array of (table_id, bucket) structs. Using
     * L independent short signatures instead of one long one keeps recall high
     * even in the weak-similarity regime (top-k cosine ~0.3).
@@ -108,48 +122,83 @@ object Similarity {
     f(vec).cast("array<struct<tbl:int,bucket:bigint>>")
   }
 
+  /** The cosine the ANN planner assumes for the k-th true neighbor when
+    * sizing its tables (the harness embeddings are weak-similarity: top-5
+    * cosines run ~0.2-0.35, so plan for the low end). */
+  val AnnPlanningCosine = 0.2
+
   /** Approximate NN via multi-table hyperplane LSH: candidates are rows
     * sharing any table's bucket with the query; exact cosine re-rank.
-    * Output: (query_id, neighbor_id, cosine, rank). */
+    * `tables = 0` (default) auto-sizes via [[hyperplaneTables]] for
+    * [[AnnPlanningCosine]] at 95% per-neighbor recall. Only (id, table,
+    * bucket) signature rows enter the probe join; vectors are joined back
+    * by id AFTER candidate dedup, so the shuffled volume is ids — never
+    * T copies of the vectors. Output: (query_id, neighbor_id, cosine,
+    * rank). */
   def bucketedAnn(embeddings: DataFrame, idCol: String, vecCol: String,
                   queryIds: Seq[Long], k: Int,
-                  tables: Int = 16, bits: Int = 6, seed: Long = 42L): DataFrame = {
-    val dim = vecDim(embeddings, vecCol)
-    val bucketed = embeddings.withColumn("__tb",
-      explode(tableBuckets(col(vecCol), dim, tables, bits, seed)))
-      .select(col(idCol), col(vecCol), col("__tb.tbl"), col("__tb.bucket"))
-    val probes = bucketed
-      .where(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"), col("tbl"), col("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    bucketed
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec"), col("tbl"), col("bucket"))
-      .join(broadcast(probes), Seq("tbl", "bucket"))
+                  tables: Int = 0, bits: Int = 6, seed: Long = 42L,
+                  dim: Int = 0): DataFrame = {
+    val t = if (tables > 0) tables else hyperplaneTables(AnnPlanningCosine, bits, 0.95)
+    val d = if (dim > 0) dim else vecDim(embeddings, vecCol)
+    val sigs = embeddings
+      .withColumn("__tb", explode(tableBuckets(col(vecCol), d, t, bits, seed)))
+      .select(col(idCol), col("__tb.tbl"), col("__tb.bucket"))
+    val probeSigs = sigs.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("tbl"), col("bucket"))
+    val candIds = sigs
+      .select(col(idCol).as("neighbor_id"), col("tbl"), col("bucket"))
+      .join(broadcast(probeSigs), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "__vec", "__qvec").dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosineFast(col("__vec"), col("__qvec"),
-        norm(col("__vec")), norm(col("__qvec"))))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val queryVecs = embeddings.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        norm(col(vecCol)).as("__qnorm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    candIds
+      .join(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec"),
+        norm(col(vecCol)).as("__vnorm")), "neighbor_id")
+      .join(broadcast(queryVecs), "query_id")
+      .withColumn("cosine", cosineFast(col("__vec"), col("__qvec"), col("__vnorm"), col("__qnorm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket in any
-    * table: (id_a, id_b, cosine) with cosine >= minCosine. */
+    * table: (id_a, id_b, cosine) with cosine >= minCosine.
+    *
+    * `tables = 0` (default) auto-sizes via [[hyperplaneTables]] so a pair
+    * at exactly `minCosine` is caught with probability `targetRecall` —
+    * at the 0.3 threshold that is 77 tables for 0.97 (the fixed round-1
+    * recall gap; EmbeddingRecallSpec measures >= 0.9 against the exact
+    * path). Shuffle shape: the banded self-join and pair dedup carry only
+    * (id, table, bucket) signature rows; vectors join back by id once per
+    * SIDE of the deduped pair list. At thresholds this low hyperplane LSH
+    * is inherently candidate-heavy (rho = ln(1/p1)/ln 2 ~ 0.75); for
+    * production dedup thresholds (cosine >= 0.8) the same planner yields
+    * a few sharply selective tables. */
   def embeddingNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
-                       minCosine: Double, tables: Int = 16, bits: Int = 6,
-                       seed: Long = 42L): DataFrame = {
-    val dim = vecDim(embeddings, vecCol)
-    val bucketed = embeddings.withColumn("__tb",
-      explode(tableBuckets(col(vecCol), dim, tables, bits, seed)))
-      .select(col(idCol), col(vecCol), col("__tb.tbl"), col("__tb.bucket"))
-    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("tbl"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("tbl"), col("bucket"))
-    a.join(b, Seq("tbl", "bucket"))
+                       minCosine: Double, tables: Int = 0, bits: Int = 6,
+                       seed: Long = 42L, targetRecall: Double = 0.97,
+                       dim: Int = 0): DataFrame = {
+    val t = if (tables > 0) tables else hyperplaneTables(minCosine, bits, targetRecall)
+    val d = if (dim > 0) dim else vecDim(embeddings, vecCol)
+    val sigs = embeddings
+      .withColumn("__tb", explode(tableBuckets(col(vecCol), d, t, bits, seed)))
+      .select(col(idCol), col("__tb.tbl"), col("__tb.bucket"))
+    val candIds = sigs.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
+      .join(sigs.select(col(idCol).as("id_b"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b").dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosineFast(col("vec_a"), col("vec_b"),
-        norm(col("vec_a")), norm(col("vec_b"))))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candIds
+      .join(embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        norm(col(vecCol)).as("__na")), "id_a")
+      .join(embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+        norm(col(vecCol)).as("__nb")), "id_b")
+      .withColumn("cosine", cosineFast(col("vec_a"), col("vec_b"), col("__na"), col("__nb")))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Measures the LSH paths' recall against the exact cosine computations on
+  * the harness embeddings — the round-1 gap was 16 hard-coded tables giving
+  * ~56% recall at the 0.3 near-dup threshold; the auto-sized planner
+  * ([[Similarity.hyperplaneTables]]) must hold >= 0.9. */
+class EmbeddingRecallSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet").cache()
+
+  test("planner sizes tables for the threshold") {
+    assert(Similarity.hyperplaneTables(0.3, 6, 0.95) === 65)
+    // selective thresholds need few tables: p1(0.8) ~ 0.795, p1^6 ~ 0.25
+    assert(Similarity.hyperplaneTables(0.8, 6, 0.95) <= 11)
+  }
+
+  test("embeddingNearDup recall >= 0.9 vs exact all-pairs at cosine 0.3") {
+    val exact = {
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        Similarity.norm(col("embedding")).as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        Similarity.norm(col("embedding")).as("nb"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .where(Similarity.cosineFast(col("va"), col("vb"), col("na"), col("nb")) >= 0.3)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lsh = Similarity.embeddingNearDup(emb, "vec_id", "embedding", minCosine = 0.3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs (exact cosine verifies candidates)")
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    info(f"embeddingNearDup recall = $recall%.3f (${lsh.size}/${exact.size} pairs)")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+  }
+
+  test("bucketedAnn recall@5 >= 0.9 vs brute force") {
+    val queries = 0L until 20L
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.bucketedAnn(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"bucketedAnn recall@5 = $recall%.3f")
+    assert(recall >= 0.9, f"ANN recall $recall%.3f below 0.9")
+  }
+}

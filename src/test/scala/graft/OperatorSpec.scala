@@ -171,7 +171,7 @@ class OperatorSpec extends SparkTestBase {
     val approx = Similarity.bucketedAnn(emb, "vec_id", "embedding", 0L until 10L, 5)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"bucketed ANN recall $recall suspiciously low")
+    assert(recall >= 0.9, s"bucketed ANN recall $recall below the 0.9 bar")
   }
 
   test("image payload: synthesis is lossless PNG, captions verify, PSNR gate holds") {
