@@ -66,4 +66,41 @@ class ResumableWriteSpec extends SparkTestBase {
     assert(readBack == df.count())
     assert(!Files.exists(torn))
   }
+
+  test("a run makes exactly one full-data scan (counts come from the write pass)") {
+    val outDir = Files.createTempDirectory("resumable3").toString
+    val acc = spark.sparkContext.longAccumulator("row_probe")
+    val probe = udf((k: Long) => { acc.add(1); k })
+    val df = tiledPoints.withColumn("probe", probe(col("o_orderkey")))
+    val n = tiledPoints.count()
+    val recs = ResumableWrite.write(df, outDir, "tile_token", runId = "scan")
+    assert(recs.map(_.rows).sum == n)
+    // the partition-discovery scan prunes the probe column away; only the
+    // single write pass evaluates it -> exactly one touch per input row
+    assert(acc.value == n,
+      s"input scanned ${acc.value.toDouble / n} times, expected exactly 1.0")
+  }
+
+  test("null partition values are rejected; quoted/slashed values round-trip") {
+    import spark.implicits._
+    val outBad = Files.createTempDirectory("resumable4").toString
+    val bad = Seq((1L, Option.empty[String]), (2L, Some("ok"))).toDF("id", "p")
+    intercept[IllegalArgumentException] {
+      ResumableWrite.write(bad, outBad, "p", runId = "r")
+    }
+
+    val outDir = Files.createTempDirectory("resumable5").toString
+    val v1 = """he said "hi"\now"""
+    val v2 = "sp ace/slash=eq"
+    val tricky = Seq((1L, v1), (2L, v2), (3L, v2)).toDF("id", "p")
+    val recs = ResumableWrite.write(tricky, outDir, "p", runId = "r1", input = "in\"put")
+    assert(recs.map(_.partition).toSet == Set(v1, v2))
+    val manifest = ResumableWrite.readManifest(outDir)
+    assert(manifest.map(_.partition).toSet == Set(v1, v2))
+    assert(manifest.map(_.rows).sum == 3)
+    assert(manifest.forall(_.input == "in\"put"))
+    // resume sees them as committed (no rewrite), and read-back is intact
+    assert(ResumableWrite.write(tricky, outDir, "p", runId = "r2").isEmpty)
+    assert(ResumableWrite.readCommitted(spark, outDir, "p").count() == 3)
+  }
 }
