@@ -82,6 +82,13 @@ object Knn {
       round += 1
     }
 
+    // queries whose expanded rings still hold < k points: a d_k computed
+    // from fewer than k candidates would NOT bound the true k-th neighbor
+    // distance, so these fall back to the whole sphere in Phase B (exact,
+    // just unpruned) rather than silently returning incomplete results
+    val underfilled: Set[String] =
+      queries.collect { case (qid, _, _) if countOf(covered(qid)) < k => qid }.toSet
+
     // k-th smallest candidate distance per query = upper bound d_k
     val candCellDf = covered.toSeq.flatMap { case (qid, cs) => cs.map(c => (qid, c)) }
       .toDF("__qid", "__cell")
@@ -99,10 +106,9 @@ object Knn {
     // --- Phase B: exact top-k inside the d_k cap covering ---
     val regions: Seq[(String, S2Region)] = queries.map { case (qid, lat, lon) =>
       val axis = S2LatLng.fromDegrees(lat, lon).toPoint
-      val dkM = dk.getOrElse(qid,
-        // fewer than k points exist in the expanded rings: fall back to the
-        // whole sphere for exactness
-        math.Pi * S2LatLng.EarthRadiusMeters)
+      val dkM =
+        if (underfilled(qid)) math.Pi * S2LatLng.EarthRadiusMeters
+        else dk.getOrElse(qid, math.Pi * S2LatLng.EarthRadiusMeters)
       val angle = math.min(math.Pi, dkM / S2LatLng.EarthRadiusMeters * (1 + 1e-9) + 1e-12)
       qid -> (S2Cap.fromAxisAngle(axis, angle): S2Region)
     }

@@ -39,39 +39,66 @@ object EventStreams {
                            n_events: Int, total_value: Double)
 
   /** Stateful sessionization: consecutive events of a user belong to one
-    * session while gaps stay under `gapMillis`; sessions are emitted when the
-    * gap is exceeded (and, on streams, when the processing-time timeout
-    * fires). `KeyValueGroupedDataset.flatMapGroupsWithState` is the
-    * Spark-native custom-state operator. */
-  def sessionize(events: Dataset[Event], gapMillis: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    * session while gaps stay under `gapMillis`.
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` is the Spark-native
+    * custom-state operator.
+    *
+    * On a STREAM the open session is kept in state ACROSS micro-batches —
+    * a session spanning batches is emitted exactly once — and is flushed
+    * only by an event-time timeout: when the watermark (event time minus
+    * `watermarkDelay`) passes `session_end + gapMillis`, no in-order event
+    * can extend the session any more, so it is final. On a finite batch
+    * input (no further data by definition) the trailing session is emitted
+    * directly. StreamingSpec feeds one session across two `addData`
+    * batches to pin the cross-batch behavior. */
+  def sessionize(events: Dataset[Event], gapMillis: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
+
+    val isStream = events.isStreaming
 
     def flush(userId: Long, st: SessionState): Session =
       Session(userId, new Timestamp(st.start), new Timestamp(st.end), st.nEvents, st.totalValue)
 
-    events
+    val src = if (isStream) events.withWatermark("ts", watermarkDelay) else events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var st = state.getOption.orNull
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            if (st == null) {
-              st = SessionState(t, t, 1, e.value)
-            } else if (t - st.end > gapMillis) {
-              out += flush(userId, st)
-              st = SessionState(t, t, 1, e.value)
-            } else {
-              st = SessionState(st.start, t, st.nEvents + 1, st.totalValue + e.value)
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session is final
+            val st = state.get
+            state.remove()
+            Iterator.single(flush(userId, st))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption.orNull
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (st == null) {
+                st = SessionState(t, t, 1, e.value)
+              } else if (t - st.end > gapMillis) {
+                out += flush(userId, st)
+                st = SessionState(t, t, 1, e.value)
+              } else {
+                st = SessionState(st.start, t, st.nEvents + 1, st.totalValue + e.value)
+              }
             }
+            if (st != null) {
+              if (isStream) {
+                state.update(st)
+                state.setTimeoutTimestamp(st.end + gapMillis)
+              } else {
+                // finite input: no later batch can extend the session
+                out += flush(userId, st)
+                state.remove()
+              }
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          // On a finite (batch/test) input the trailing session is emitted too.
-          if (!state.hasTimedOut && st != null) { out += flush(userId, st); state.remove() }
-          out.iterator
       }
   }
 

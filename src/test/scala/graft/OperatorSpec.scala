@@ -113,6 +113,28 @@ class OperatorSpec extends SparkTestBase {
     assert(result == expected)
   }
 
+  test("knnJoin stays exact when ring expansion runs out with 0 < candidates < k") {
+    import spark.implicits._
+    // 3 points near the query, the rest on the far side of the planet: at
+    // startLevel 10 with maxRounds 1 the rings trap fewer than k = 5
+    // candidates, which must trigger the whole-sphere fallback (a d_k from
+    // 3 candidates would NOT bound the true 5th-neighbor distance)
+    val pts = (Seq((1L, 48.20, 16.30), (2L, 48.21, 16.31), (3L, 48.22, 16.32)) ++
+      (4L to 40L).map(i => (i, -40.0 + (i % 7), -160.0 + i))).toDF("key", "lat", "lon")
+    val queries = Seq(("q", 48.2, 16.37))
+    val result = Knn.knnJoin(pts, "lat", "lon", Seq("key"), queries, k = 5,
+      startLevel = 10, maxRounds = 1)
+      .select("query_id", "key")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val q = S2LatLng.fromDegrees(48.2, 16.37)
+    val expected = pts.collect().map { r =>
+      (r.getLong(0), S2LatLng.fromDegrees(r.getDouble(1), r.getDouble(2)).getEarthDistance(q))
+    }.sortBy(t => (t._2, t._1)).take(5).map(t => ("q", t._1)).toSet
+    assert(result == expected)
+    assert(result.map(_._2).intersect(Set(1L, 2L, 3L)).size == 3,
+      "near points present plus the true far 4th/5th neighbors")
+  }
+
   test("exact dedup finds planted duplicates") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val aug = docs.unionByName(

@@ -63,6 +63,39 @@ class StreamingSpec extends SparkTestBase {
     assert(streaming.size == 4)
   }
 
+  test("a session spanning two micro-batches is emitted exactly once (event-time timeout)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS(), gapMillis = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_xbatch")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session
+      input.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0))
+      query.processAllAvailable()
+      // batch 2: user 1 CONTINUES the same session (gap 10 min < 30 min)
+      input.addData(Event(3, ts(20), 1, "a", 3.0))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sessions_xbatch").count() == 0,
+        "open session must not be flushed by a batch boundary")
+      // batch 3: a far-future event advances the watermark past
+      // session_end + gap (ts(20) + 30 min); batch 4 fires the timeout
+      input.addData(Event(4, ts(120), 2, "b", 4.0))
+      query.processAllAvailable()
+      input.addData(Event(5, ts(125), 2, "b", 5.0))
+      query.processAllAvailable()
+
+      val rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, total_value FROM sessions_xbatch")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3), r.getDouble(4)))
+      assert(rows.toSeq == Seq((1L, ts(0), ts(20), 3, 6.0)),
+        s"expected ONE merged cross-batch session, got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("sessionizeBatch on the events table produces plausible sessions") {
     val df = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
     val sessions = EventStreams.sessionizeBatch(df)
