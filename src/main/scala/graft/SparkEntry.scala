@@ -220,6 +220,25 @@ object SparkEntry {
         .select("total_points")
     }),
 
+    // --- clustered storage layout, exercised end to end: write the points
+    // spatially clustered (hive-partitioned by coarse tile, sorted by leaf
+    // cell), read back ONLY the partitions/row-ranges overlapping the
+    // r_europe rect covering, refine exactly. Rows can only match the rect
+    // oracle if the pruned read kept every relevant partition.
+    // coarseLevel 2 -> at most 96 hive directories: partition-directory
+    // count must track data volume (a 100-TB table would warrant level 5's
+    // 6144 dirs; 15k rows would drown in filesystem metadata at that level)
+    "q_clustered_scan" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_clustered_${new java.io.File(dir).getName}"
+      Tiling.clusteredWrite(points(s, dir).select("o_orderkey", "lat", "lon"),
+        "lat", "lon", out, coarseLevel = 2)
+      val rect = SparkEntryRegions.rects.head._2 // r_europe
+      val cells = new graft.s2.S2RegionCoverer().setMaxCells(64).getCovering(rect)
+      Tiling.readClusteredForCells(s, out, cells, coarseLevel = 2)
+        .where(col("lat").between(35.005, 60.005) && col("lon").between(-10.005, 30.005))
+        .select("o_orderkey")
+    }),
+
     // --- covering PIP joins ---
     "q_pip_rect" -> ((s, dir) =>
       SpatialJoin.pipJoin(points(s, dir), "lat", "lon", rectRegions)
@@ -418,6 +437,11 @@ object SparkEntry {
     "q_tile_roundtrip" -> "SELECT o_orderkey FROM orders",
 
     "q_tile_counts" -> "SELECT count(*) AS total_points FROM orders",
+
+    "q_clustered_scan" ->
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
+         |SELECT o_orderkey FROM pts
+         |WHERE lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005""".stripMargin,
 
     "q_pip_rect" -> RectOracleSql,
 

@@ -33,9 +33,27 @@ object Vectorize {
 
   /** Vectorize each group's tiles: collects (group, tile) pairs — tile sets
     * per group are coverings, i.e. tiny — and assembles one polygon per
-    * group on the driver. */
-  def vectorizeGroups(df: DataFrame, groupCol: String, tileCol: String): Map[String, S2Polygon] = {
-    df.select(groupCol, tileCol).distinct().collect()
+    * group on the driver.
+    *
+    * Driver-assembly is by design (polygon building is inherently global
+    * per group), so the collect is guarded: group sizes are counted
+    * executor-side first and any group above `maxTilesPerGroup` fails
+    * loudly BEFORE anything is collected, instead of silently OOM-ing the
+    * driver on a runaway tile set. */
+  def vectorizeGroups(df: DataFrame, groupCol: String, tileCol: String,
+                      maxTilesPerGroup: Int = 100000): Map[String, S2Polygon] = {
+    import org.apache.spark.sql.functions._
+    val distinctTiles = df.select(groupCol, tileCol).distinct()
+    val oversized = distinctTiles.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxTilesPerGroup)
+      .limit(5)
+      .collect()
+    require(oversized.isEmpty,
+      s"vectorizeGroups: groups exceed maxTilesPerGroup=$maxTilesPerGroup: " +
+        oversized.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ") +
+        " — coarsen the tiling (lower level) or raise the cap explicitly")
+    distinctTiles.collect()
       .groupBy(_.get(0).toString)
       .map { case (g, rows) => g -> cellsToPolygon(rows.map(_.getLong(1))) }
   }

@@ -72,4 +72,14 @@ class VectorizeSpec extends SparkTestBase {
     assert(polys("b").contains(S2LatLng.fromDegrees(-40, 100).toPoint))
     assert(!polys("a").contains(S2LatLng.fromDegrees(-40, 100).toPoint))
   }
+
+  test("vectorizeGroups refuses a runaway tile set before collecting it") {
+    val spark0 = spark
+    import spark0.implicits._
+    val big = (0L until 500L).map(i => ("huge", i)).toDF("region", "tile")
+    val e = intercept[IllegalArgumentException] {
+      Vectorize.vectorizeGroups(big, "region", "tile", maxTilesPerGroup = 100)
+    }
+    assert(e.getMessage.contains("huge"))
+  }
 }
