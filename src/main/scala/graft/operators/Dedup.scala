@@ -214,16 +214,26 @@ object Dedup {
     (a, b)
   }
 
-  /** Portable polynomial rolling hash of a string: fold over UTF-8-ASCII
-    * char codes, h <- (h*131 + code) mod (2^31-1). Chosen (over xxhash64)
-    * because the identical arithmetic is expressible in ANSI SQL, so the
-    * driver's DuckDB oracle can recompute SimHash signatures bit-for-bit. */
-  def portableHash(s: Column): Column =
-    when(length(s) === 0, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (h, c) => (h * lit(131L) + c) % lit(HashP)))
+  /** Portable polynomial rolling hash of a string: fold over char codes,
+    * h <- (h*131 + code) mod (2^31-1). Chosen (over xxhash64) because the
+    * identical arithmetic is expressible in ANSI SQL, so the driver's
+    * DuckDB oracle can recompute SimHash signatures bit-for-bit. A tight
+    * UDF loop rather than aggregate/transform higher-order functions:
+    * HOF lambdas evaluate interpreted per CHARACTER, which dominates the
+    * signature stage (the SQL mirror uses ascii(substr(s,i,1)), i.e. code
+    * points — identical to charAt for the ASCII corpora this targets;
+    * supplementary-plane text would need codePointAt on both sides). */
+  def portableHash(s: Column): Column = portableHashUdf(s)
+
+  private val portableHashUdf = udf { s: String =>
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else {
+      var h = 0L
+      var i = 0
+      while (i < s.length) { h = (h * 131L + s.charAt(i)) % HashP; i += 1 }
+      java.lang.Long.valueOf(h)
+    }
+  }
 
   /** 64-bit SimHash over word-trigram features: per-bit weighted majority
     * vote, computed as 64 conditional sums in one aggregation. Bit i is

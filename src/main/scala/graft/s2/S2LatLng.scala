@@ -6,6 +6,11 @@ final case class S2LatLng(latRadians: Double, lngRadians: Double) {
   def latDegrees: Double = 180.0 / math.Pi * latRadians
   def lngDegrees: Double = 180.0 / math.Pi * lngRadians
 
+  /** Typed angle accessors (`S2LatLng.cs` Lat/Lng properties) — carry the
+    * E5/E6/E7 fixed-point ENCODE side via [[S1Angle]]. */
+  def lat: S1Angle = S1Angle(latRadians)
+  def lng: S1Angle = S1Angle(lngRadians)
+
   def isValid: Boolean =
     math.abs(latRadians) <= S2Const.PiOver2 && math.abs(lngRadians) <= S2Const.Pi
 

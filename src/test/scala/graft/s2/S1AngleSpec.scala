@@ -37,6 +37,16 @@ class S1AngleSpec extends AnyFunSuite {
       assert(S1Angle.e5(v).e5 === v)
   }
 
+  test("S2LatLng typed accessors round-trip fixed-point coordinates") {
+    val ll = S2LatLng.fromE5(4820000L, 1637000L)
+    assert(ll.lat.e5 === 4820000L)
+    assert(ll.lng.e5 === 1637000L)
+    val l7 = S2LatLng.fromE7(-123456789L, 987654321L)
+    assert(l7.lat.e7 === -123456789L)
+    assert(l7.lng.e7 === 987654321L)
+    assert(S2LatLng.fromE6(-60000000L, 12345678L).lng.e6 === 12345678L)
+  }
+
   test("ordering and S2Point angle bridge") {
     assert(S1Angle.fromDegrees(1) < S1Angle.fromDegrees(2))
     assert(S1Angle.max(S1Angle.fromDegrees(1), S1Angle.fromDegrees(2)) === S1Angle.fromDegrees(2))
