@@ -200,7 +200,39 @@ object SparkEntry {
           s2_cell_contains(col("t8"), col("t11")) &&
           s2_cell_id(s2_cell_lat(col("leaf")), s2_cell_lon(col("leaf"))) === col("leaf") &&
           s2_ord(s2_range_min(col("t8"))) <= s2_ord(col("leaf")) &&
-          s2_ord(s2_range_max(col("t8"))) >= s2_ord(col("leaf")))
+          s2_ord(s2_range_max(col("t8"))) >= s2_ord(col("leaf")) &&
+          // E9: (face, pos, level) decomposition reassembles the same cell
+          s2_cell_from_face_pos(
+            shiftrightunsigned(col("t8"), 61).cast("int"),
+            col("t8").bitwiseAND(lit((1L << 61) - 1)), lit(8)) === col("t8"))
+        .select("o_orderkey")
+    }),
+
+    // --- neighbor topology (N1/N2/N3) self-checked over every point's
+    // level-6 cell: 4 edge neighbors, each symmetric (we are among our
+    // neighbor's edge neighbors) and at the same level; 3 or 4 vertex
+    // neighbors; GetAllNeighbors appends exactly 8 same-level cells of
+    // which 7 are distinct at cube-corner cells (the reference's append
+    // semantics duplicates one diagonal there, `S2CellId.cs:813-863`) and
+    // 8 elsewhere; the set contains every edge neighbor and never the cell
+    // itself. Any violation drops the row -> rows mismatch vs the
+    // all-orders oracle.
+    "q_neighbors" -> ((s, dir) => {
+      val lvl = 6
+      points(s, dir)
+        .withColumn("c", s2_tile(col("lat"), col("lon"), lvl))
+        .withColumn("en", s2_edge_neighbors(col("c")))
+        .withColumn("vn", s2_vertex_neighbors(col("c"), lvl))
+        .withColumn("an", s2_all_neighbors(col("c"), lvl))
+        .where(
+          size(col("en")) === 4 &&
+          forall(col("en"), n => s2_level(n) === lvl &&
+            array_contains(s2_edge_neighbors(n), col("c")) &&
+            array_contains(col("an"), n)) &&
+          size(col("vn")).isin(3, 4) &&
+          size(col("an")) === 8 &&
+          size(array_distinct(col("an"))).isin(7, 8) &&
+          !array_contains(col("an"), col("c")))
         .select("o_orderkey")
     }),
 
@@ -435,6 +467,8 @@ object SparkEntry {
         |FROM y GROUP BY user_id, sid""".stripMargin,
 
     "q_tile_roundtrip" -> "SELECT o_orderkey FROM orders",
+
+    "q_neighbors" -> "SELECT o_orderkey FROM orders",
 
     "q_tile_counts" -> "SELECT count(*) AS total_points FROM orders",
 
