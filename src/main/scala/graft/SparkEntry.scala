@@ -344,6 +344,13 @@ object SparkEntry {
         queryIds = 0L until 10L, k = 5)
         .select("query_id", "neighbor_id")),
 
+    // IVF coarse-quantizer ANN (approximate by design -> rows-only here;
+    // recall >= 0.9 vs brute force is pinned by EmbeddingRecallSpec)
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfAnn(embeddings(s, dir), "vec_id", "embedding",
+        queryIds = 0L until 10L, k = 5)
+        .select("query_id", "neighbor_id")),
+
     // embedding-cosine near-duplicate pairs: exact all-pairs form (small
     // vector tables; oracle-checked) and the LSH-bucketed scale path
     "q_embed_neardup" -> ((s, dir) => {

@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
-  * All variants are shuffle-frugal: exact dedup is one hash aggregation;
-  * MinHash-LSH and SimHash shuffle only (id, signature) pairs — never
-  * document bodies — and candidate verification joins back by id.
+  * Shuffle discipline, stated precisely: exact dedup and the exact-dup
+  * collapse are single hash aggregations whose map-side partials reduce
+  * each distinct text to at most one row per task BEFORE the exchange (a
+  * million-copy document shuffles ~one text per task, not a million);
+  * the signature stages and banded joins after the collapse shuffle only
+  * (id, signature/bucket) rows; candidate verification joins shingle SETS
+  * back by representative id.
   *
   * Near-dup features are word n-grams (not character shingles): on corpora
   * drawn from a narrow vocabulary, character shingles of unrelated documents

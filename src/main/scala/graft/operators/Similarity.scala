@@ -166,6 +166,119 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  // --- IVF (inverted-file) ANN: the second scale path besides LSH --------
+
+  /** Spherical k-means coarse quantizer trained with plain DataFrame ops:
+    * assignment is a broadcast-centroid UDF, the update step is one
+    * posexplode + (cluster, dim) aggregation per iteration (train on a
+    * bounded sample — `trainLimit` rows — so training cost is independent
+    * of table size). Centroids are L2-normalized each round, so nearest
+    * centroid by dot product == nearest by cosine. Deterministic: seeds
+    * are the first `nlist` rows by id. */
+  def trainIvfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iters: Int = 5,
+                        trainLimit: Int = 20000): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val train = embeddings.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(trainLimit).cache()
+    var centroids: Array[Array[Double]] = train.orderBy(col(idCol)).limit(nlist)
+      .collect().map(r => normalized(r.getSeq[Float](1).toArray.map(_.toDouble)))
+    for (_ <- 0 until iters) {
+      val assign = assignUdf(spark, centroids)
+      val sums = train
+        .select(assign(col(vecCol)).as("__c"), posexplode(col(vecCol)))
+        .groupBy(col("__c"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("s"))
+        .collect()
+      val dim = centroids(0).length
+      val acc = Array.fill(centroids.length)(Array.fill(dim)(0.0))
+      for (r <- sums) acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      // empty clusters keep their previous centroid
+      centroids = acc.zip(centroids).map { case (s, old) =>
+        if (s.forall(_ == 0.0)) old else normalized(s)
+      }
+    }
+    train.unpersist()
+    centroids
+  }
+
+  /** Nearest-centroid id by dot product (centroids broadcast in the
+    * closure). */
+  private def assignUdf(spark: org.apache.spark.sql.SparkSession,
+                        centroids: Array[Array[Double]]) = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    udf { v: Seq[Float] =>
+      val cs = bc.value
+      var best = 0
+      var bestDot = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        val p = cs(c)
+        var d = 0.0
+        var j = 0
+        val n = math.min(v.length, p.length)
+        while (j < n) { d += v(j) * p(j); j += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Top-`nprobe` centroid ids by dot product, for the query side. */
+  private def probeUdf(spark: org.apache.spark.sql.SparkSession,
+                       centroids: Array[Array[Double]], nprobe: Int) = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    udf { v: Seq[Float] =>
+      val cs = bc.value
+      cs.indices.map { c =>
+        val p = cs(c)
+        var d = 0.0
+        var j = 0
+        val n = math.min(v.length, p.length)
+        while (j < n) { d += v(j) * p(j); j += 1 }
+        (-d, c)
+      }.sorted.take(nprobe).map(_._2)
+    }
+  }
+
+  /** IVF ANN: every row sits in exactly ONE inverted list (its nearest
+    * centroid) — unlike multi-table LSH there is no signature explosion
+    * and no candidate dedup. Queries probe their `nprobe` nearest lists;
+    * candidates get the exact cosine re-rank. Recall is governed by
+    * nprobe/nlist (EmbeddingRecallSpec measures >= 0.9 on the harness
+    * embeddings); cost per query is ~ nprobe/nlist of the table, read via
+    * a broadcast equi-join on the cluster id. At 100 TB the assignment
+    * column is computed once at ingest and the table bucketed/clustered by
+    * it, making each probe a partition-pruned scan. */
+  def ivfAnn(embeddings: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int,
+             nlist: Int = 64, nprobe: Int = 16, iters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters)
+    val assign = assignUdf(spark, centroids)
+    val probes = probeUdf(spark, centroids, nprobe)
+    val lists = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec"),
+      assign(col(vecCol)).as("__c"))
+    val queries = embeddings.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        norm(col(vecCol)).as("__qnorm"),
+        explode(probes(col(vecCol))).as("__c"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    lists
+      .join(broadcast(queries), Seq("__c"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineFast(col("__vec"), col("__qvec"),
+        norm(col("__vec")), col("__qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket in any
     * table: (id_a, id_b, cosine) with cosine >= minCosine.
     *

@@ -39,6 +39,19 @@ class EmbeddingRecallSpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("ivfAnn recall@5 >= 0.9 vs brute force") {
+    val queries = 0L until 20L
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfAnn(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"ivfAnn recall@5 = $recall%.3f (nlist=64, nprobe=16)")
+    assert(recall >= 0.9, f"IVF recall $recall%.3f below 0.9")
+  }
+
   test("bucketedAnn recall@5 >= 0.9 vs brute force") {
     val queries = 0L until 20L
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
