@@ -123,19 +123,15 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** Banded-LSH candidate pairs over an ALREADY-COLLAPSED (or known
-    * dup-free) table: docs sharing any band bucket become candidates,
-    * scored by signature agreement (estimated Jaccard). (id_a, id_b,
-    * est_jaccard) with a < b. */
-  def bandedMinhashPairs(reps: DataFrame, idCol: String, textCol: String,
-                         numHashes: Int, bands: Int, shingleN: Int,
-                         minEstJaccard: Double, maxBucketSize: Int): DataFrame = {
+  /** (id, full signature array, band, bucket) rows of the MinHash banded
+    * layout — the ONE definition shared by the candidate join and the
+    * monitoring stats, so they can never drift apart. */
+  private def minhashBanded(sig: DataFrame, idCol: String,
+                            numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(reps, idCol, textCol, numHashes, shingleN)
-
     val sigCols = (0 until numHashes).map(j => col(s"mh$j"))
-    val banded = sig.select(
+    sig.select(
       col(idCol),
       array(sigCols: _*).as("__sig"),
       explode(array((0 until bands).map { b =>
@@ -143,6 +139,26 @@ object Dedup {
           xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*).as("bucket"))
       }: _*)).as("__bb"))
       .select(col(idCol), col("__sig"), col("__bb.band"), col("__bb.bucket"))
+  }
+
+  /** (id, simhash, band, bucket) rows of the SimHash 16-bit banded layout,
+    * shared by the candidate join and the monitoring stats. */
+  private def simhashBanded(sig: DataFrame, idCol: String): DataFrame =
+    sig.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("__bb"))
+      .select(col(idCol), col("simhash"), col("__bb.band"), col("__bb.bucket"))
+
+  /** Banded-LSH candidate pairs over an ALREADY-COLLAPSED (or known
+    * dup-free) table: docs sharing any band bucket become candidates,
+    * scored by signature agreement (estimated Jaccard). (id_a, id_b,
+    * est_jaccard) with a < b. */
+  def bandedMinhashPairs(reps: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int, bands: Int, shingleN: Int,
+                         minEstJaccard: Double, maxBucketSize: Int): DataFrame = {
+    val sig = minhashSignatures(reps, idCol, textCol, numHashes, shingleN)
+    val banded = minhashBanded(sig, idCol, numHashes, bands)
     val capped = capBuckets(banded, maxBucketSize)
 
     val a = capped.select(col(idCol).as("id_a"), col("__sig").as("sig_a"), col("band"), col("bucket"))
@@ -176,14 +192,8 @@ object Dedup {
                          numHashes: Int = 32, bands: Int = 8,
                          shingleN: Int = 3): DataFrame = {
     val (reps, _) = collapseExact(df, idCol, textCol)
-    val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(reps, idCol, textCol, numHashes, shingleN)
-    sig.select(col(idCol),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*).as("bucket"))
-        }: _*)).as("__bb"))
-      .select(col("__bb.band"), col("__bb.bucket"))
+    minhashBanded(sig, idCol, numHashes, bands)
       .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
   }
 
@@ -263,12 +273,7 @@ object Dedup {
     * implies at least one of 4 bands matches exactly — pigeonhole). */
   def bandedSimhashPairs(reps: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int, maxBucketSize: Int): DataFrame = {
-    val sig = simhash(reps, idCol, textCol)
-    val banded = sig.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("__bb"))
-      .select(col(idCol), col("simhash"), col("__bb.band"), col("__bb.bucket"))
+    val banded = simhashBanded(simhash(reps, idCol, textCol), idCol)
     val capped = capBuckets(banded, maxBucketSize)
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bucket"))
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("bucket"))
@@ -294,11 +299,7 @@ object Dedup {
     * collapse). */
   def simhashBucketStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (reps, _) = collapseExact(df, idCol, textCol)
-    simhash(reps, idCol, textCol)
-      .select(explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("__bb"))
-      .select(col("__bb.band"), col("__bb.bucket"))
+    simhashBanded(simhash(reps, idCol, textCol), idCol)
       .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
   }
 

@@ -135,11 +135,11 @@ object ResumableWrite {
   def write(df: DataFrame, outDir: String, partitionCol: String, runId: String,
             input: String = "", maxPartitionsThisRun: Int = Int.MaxValue): Seq[PartitionRecord] = {
     Files.createDirectories(Paths.get(outDir))
-    // idempotent: clear any torn temp roots from crashed attempts
-    val s = Files.list(Paths.get(outDir))
-    try {
-      s.filter(p => p.getFileName.toString.startsWith("_tmp_")).forEach(deleteRecursively)
-    } finally s.close()
+    // idempotent: clear OUR OWN torn temp root from a crashed attempt with
+    // this runId. Other _tmp_<runId> roots are left alone — they may belong
+    // to a concurrently running writer on the same outDir; abandoned ones
+    // are harmless garbage the owner's retry (same runId) will clear.
+    deleteRecursively(Paths.get(outDir, s"_tmp_$runId"))
 
     val done = committedPartitions(outDir)
     // scan 1: column-pruned distinct partition values
@@ -147,6 +147,9 @@ object ResumableWrite {
       .collect().map(r => Option(r.get(0)).map(_.toString).orNull)
     require(!allParts.contains(null),
       s"null $partitionCol partition values are not resumable; filter or default them first")
+    require(!allParts.contains(""),
+      s"empty-string $partitionCol partition values are not resumable (hive maps them to " +
+        "__HIVE_DEFAULT_PARTITION__); filter or default them first")
     val todo = allParts.sorted.filterNot(done).take(maxPartitionsThisRun)
     if (todo.isEmpty) return Nil
     val todoSet = todo.toSet

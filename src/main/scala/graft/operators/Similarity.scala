@@ -284,7 +284,7 @@ object Similarity {
     *
     * `tables = 0` (default) auto-sizes via [[hyperplaneTables]] so a pair
     * at exactly `minCosine` is caught with probability `targetRecall` —
-    * at the 0.3 threshold that is 77 tables for 0.97 (the fixed round-1
+    * at the 0.3 threshold that is 76 tables for 0.97 (the fixed round-1
     * recall gap; EmbeddingRecallSpec measures >= 0.9 against the exact
     * path). Shuffle shape: the banded self-join and pair dedup carry only
     * (id, table, bucket) signature rows; vectors join back by id once per

@@ -43,18 +43,21 @@ object Vectorize {
   def vectorizeGroups(df: DataFrame, groupCol: String, tileCol: String,
                       maxTilesPerGroup: Int = 100000): Map[String, S2Polygon] = {
     import org.apache.spark.sql.functions._
-    val distinctTiles = df.select(groupCol, tileCol).distinct()
-    val oversized = distinctTiles.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") > maxTilesPerGroup)
-      .limit(5)
-      .collect()
-    require(oversized.isEmpty,
-      s"vectorizeGroups: groups exceed maxTilesPerGroup=$maxTilesPerGroup: " +
-        oversized.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ") +
-        " — coarsen the tiling (lower level) or raise the cap explicitly")
-    distinctTiles.collect()
-      .groupBy(_.get(0).toString)
-      .map { case (g, rows) => g -> cellsToPolygon(rows.map(_.getLong(1))) }
+    // persisted: the guard aggregation and the collect share one scan
+    val distinctTiles = df.select(groupCol, tileCol).distinct().persist()
+    try {
+      val oversized = distinctTiles.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxTilesPerGroup)
+        .limit(5)
+        .collect()
+      require(oversized.isEmpty,
+        s"vectorizeGroups: groups exceed maxTilesPerGroup=$maxTilesPerGroup: " +
+          oversized.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ") +
+          " — coarsen the tiling (lower level) or raise the cap explicitly")
+      distinctTiles.collect()
+        .groupBy(_.get(0).toString)
+        .map { case (g, rows) => g -> cellsToPolygon(rows.map(_.getLong(1))) }
+    } finally distinctTiles.unpersist()
   }
 }

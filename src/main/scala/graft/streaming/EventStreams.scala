@@ -84,7 +84,12 @@ object EventStreams {
                 out += flush(userId, st)
                 st = SessionState(t, t, 1, e.value)
               } else {
-                st = SessionState(st.start, t, st.nEvents + 1, st.totalValue + e.value)
+                // min/max, not assignment: a late-but-within-watermark event
+                // from a later batch may precede the stored session's bounds;
+                // letting it move `end` backward would corrupt session_end
+                // and fire the event-time timeout early
+                st = SessionState(math.min(st.start, t), math.max(st.end, t),
+                  st.nEvents + 1, st.totalValue + e.value)
               }
             }
             if (st != null) {

@@ -52,19 +52,22 @@ class ResumableWriteSpec extends SparkTestBase {
     assert(manifest.forall(r => r.runId != "run1" || r.input == "sf0.001/orders"))
   }
 
-  test("torn temp directory from a crash is cleaned up on resume") {
+  test("torn temp root from a crashed attempt is cleaned up when the runId retries") {
     val outDir = Files.createTempDirectory("resumable2").toString
     val df = tiledPoints
-    val firstPart = df.select("tile_token").distinct().collect().map(_.getString(0)).sorted.head
-    // simulate a crash mid-write: a stale _tmp dir with garbage
-    val torn = java.nio.file.Paths.get(outDir, s"_tmp_tile_token=$firstPart")
+    // simulate a crash mid-write: a stale temp root for THIS runId, plus a
+    // foreign runId's root that must be left alone (concurrent writer)
+    val torn = java.nio.file.Paths.get(outDir, "_tmp_recovery")
     Files.createDirectories(torn)
     Files.write(torn.resolve("garbage"), Array[Byte](1, 2, 3))
+    val foreign = java.nio.file.Paths.get(outDir, "_tmp_other_live_run")
+    Files.createDirectories(foreign)
 
     ResumableWrite.write(df, outDir, "tile_token", runId = "recovery")
     val readBack = ResumableWrite.readCommitted(spark, outDir, "tile_token").count()
     assert(readBack == df.count())
     assert(!Files.exists(torn))
+    assert(Files.exists(foreign), "a concurrent writer's temp root must not be deleted")
   }
 
   test("a run makes exactly one full-data scan (counts come from the write pass)") {
@@ -87,6 +90,11 @@ class ResumableWriteSpec extends SparkTestBase {
     val bad = Seq((1L, Option.empty[String]), (2L, Some("ok"))).toDF("id", "p")
     intercept[IllegalArgumentException] {
       ResumableWrite.write(bad, outBad, "p", runId = "r")
+    }
+    // empty string would become __HIVE_DEFAULT_PARTITION__ on disk: reject up front
+    val empty = Seq((1L, ""), (2L, "ok")).toDF("id", "p")
+    intercept[IllegalArgumentException] {
+      ResumableWrite.write(empty, outBad, "p", runId = "r")
     }
 
     val outDir = Files.createTempDirectory("resumable5").toString

@@ -96,6 +96,36 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("a late-but-admitted out-of-order event cannot move the session end backward") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS(), gapMillis = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0))
+      query.processAllAvailable() // watermark after this batch: ts(0)
+      // late event at ts(5) (>= watermark, admitted): must extend the event
+      // count but leave session bounds [ts(0), ts(10)] intact
+      input.addData(Event(3, ts(5), 1, "a", 4.0))
+      query.processAllAvailable()
+      // push the watermark past ts(10) + gap to flush via timeout
+      input.addData(Event(4, ts(120), 2, "b", 0.0))
+      query.processAllAvailable()
+      input.addData(Event(5, ts(125), 2, "b", 0.0))
+      query.processAllAvailable()
+
+      val rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, total_value FROM sessions_late WHERE user_id = 1")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3), r.getDouble(4)))
+      assert(rows.toSeq == Seq((1L, ts(0), ts(10), 3, 7.0)),
+        s"late event must not shrink session_end: ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("sessionizeBatch on the events table produces plausible sessions") {
     val df = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
     val sessions = EventStreams.sessionizeBatch(df)
