@@ -333,6 +333,15 @@ object SparkEntry {
         numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
         .select("id_a", "id_b", "jaccard")),
 
+    // duplicate clusters: connected components over the verified near-dup
+    // pair graph; cluster_id = canonical (minimum) doc id per component
+    "q_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.nearDupPairs(documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+          numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
+          .select("id_a", "id_b"))
+        .select("doc_id", "cluster_id")),
+
     // --- similarity search over embeddings ---
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), "vec_id", "embedding",
@@ -548,6 +557,23 @@ object SparkEntry {
         | CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) AS jaccard
         |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) >= 0.9""".stripMargin,
+
+    // connected components in SQL: reachability closure via a recursive CTE
+    // over the symmetrized true-trigram-jaccard pair graph, then min
+    // reachable id per source — exactly the engine's min-label fixpoint
+    "q_dup_clusters" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) >= 0.9),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst)
+        |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
 
     // SimHash recomputed bit-for-bit in SQL: Dedup.portableHash is the
     // polynomial char-code fold (h*131 + c) mod 2^31-1, and bit i of the

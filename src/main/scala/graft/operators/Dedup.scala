@@ -303,6 +303,44 @@ object Dedup {
       .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
   }
 
+  /** Connected components over a near-duplicate pair graph: every document
+    * that appears in a pair gets `cluster_id` = the minimum document id
+    * reachable from it, i.e. one canonical representative per duplicate
+    * cluster (the step after pair generation in a dedup pipeline: keep
+    * `doc_id == cluster_id`, drop the rest).
+    *
+    * Iterative min-label propagation: each round joins labels across the
+    * symmetrized edge list and keeps the elementwise minimum, converging in
+    * O(component diameter) rounds (duplicate clusters are near-cliques, so
+    * 2-3 in practice); every round is one shuffle of (id, label) pairs.
+    * Lineage is truncated each round with localCheckpoint so long chains
+    * cannot accumulate plan depth. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("__dl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("__dl").as("__nl"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.select(col("id"), col("label").as("__old")), "id")
+        .where(col("label") =!= col("__old")).count()
+      labels = updated
+      i += 1
+    }
+    require(changed == 0, s"duplicateClusters did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact word n-gram Jaccard for given candidate pairs (id_a, id_b). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {

@@ -50,6 +50,19 @@ class DedupSkewSpec extends SparkTestBase {
     assert(sim.where(col("hamming") === 0).count() >= 101L * 100 / 2)
   }
 
+  test("duplicateClusters: min-label propagation converges on chains and cliques") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain: needs several rounds
+      (10L, 11L), (10L, 12L), (11L, 12L),     // clique
+      (21L, 20L))                             // single reversed pair
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("bucket cap drops residual oversized buckets of near-identical-but-distinct docs") {
     import spark.implicits._
     // 300 DISTINCT docs sharing most shingles: collapse cannot merge them,
