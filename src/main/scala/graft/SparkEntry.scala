@@ -429,6 +429,17 @@ object SparkEntry {
         .select("p_partkey")
     }),
 
+    // perceptual-hash image near-dup: plant single-pixel-patched copies of
+    // every 40th image, find them by dhash banding (rows-only: PNG decode
+    // has no SQL oracle; ImageNearDupSpec pins exact pair recovery)
+    "q_image_neardup" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val planted = ImagePayload.withPatch(images.where(col("p_partkey") % 40 === 0), 2, 2, 1)
+        .withColumn("p_partkey", col("p_partkey") + 100000000L)
+      ImagePayload.imageNearDup(images.unionByName(planted), "p_partkey")
+        .select("id_a", "id_b")
+    }),
+
     "q_image_tile_join" -> ((s, dir) => {
       val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
       val tiled = Tiling.tileAssign(images, "lat", "lon", 8)

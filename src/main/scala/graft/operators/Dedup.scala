@@ -268,12 +268,16 @@ object Dedup {
     agg.select(col(idCol), sim.as("simhash"))
   }
 
-  /** SimHash banded candidates over an already-collapsed table: pairs
-    * within `maxHamming` bits, bucketed by 16-bit bands (hamming <= 3
-    * implies at least one of 4 bands matches exactly — pigeonhole). */
-  def bandedSimhashPairs(reps: DataFrame, idCol: String, textCol: String,
-                         maxHamming: Int, maxBucketSize: Int): DataFrame = {
-    val banded = simhashBanded(simhash(reps, idCol, textCol), idCol)
+  /** Banded hamming search over ANY 64-bit hash column: pairs of rows
+    * within `maxHamming` bits of each other, found via the 16-bit-band
+    * pigeonhole (hamming <= 3 implies at least one of 4 bands matches
+    * exactly, so the banded equi-join is COMPLETE for maxHamming <= 3).
+    * Shared by SimHash text near-dup and perceptual-hash image near-dup.
+    * Output: (id_a, id_b, hamming) with a < b. */
+  def hamming64Pairs(df: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+    require(maxHamming <= 3, s"4x16-bit banding is only complete for hamming <= 3, got $maxHamming")
+    val banded = simhashBanded(df.select(col(idCol), col(hashCol).as("simhash")), idCol)
     val capped = capBuckets(banded, maxBucketSize)
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bucket"))
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("bucket"))
@@ -284,6 +288,11 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** SimHash banded candidates over an already-collapsed table. */
+  def bandedSimhashPairs(reps: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int, maxBucketSize: Int): DataFrame =
+    hamming64Pairs(simhash(reps, idCol, textCol), idCol, "simhash", maxHamming, maxBucketSize)
 
   /** SimHash near-dup candidate pairs over the raw corpus: exact-dup
     * collapse, banded join on representatives, expansion back to all pairs

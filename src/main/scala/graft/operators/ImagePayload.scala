@@ -162,6 +162,79 @@ object ImagePayload {
   def sampleFramesStub(key: Long, nFrames: Int, w: Int, h: Int): Array[Array[Byte]] =
     Array.tabulate(nFrames)(i => encodePng(key + i, w, h))
 
+  /** Perceptual dHash: real decode, bilinear downsample to a 9x8 luminance
+    * grid, 64 bits of horizontal gradient sign. Visually-near images
+    * (re-encodes, small patches) differ in few bits; unrelated rasters
+    * differ in ~32. Complements the exact `phash` (xxhash64 of the bytes):
+    * phash equality catches byte-identical copies, dhash hamming catches
+    * visually-identical ones. */
+  def dhash64(bytes: Array[Byte]): Long = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null) return 0L
+    val small = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, 9, 8, null)
+    g.dispose()
+    def lum(x: Int, y: Int): Double = {
+      val rgb = small.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+    }
+    var bits = 0L
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x + 1, y) > lum(x, y)) bits |= 1L << i
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Data-augmentation primitive: paint a small black patch at (x, y) and
+    * re-encode — a deterministic stand-in for crop/occlusion augmentations
+    * (and the near-duplicate generator in specs/queries). */
+  def patchImage(bytes: Array[Byte], x: Int, y: Int, size: Int): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) return Array.emptyByteArray
+    var yy = y
+    while (yy < math.min(y + size, img.getHeight)) {
+      var xx = x
+      while (xx < math.min(x + size, img.getWidth)) {
+        img.setRGB(xx, yy, 0)
+        xx += 1
+      }
+      yy += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val dhashUdf = udf((bytes: Array[Byte]) => dhash64(bytes))
+  private val patchUdf = udf((bytes: Array[Byte], x: Int, y: Int, s: Int) => patchImage(bytes, x, y, s))
+
+  /** dhash column via real decode. */
+  def withPerceptualHash(images: DataFrame): DataFrame =
+    images.withColumn("dhash", dhashUdf(col("bytes")))
+
+  /** Patched-copy column (see [[patchImage]]). */
+  def withPatch(images: DataFrame, x: Int, y: Int, size: Int): DataFrame =
+    images.withColumn("bytes", patchUdf(col("bytes"), lit(x), lit(y), lit(size)))
+
+  /** Image near-duplicate pairs: perceptual-hash banding (complete for
+    * hamming <= 3 via [[Dedup.hamming64Pairs]]); only (id, dhash) rows
+    * enter the join — the image bytes never shuffle. */
+  def imageNearDup(images: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
+    Dedup.hamming64Pairs(
+      withPerceptualHash(images).select(col(idCol), col("dhash")),
+      idCol, "dhash", maxHamming)
+
   private val resizeUdf = udf((bytes: Array[Byte], w: Int, h: Int) => resizeImage(bytes, w, h))
   private val featuresUdf = udf((bytes: Array[Byte]) => imageFeatures(bytes))
 

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ImagePayload
+
+/** Perceptual-hash image near-duplicates: a single-pixel occlusion patch
+  * must stay within the hamming-3 banding window, while unrelated synthetic
+  * rasters (random noise, expected hamming ~32) must never pair. */
+class ImageNearDupSpec extends SparkTestBase {
+
+  test("patched copies pair up; unrelated images do not") {
+    val keys = spark.read.parquet(s"${sf("sf0.01")}/part.parquet")
+      .select("p_partkey").limit(30)
+    val images = ImagePayload.synthesize(keys, "p_partkey")
+    val copies = ImagePayload.withPatch(images, 2, 2, 1)
+      .withColumn("p_partkey", col("p_partkey") + 1000000L)
+    val all = images.unionByName(copies)
+
+    val pairs = ImagePayload.imageNearDup(all, "p_partkey", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+    val planted = keys.collect().map(_.getLong(0)).map(k => (k, k + 1000000L)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    info(s"pairs=${pairs.length}, max hamming=${if (pairs.isEmpty) -1 else pairs.map(_._3).max}")
+    assert(got == planted, s"missing=${planted -- got}, extra=${got -- planted}")
+  }
+
+  test("byte-identical re-encode has hamming 0 and exact phash equality") {
+    val keys = spark.read.parquet(s"${sf("sf0.01")}/part.parquet")
+      .select("p_partkey").limit(5)
+    val images = ImagePayload.synthesize(keys, "p_partkey")
+    val row = ImagePayload.withPerceptualHash(images).select("bytes", "dhash").head()
+    val bytes = row.getAs[Array[Byte]]("bytes")
+    // decode->same-size re-encode: visually identical, dhash must agree
+    val reenc = ImagePayload.resizeImage(bytes, 16, 16)
+    assert(ImagePayload.dhash64(reenc) === row.getLong(1))
+  }
+}
