@@ -342,6 +342,29 @@ object SparkEntry {
           .select("id_a", "id_b"))
         .select("doc_id", "cluster_id")),
 
+    // --- curation: reproducible splits + token-budget packing ---
+    "q_split" -> ((s, dir) =>
+      Curation.hashSplit(documents(s, dir).select("doc_id"), "doc_id", valFrac = 0.2)
+        .select("doc_id", "split")),
+
+    // near-dup clusters never straddle train/val (split key = canonical id)
+    "q_split_leakfree" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDupPairs(docs, "doc_id", "text",
+          numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
+          .select("id_a", "id_b"))
+      Curation.leakFreeSplit(docs.select("doc_id"), "doc_id", clusters, valFrac = 0.2)
+        .select("doc_id", "split")
+    }),
+
+    "q_pack" -> ((s, dir) => {
+      val withTok = documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Curation.packByBudget(withTok, "doc_id", "n_tokens", budgetTokens = 200, buckets = 8)
+        .select("doc_id", "bucket", "batch_id")
+    }),
+
     // --- similarity search over embeddings ---
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), "vec_id", "embedding",
@@ -585,6 +608,47 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst)
         |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
+
+    // curation oracles: the id-hash split arithmetic is integer-exact and
+    // mirrored literally (P = 2^31-1, A = Curation.HashA, threshold from
+    // Curation.splitThreshold)
+    "q_split" -> {
+      val (p, a, t) = (Dedup.HashP, Curation.HashA, Curation.splitThreshold(0.2))
+      s"""SELECT doc_id,
+         | CASE WHEN ((doc_id % $p) * $a) % $p < $t THEN 'val' ELSE 'train' END AS split
+         |FROM documents""".stripMargin
+    },
+
+    "q_split_leakfree" -> {
+      val (p, a, t) = (Dedup.HashP, Curation.HashA, Curation.splitThreshold(0.2))
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+         |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) >= 0.9),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst),
+         |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         | CASE WHEN ((COALESCE(cc.cluster_id, d.doc_id) % $p) * $a) % $p < $t THEN 'val' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin
+    },
+
+    "q_pack" -> {
+      val (p, a) = (Dedup.HashP, Curation.HashA)
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS INTEGER) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |  CAST(((doc_id % $p) * $a) % $p % 8 AS INTEGER) AS bucket FROM t)
+         |SELECT doc_id, bucket,
+         | CAST((CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 200 AS BIGINT) AS batch_id
+         |FROM b""".stripMargin
+    },
 
     // SimHash recomputed bit-for-bit in SQL: Dedup.portableHash is the
     // polynomial char-code fold (h*131 + c) mod 2^31-1, and bit i of the

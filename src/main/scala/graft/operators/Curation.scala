@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators a training pipeline needs downstream of
+  * dedup: reproducible splits and token-budget packing. All arithmetic is
+  * integer-exact and mirrored literally in the DuckDB oracles (SparkEntry),
+  * so every operator here is oracle-checked end to end.
+  */
+object Curation {
+
+  /** Affine 31-bit id hash shared with the oracle SQL: ((id mod P) * A)
+    * mod P, P = 2^31-1 (prime, [[Dedup.HashP]]). Uniform enough for split
+    * fractions and bucketing, and trivially portable. */
+  private[graft] val HashA = 2654435761L
+
+  def idHash(id: Column): Column = (pmod(id, lit(Dedup.HashP)) * HashA) % Dedup.HashP
+
+  /** Split threshold as an exact integer literal (also used by the oracle
+    * string builders). */
+  def splitThreshold(valFrac: Double): Long = (Dedup.HashP * valFrac).toLong
+
+  /** Deterministic, reproducible train/val split: `val` iff
+    * idHash(id) < P * valFrac. No shuffle, no RNG state — re-running on a
+    * grown table keeps every existing row's assignment stable (the classic
+    * requirement for incremental corpus refreshes). */
+  def hashSplit(df: DataFrame, idCol: String, valFrac: Double): DataFrame =
+    df.withColumn("split",
+      when(idHash(col(idCol)) < splitThreshold(valFrac), "val").otherwise("train"))
+
+  /** Leakage-free split: every member of a near-duplicate cluster lands on
+    * the SAME side, by hashing the cluster's canonical id (the doc's own id
+    * when unclustered). `clusters` is [[Dedup.duplicateClusters]] output
+    * (doc_id, cluster_id). This is the guard against the classic
+    * train/val-contamination bug where near-copies of a validation doc sit
+    * in train. Broadcast-friendly: clusters only contains docs that appear
+    * in a near-dup pair. */
+  def leakFreeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                    valFrac: Double): DataFrame = {
+    val key = coalesce(col("cluster_id"), col(idCol))
+    df.join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .withColumn("split",
+        when(idHash(key) < splitThreshold(valFrac), "val").otherwise("train"))
+      .drop("cluster_id")
+  }
+
+  /** Fixed-token-budget packing: documents are bucketed by id hash (so the
+    * sort is per-bucket, never global — the scale requirement) and packed
+    * in id order; `batch_id` = the document's running-token start offset
+    * integer-divided by the budget. Documents larger than the budget get
+    * their own batch slot. One shuffle (by bucket) + per-bucket sorted
+    * window. */
+  def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
+                   budgetTokens: Int, buckets: Int): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+    df.withColumn("bucket", (idHash(col(idCol)) % buckets).cast("int"))
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      // integer `div`, not double division: exact for any cum/budget
+      .withColumn("batch_id",
+        expr(s"(__cum - $tokenCol) div CAST($budgetTokens AS BIGINT)"))
+      .drop("__cum")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup}
+
+/** Curation operators: reproducible splits, leakage-freedom, packing
+  * invariants. */
+class CurationSpec extends SparkTestBase {
+
+  test("hashSplit is deterministic, row-local, and near the requested fraction") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("doc_id")
+    val split = Curation.hashSplit(ids, "doc_id", 0.2)
+    val valCnt = split.where(col("split") === "val").count()
+    assert(valCnt > 1700 && valCnt < 2300, s"val fraction ${valCnt / 10000.0} far from 0.2")
+    // row-local: the assignment of an id is identical in any subset
+    val sub = Curation.hashSplit(ids.where(col("doc_id") % 7 === 0), "doc_id", 0.2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (k, v) => full(k) == v })
+  }
+
+  test("leakFreeSplit never lets a near-dup cluster straddle train/val") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val docs = (0L until 50L).toDF("doc_id")
+    val split = Curation.leakFreeSplit(docs, "doc_id", clusters, 0.5)
+    val byDoc = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (cluster <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L), Seq(20L, 21L, 22L)))
+      assert(cluster.map(byDoc).distinct.size == 1, s"cluster $cluster straddles the split")
+    // unclustered docs follow the plain hash split
+    val plain = Curation.hashSplit(docs, "doc_id", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (d <- 30L until 50L) assert(byDoc(d) == plain(d))
+  }
+
+  test("packByBudget: every document's start offset falls inside its batch window") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, 1 + (i % 97).toInt)).toDF("doc_id", "n_tokens")
+    val budget = 150
+    val packed = Curation.packByBudget(docs, "doc_id", "n_tokens", budget, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("n_tokens"), r.getInt(2), r.getLong(3)))
+    // reconstruct per-bucket running offsets and check the invariant
+    val byBucket = packed.groupBy(_._3).view.mapValues(_.sortBy(_._1))
+    for ((_, rows) <- byBucket) {
+      var cum = 0L
+      for ((_, n, _, batch) <- rows) {
+        assert(batch == cum / budget, s"batch $batch != ${cum / budget} at offset $cum")
+        cum += n
+      }
+    }
+    // deterministic: same input -> same assignment
+    val again = Curation.packByBudget(docs, "doc_id", "n_tokens", budget, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(packed.forall { case (id, _, _, b) => again(id) == b })
+  }
+}
