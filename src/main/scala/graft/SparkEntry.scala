@@ -309,6 +309,16 @@ object SparkEntry {
         KnnQueries, k = 5, startLevel = 4)
         .select("query_id", "o_orderkey")),
 
+    // distance self-join (pairs within 500 km) via neighbor-cell bucketing —
+    // no cross join; oracle is the brute-force haversine over all pairs
+    "q_distance_join" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+    }),
+
     // --- dedup family over documents (augmented with planted duplicates) ---
     "q_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(documents(s, dir), "doc_id", Seq("text"))
@@ -476,6 +486,8 @@ object SparkEntry {
 
   private val PartLatSql = "CAST((p_partkey * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"
   private val PartLonSql = "CAST((p_partkey * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"
+  private val CustLatSql = "CAST((c_custkey * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"
+  private val CustLonSql = "CAST((c_custkey * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -570,6 +582,14 @@ object SparkEntry {
       }
       s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
          |${cases.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    "q_distance_join" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer)
+         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |WHERE $d <= 500000.0""".stripMargin
     },
 
     "q_exact_dedup" ->

@@ -190,4 +190,42 @@ object SpatialJoin {
       .where(col("__d") <= col("__outer_m") && col("__d") > col("__inner_m"))
       .drop("__qlat", "__qlon", "__outer_m", "__inner_m", "__d")
   }
+
+  /** Distance self-join: all point pairs within `radiusM`, WITHOUT a cross
+    * join. Bucketing level L = max level whose cell min-width >= radius
+    * (`S2Projections.MinWidth.getMaxLevel`), so any two points within the
+    * radius sit in the same or edge/vertex-adjacent level-L cells. One side
+    * explodes its cell's closed 8-neighborhood (<= 9 distinct buckets,
+    * `GetAllNeighbors`), the other keeps its own cell; a hash equi-join on
+    * the bucket + exact haversine refinement finishes. Each qualifying pair
+    * is emitted exactly once (the b-side is keyed by its unique own cell).
+    * Shuffle volume: <= 9x (id, lat, lon) on one side — never a pair blowup
+    * beyond genuine neighborhood density; skewed hot cells are AQE's
+    * skew-join case, same as the flagship join.
+    *
+    * Radius must not exceed the level-0 min width (~0.47 rad ~ 3000 km):
+    * beyond that, opposite cube faces are non-adjacent and completeness
+    * would break. */
+  def distanceJoin(points: DataFrame, latCol: String, lonCol: String,
+                   idCol: String, radiusM: Double): DataFrame = {
+    val angle = radiusM / S2LatLng.EarthRadiusMeters
+    require(angle > 0 && angle <= S2Projections.MinWidth.getValue(0),
+      s"distanceJoin radius $radiusM m exceeds the level-0 adjacency guarantee (~3000 km)")
+    val level = S2Projections.MinWidth.getMaxLevel(angle)
+    val withCell = points.select(col(idCol), col(latCol), col(lonCol))
+      .withColumn("__cell", s2_tile(col(latCol), col(lonCol), level))
+    val a = withCell.select(col(idCol).as("id_a"),
+      col(latCol).as("__lata"), col(lonCol).as("__lona"),
+      explode(array_union(array(col("__cell")),
+        s2_all_neighbors(col("__cell"), level))).as("__bucket"))
+    val b = withCell.select(col(idCol).as("id_b"),
+      col(latCol).as("__latb"), col(lonCol).as("__lonb"),
+      col("__cell").as("__bucket"))
+    a.join(b, "__bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("distance_m",
+        s2_distance_m(col("__lata"), col("__lona"), col("__latb"), col("__lonb")))
+      .where(col("distance_m") <= radiusM)
+      .select("id_a", "id_b", "distance_m")
+  }
 }

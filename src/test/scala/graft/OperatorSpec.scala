@@ -135,6 +135,25 @@ class OperatorSpec extends SparkTestBase {
       "near points present plus the true far 4th/5th neighbors")
   }
 
+  test("distanceJoin == brute force haversine pairs at several radii") {
+    val pts = spark.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      .withColumn("lat", expr("CAST((c_custkey * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"))
+      .withColumn("lon", expr("CAST((c_custkey * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"))
+      .limit(300)
+    val rows = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    for (radius <- Seq(200000.0, 500000.0, 2500000.0)) {
+      val got = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radius)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (ka, la, na) <- rows; (kb, lb, nb) <- rows if ka < kb
+        if S2LatLng.fromDegrees(la, na).getEarthDistance(S2LatLng.fromDegrees(lb, nb)) <= radius
+      } yield (ka, kb)).toSet
+      assert(got == expected, s"radius $radius: missing=${expected -- got} extra=${got -- expected}")
+      assert(expected.nonEmpty, s"radius $radius should produce pairs")
+    }
+  }
+
   test("exact dedup finds planted duplicates") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val aug = docs.unionByName(
