@@ -189,8 +189,14 @@ object Similarity {
       .collect().map(r => normalized(r.getSeq[Float](1).toArray.map(_.toDouble)))
     for (_ <- 0 until iters) {
       val assign = assignUdf(spark, centroids)
+      // the assignment UDF must be materialized in its own projection
+      // BEFORE the posexplode: projected alongside a Generate, Catalyst
+      // re-evaluates the (deterministic) UDF once per exploded ELEMENT —
+      // a dim-fold blowup (measured 36x on the harness embeddings; same
+      // class of bug as the round-1 image featureGate duplication)
       val sums = train
-        .select(assign(col(vecCol)).as("__c"), posexplode(col(vecCol)))
+        .withColumn("__c", assign(col(vecCol)))
+        .select(col("__c"), posexplode(col(vecCol)))
         .groupBy(col("__c"), col("pos"))
         .agg(sum(col("col").cast("double")).as("s"))
         .collect()
