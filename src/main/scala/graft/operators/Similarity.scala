@@ -263,7 +263,7 @@ object Similarity {
     * it, making each probe a partition-pruned scan. */
   def ivfAnn(embeddings: DataFrame, idCol: String, vecCol: String,
              queryIds: Seq[Long], k: Int,
-             nlist: Int = 64, nprobe: Int = 16, iters: Int = 5): DataFrame = {
+             nlist: Int = 64, nprobe: Int = 20, iters: Int = 5): DataFrame = {
     val spark = embeddings.sparkSession
     val centroids = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters)
     val assign = assignUdf(spark, centroids)

@@ -48,7 +48,7 @@ class EmbeddingRecallSpec extends SparkTestBase {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    info(f"ivfAnn recall@5 = $recall%.3f (nlist=64, nprobe=16)")
+    info(f"ivfAnn recall@5 = $recall%.3f (nlist=64, nprobe=20)")
     assert(recall >= 0.9, f"IVF recall $recall%.3f below 0.9")
   }
 
