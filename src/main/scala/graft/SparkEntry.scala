@@ -15,10 +15,17 @@ import graft.s2.{S2LatLngRect, S2Region, R1Interval, S1Interval}
   * golden vectors. */
 object SparkEntry {
 
-  /** Deterministic lat/lon derivation from o_orderkey — identical integer
-    * arithmetic runs in Spark and in the DuckDB oracle. */
-  private val LatSql = "CAST((o_orderkey * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"
-  private val LonSql = "CAST((o_orderkey * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"
+  /** Deterministic lat/lon derivation from an integer key — the ONE
+    * definition of the synthetic-coordinate arithmetic, shared by every
+    * Spark query and DuckDB oracle (and by the specs, so they cannot
+    * drift). */
+  private[graft] def latSqlFor(key: String): String =
+    s"CAST(($key * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"
+  private[graft] def lonSqlFor(key: String): String =
+    s"CAST(($key * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"
+
+  private val LatSql = latSqlFor("o_orderkey")
+  private val LonSql = lonSqlFor("o_orderkey")
 
   private def orders(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/orders.parquet")
@@ -484,10 +491,37 @@ object SparkEntry {
   /** Rect regions for the part-key-derived image points (same bounds). */
   private def rectRegionsForParts: Seq[(String, S2Region)] = rectRegions
 
-  private val PartLatSql = "CAST((p_partkey * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"
-  private val PartLonSql = "CAST((p_partkey * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"
-  private val CustLatSql = "CAST((c_custkey * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"
-  private val CustLonSql = "CAST((c_custkey * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"
+  private val PartLatSql = latSqlFor("p_partkey")
+  private val PartLonSql = lonSqlFor("p_partkey")
+  private val CustLatSql = latSqlFor("c_custkey")
+  private val CustLonSql = lonSqlFor("c_custkey")
+
+  /** Shared CTE prefix (docs + distinct word-trigram sets) and Jaccard
+    * expression for the trigram-oracle family: q_minhash_pairs,
+    * q_ngram_jaccard, q_dup_clusters and q_split_leakfree MUST stay
+    * bit-identical on this derivation for their equivalence arguments to
+    * hold — so it exists exactly once. Plain (non-interpolated) string:
+    * the `\s+` must reach DuckDB with a single backslash. */
+  private val TriCte =
+    """docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+      |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs)""".stripMargin
+
+  private val TriJaccard =
+    "CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg))"
+
+  /** Recursive-CTE connected components over the >= `minJ` trigram-jaccard
+    * pair graph, ending in a `cc(doc_id, cluster_id)` CTE. */
+  private def ccCte(minJ: Double): String =
+    s"""p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+       |  WHERE $TriJaccard >= $minJ),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst),
+       |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -596,38 +630,24 @@ object SparkEntry {
       "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text",
 
     "q_minhash_pairs" ->
-      """WITH docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
-        |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) >= 0.9""".stripMargin,
+      s"""WITH $TriCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+         |WHERE $TriJaccard >= 0.9""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
-        |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) AS jaccard
-        |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) >= 0.9""".stripMargin,
+      s"""WITH $TriCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $TriJaccard AS jaccard
+         |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+         |WHERE $TriJaccard >= 0.9""".stripMargin,
 
     // connected components in SQL: reachability closure via a recursive CTE
     // over the symmetrized true-trigram-jaccard pair graph, then min
     // reachable id per source — exactly the engine's min-label fixpoint
     "q_dup_clusters" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
-        |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM tri a JOIN tri b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) >= 0.9),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-        |reach(src, dst) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst)
-        |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
+      s"""WITH RECURSIVE $TriCte,
+         |${ccCte(0.9)}
+         |SELECT doc_id, cluster_id FROM cc""".stripMargin,
 
     // curation oracles: the id-hash split arithmetic is integer-exact and
     // mirrored literally (P = 2^31-1, A = Curation.HashA, threshold from
@@ -641,18 +661,8 @@ object SparkEntry {
 
     "q_split_leakfree" -> {
       val (p, a, t) = (Dedup.HashP, Curation.HashA, Curation.splitThreshold(0.2))
-      s"""WITH RECURSIVE docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
-         |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs),
-         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM tri a JOIN tri b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg)) >= 0.9),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
-         |reach(src, dst) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst),
-         |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+      s"""WITH RECURSIVE $TriCte,
+         |${ccCte(0.9)}
          |SELECT d.doc_id,
          | CASE WHEN ((COALESCE(cc.cluster_id, d.doc_id) % $p) * $a) % $p < $t THEN 'val' ELSE 'train' END AS split
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin

@@ -48,13 +48,19 @@ object Curation {
 
   /** Fixed-token-budget packing: documents are bucketed by id hash (so the
     * sort is per-bucket, never global — the scale requirement) and packed
-    * in id order; `batch_id` = the document's running-token start offset
-    * integer-divided by the budget. Documents larger than the budget get
-    * their own batch slot. One shuffle (by bucket) + per-bucket sorted
-    * window. */
+    * in id order; `batch_id` = the document's running-token START OFFSET
+    * integer-divided by the budget. A batch's token total can exceed the
+    * budget only by the overhang of its last (or an oversized) document —
+    * consumers must size buffers to budget + max doc length, the usual
+    * sequence-packing contract. One shuffle (by bucket) + per-bucket
+    * sorted window. Requires unique ids (the ROWS frame and the oracle's
+    * are only equivalent without peers). */
   def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
                    budgetTokens: Int, buckets: Int): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame would give duplicate
+    // id values a peer-inclusive cumulative sum
     val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("bucket", (idHash(col(idCol)) % buckets).cast("int"))
       .withColumn("__cum", sum(col(tokenCol)).over(w))
       // integer `div`, not double division: exact for any cum/budget

@@ -318,12 +318,14 @@ object Dedup {
     * cluster (the step after pair generation in a dedup pipeline: keep
     * `doc_id == cluster_id`, drop the rest).
     *
-    * Iterative min-label propagation: each round joins labels across the
-    * symmetrized edge list and keeps the elementwise minimum, converging in
-    * O(component diameter) rounds (duplicate clusters are near-cliques, so
-    * 2-3 in practice); every round is one shuffle of (id, label) pairs.
-    * Lineage is truncated each round with localCheckpoint so long chains
-    * cannot accumulate plan depth. */
+    * Iterative min-label propagation WITH pointer jumping: each round takes
+    * the minimum label across the symmetrized edge list and then shortcuts
+    * label -> label(label), so convergence is O(log diameter) rounds (a
+    * 2^25-long chain would fit in the default budget; duplicate clusters
+    * are near-cliques, so 2-3 rounds in practice). Every round is one
+    * shuffle of (id, label) pairs; lineage is truncated each round with
+    * localCheckpoint so deep chains cannot accumulate plan depth (use a
+    * reliable checkpoint dir instead on a lossy cluster). */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -339,11 +341,18 @@ object Dedup {
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+      // pointer jumping: label <- label(label) (monotone: a node's label is
+      // always the id of a node whose own label is <= it)
+      val jumped = updated
+        .join(updated.select(col("id").as("__pid"), col("label").as("__pl")),
+          col("label") === col("__pid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__pl"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = updated
+      changed = jumped
         .join(labels.select(col("id"), col("label").as("__old")), "id")
         .where(col("label") =!= col("__old")).count()
-      labels = updated
+      labels = jumped
       i += 1
     }
     require(changed == 0, s"duplicateClusters did not converge in $maxIters rounds")

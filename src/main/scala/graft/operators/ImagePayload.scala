@@ -168,9 +168,11 @@ object ImagePayload {
     * differ in ~32. Complements the exact `phash` (xxhash64 of the bytes):
     * phash equality catches byte-identical copies, dhash hamming catches
     * visually-identical ones. */
-  def dhash64(bytes: Array[Byte]): Long = {
+  def dhash64(bytes: Array[Byte]): Option[Long] = {
     val src = ImageIO.read(new ByteArrayInputStream(bytes))
-    if (src == null) return 0L
+    if (src == null) return None // undecodable: NO sentinel value — a shared
+    // sentinel would cluster every corrupt image into one giant false
+    // near-dup group; callers filter the null column instead
     val small = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
     val g = small.createGraphics()
     g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
@@ -193,7 +195,7 @@ object ImagePayload {
       }
       y += 1
     }
-    bits
+    Some(bits)
   }
 
   /** Data-augmentation primitive: paint a small black patch at (x, y) and
@@ -219,20 +221,27 @@ object ImagePayload {
   private val dhashUdf = udf((bytes: Array[Byte]) => dhash64(bytes))
   private val patchUdf = udf((bytes: Array[Byte], x: Int, y: Int, s: Int) => patchImage(bytes, x, y, s))
 
-  /** dhash column via real decode. */
+  /** dhash column via real decode; null for undecodable payloads. */
   def withPerceptualHash(images: DataFrame): DataFrame =
     images.withColumn("dhash", dhashUdf(col("bytes")))
 
-  /** Patched-copy column (see [[patchImage]]). */
-  def withPatch(images: DataFrame, x: Int, y: Int, size: Int): DataFrame =
-    images.withColumn("bytes", patchUdf(col("bytes"), lit(x), lit(y), lit(size)))
+  /** Patched-copy column (see [[patchImage]]); the exact-bytes `phash` is
+    * recomputed so the row stays internally consistent (the patched copy is
+    * NOT byte-identical to its source). */
+  def withPatch(images: DataFrame, x: Int, y: Int, size: Int): DataFrame = {
+    val patched = images.withColumn("bytes", patchUdf(col("bytes"), lit(x), lit(y), lit(size)))
+    if (patched.columns.contains("phash")) patched.withColumn("phash", xxhash64(col("bytes")))
+    else patched
+  }
 
   /** Image near-duplicate pairs: perceptual-hash banding (complete for
     * hamming <= 3 via [[Dedup.hamming64Pairs]]); only (id, dhash) rows
-    * enter the join — the image bytes never shuffle. */
+    * enter the join — the image bytes never shuffle. Undecodable images
+    * (null dhash) are excluded rather than clustered together. */
   def imageNearDup(images: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
     Dedup.hamming64Pairs(
-      withPerceptualHash(images).select(col(idCol), col("dhash")),
+      withPerceptualHash(images).select(col(idCol), col("dhash"))
+        .where(col("dhash").isNotNull),
       idCol, "dhash", maxHamming)
 
   private val resizeUdf = udf((bytes: Array[Byte], w: Int, h: Int) => resizeImage(bytes, w, h))

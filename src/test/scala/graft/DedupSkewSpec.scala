@@ -61,6 +61,13 @@ class DedupSkewSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // pointer jumping: a 60-deep chain (diameter >> the 25-round budget of
+    // plain propagation) still converges
+    val chain = (100L until 160L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val chainGot = Dedup.duplicateClusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(chainGot.size == 60 && chainGot.values.forall(_ == 100L))
   }
 
   test("bucket cap drops residual oversized buckets of near-identical-but-distinct docs") {

@@ -11,7 +11,7 @@ class ImageNearDupSpec extends SparkTestBase {
 
   test("patched copies pair up; unrelated images do not") {
     val keys = spark.read.parquet(s"${sf("sf0.01")}/part.parquet")
-      .select("p_partkey").limit(30)
+      .select("p_partkey").orderBy("p_partkey").limit(30)
     val images = ImagePayload.synthesize(keys, "p_partkey")
     val copies = ImagePayload.withPatch(images, 2, 2, 1)
       .withColumn("p_partkey", col("p_partkey") + 1000000L)
@@ -25,14 +25,15 @@ class ImageNearDupSpec extends SparkTestBase {
     assert(got == planted, s"missing=${planted -- got}, extra=${got -- planted}")
   }
 
-  test("byte-identical re-encode has hamming 0 and exact phash equality") {
+  test("byte-identical re-encode has hamming 0; undecodable bytes get no hash") {
     val keys = spark.read.parquet(s"${sf("sf0.01")}/part.parquet")
-      .select("p_partkey").limit(5)
+      .select("p_partkey").orderBy("p_partkey").limit(5)
     val images = ImagePayload.synthesize(keys, "p_partkey")
     val row = ImagePayload.withPerceptualHash(images).select("bytes", "dhash").head()
     val bytes = row.getAs[Array[Byte]]("bytes")
     // decode->same-size re-encode: visually identical, dhash must agree
     val reenc = ImagePayload.resizeImage(bytes, 16, 16)
-    assert(ImagePayload.dhash64(reenc) === row.getLong(1))
+    assert(ImagePayload.dhash64(reenc) === Some(row.getLong(1)))
+    assert(ImagePayload.dhash64(Array[Byte](1, 2, 3)).isEmpty)
   }
 }

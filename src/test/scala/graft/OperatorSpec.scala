@@ -137,9 +137,9 @@ class OperatorSpec extends SparkTestBase {
 
   test("distanceJoin == brute force haversine pairs at several radii") {
     val pts = spark.read.parquet(s"$dir/customer.parquet").select("c_custkey")
-      .withColumn("lat", expr("CAST((c_custkey * 9973 + 12345) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE)"))
-      .withColumn("lon", expr("CAST((c_custkey * 31337 + 54321) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"))
-      .limit(300)
+      .withColumn("lat", expr(SparkEntry.latSqlFor("c_custkey")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("c_custkey")))
+      .orderBy("c_custkey").limit(300)
     val rows = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     for (radius <- Seq(200000.0, 500000.0, 2500000.0)) {
       val got = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radius)
