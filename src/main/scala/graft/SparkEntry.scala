@@ -189,6 +189,19 @@ object SparkEntry {
         .select("user_id", "event_id", "rnk")
     }),
 
+    // --- as-of join: each purchase matched to the user's latest click at
+    // or before it (ties by event_id, no-match -> -1) ---
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"), col("user_id"))
+      AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        rightOrderCol = "click_id", rightCarryCols = Seq("click_id"))
+        .select(col("event_id"), coalesce(col("asof.click_id"), lit(-1L)).as("click_id"))
+    }),
+
     // --- streaming-equivalent sessionization (batch window-function form) ---
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapMillis = 30 * 60 * 1000L)
@@ -550,6 +563,13 @@ object SparkEntry {
         | SELECT user_id, event_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
         | FROM events) t WHERE rnk <= 2""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, COALESCE((
+        |  SELECT r.event_id FROM events r
+        |  WHERE r.user_id = l.user_id AND r.event_type = 'click' AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1), -1) AS click_id
+        |FROM events l WHERE l.event_type = 'purchase'""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (

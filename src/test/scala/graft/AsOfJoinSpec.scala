@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** As-of join semantics: latest right at-or-before, deterministic tie
+  * handling, null when nothing qualifies. */
+class AsOfJoinSpec extends SparkTestBase {
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("asOf == brute force with same-timestamp ties and no-match lefts") {
+    import spark.implicits._
+    val right = Seq(
+      (10L, ts(5), 1L), (11L, ts(5), 1L), // tie at t=5: larger id (11) wins
+      (12L, ts(20), 1L))
+      .toDF("rid", "rts", "key")
+    val left = Seq(
+      (100L, ts(4), 1L),  // before any right -> null
+      (101L, ts(5), 1L),  // same-timestamp right qualifies -> 11
+      (102L, ts(25), 1L), // -> 12
+      (103L, ts(10), 2L)) // key with no rights -> null
+      .toDF("lid", "lts", "key")
+
+    val got = AsOfJoin.asOf(left, right, Seq("key"), "lts", "rts",
+      rightOrderCol = "rid", rightCarryCols = Seq("rid"))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(100L -> -1L, 101L -> 11L, 102L -> 12L, 103L -> -1L))
+  }
+
+  test("asOf on the events table == correlated-subquery brute force") {
+    val ev = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val purchases = ev.where(col("event_type") === "purchase").select("event_id", "ts", "user_id")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"), col("user_id"))
+    val got = AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+      rightOrderCol = "click_id", rightCarryCols = Seq("click_id"))
+      .select(col("event_id"), coalesce(col("asof.click_id"), lit(-1L)).as("click_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // events.ts is TIMESTAMP_NTZ -> LocalDateTime in Spark 4 row access
+    def millis(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val clickRows = clicks.collect().map(r => (r.getLong(0), millis(r, 1), r.getLong(2)))
+    val expected = purchases.collect().map { p =>
+      val (id, t, u) = (p.getLong(0), millis(p, 1), p.getLong(2))
+      val best = clickRows.filter(c => c._3 == u && c._2 <= t)
+        .sortBy(c => (c._2, c._1)).lastOption
+      id -> best.map(_._1).getOrElse(-1L)
+    }.toMap
+    assert(got === expected)
+    assert(expected.values.exists(_ >= 0), "some purchases should have prior clicks")
+  }
+}
