@@ -50,6 +50,11 @@ object SparkEntry {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Embedding dimensionality of the harness tables (all scale factors) —
+    * threaded into the ANN operators so no query fires a driver-side
+    * `head()` job just to discover the vector width. */
+  private val EmbeddingDim = 64
+
   /** The three lat/lng-rect query regions of the rect PIP join (one wraps
     * the antimeridian); bounds sit on .005 offsets so no derived point can
     * land within fp distance of a boundary. */
@@ -403,7 +408,7 @@ object SparkEntry {
 
     "q_ann_bucketed" -> ((s, dir) =>
       Similarity.bucketedAnn(embeddings(s, dir), "vec_id", "embedding",
-        queryIds = 0L until 10L, k = 5)
+        queryIds = 0L until 10L, k = 5, dim = EmbeddingDim)
         .select("query_id", "neighbor_id")),
 
     // IVF coarse-quantizer ANN (approximate by design -> rows-only here;
@@ -431,7 +436,8 @@ object SparkEntry {
     }),
 
     "q_embed_neardup_lsh" -> ((s, dir) =>
-      Similarity.embeddingNearDup(embeddings(s, dir), "vec_id", "embedding", minCosine = 0.3)
+      Similarity.embeddingNearDup(embeddings(s, dir), "vec_id", "embedding", minCosine = 0.3,
+        dim = EmbeddingDim)
         .select("id_a", "id_b")),
 
     "q_embed_stats" -> ((s, dir) =>

@@ -228,25 +228,35 @@ object Dedup {
     (a, b)
   }
 
-  /** Portable polynomial rolling hash of a string: fold over char codes,
-    * h <- (h*131 + code) mod (2^31-1). Chosen (over xxhash64) because the
-    * identical arithmetic is expressible in ANSI SQL, so the driver's
-    * DuckDB oracle can recompute SimHash signatures bit-for-bit. A tight
-    * UDF loop rather than aggregate/transform higher-order functions:
-    * HOF lambdas evaluate interpreted per CHARACTER, which dominates the
-    * signature stage (the SQL mirror uses ascii(substr(s,i,1)), i.e. code
-    * points — identical to charAt for the ASCII corpora this targets;
-    * supplementary-plane text would need codePointAt on both sides). */
+  /** Portable polynomial rolling hash of a string: fold over UNICODE CODE
+    * POINTS, h <- (h*131 + codepoint) mod (2^31-1). Chosen (over xxhash64)
+    * because the identical arithmetic is expressible in ANSI SQL, so the
+    * driver's DuckDB oracle can recompute SimHash signatures bit-for-bit:
+    * the SQL mirror folds ascii(substr(s, i, 1)) over character positions,
+    * and both SQL `substr`/`ascii` and this loop index by code point — so
+    * supplementary-plane text (emoji, rare CJK) hashes identically on both
+    * sides (folding UTF-16 units via charAt would silently diverge there;
+    * DedupSkewSpec pins the non-BMP agreement). A tight UDF loop rather
+    * than aggregate/transform higher-order functions: HOF lambdas evaluate
+    * interpreted per character, which dominates the signature stage. */
   def portableHash(s: Column): Column = portableHashUdf(s)
+
+  /** The scalar fold behind [[portableHash]], exposed so specs can pin the
+    * UDF and the documented arithmetic to the same definition. */
+  private[graft] def portableHashOf(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % HashP
+      i += Character.charCount(cp)
+    }
+    h
+  }
 
   private val portableHashUdf = udf { s: String =>
     if (s == null) null.asInstanceOf[java.lang.Long]
-    else {
-      var h = 0L
-      var i = 0
-      while (i < s.length) { h = (h * 131L + s.charAt(i)) % HashP; i += 1 }
-      java.lang.Long.valueOf(h)
-    }
+    else java.lang.Long.valueOf(portableHashOf(s))
   }
 
   /** 64-bit SimHash over word-trigram features: per-bit weighted majority

@@ -199,7 +199,9 @@ object ResumableWrite {
       val moveMillis = (System.nanoTime() - tMove) / 1000000
       val rec = PartitionRecord(value, rows, dirBytes(finalDir),
         // apportion the shared write pass by row share + own move time
-        writeMillis * rows / totalRows + moveMillis, runId, input)
+        // (share computed in Double: writeMillis * rows overflows Long for
+        // ~1e13-row partitions at ~1e6 ms write passes)
+        (writeMillis * (rows.toDouble / totalRows)).toLong + moveMillis, runId, input)
       appendManifest(outDir, rec) // commit point: manifest line makes it durable
       out += rec
     }
@@ -207,19 +209,27 @@ object ResumableWrite {
     out.toSeq
   }
 
-  /** Read back everything committed so far: directories on disk whose
-    * decoded partition value has a manifest line. */
+  /** Read back everything committed so far: one directory per manifest
+    * line. Manifest/disk divergence (a committed partition whose directory
+    * was deleted or lost) fails loudly rather than silently returning fewer
+    * rows — the manifest is the source of truth for what a reader may rely
+    * on. */
   def readCommitted(spark: SparkSession, outDir: String, partitionCol: String): DataFrame = {
     val committed = committedPartitions(outDir)
     val prefix = s"$partitionCol="
     val s = Files.list(Paths.get(outDir))
-    val paths = try {
+    val onDisk = try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.toList
-        .filter(p => p.getFileName.toString.startsWith(prefix) &&
-          committed(unescapePathName(p.getFileName.toString.stripPrefix(prefix))))
-        .map(_.toString).sorted
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .map(p => unescapePathName(p.getFileName.toString.stripPrefix(prefix)) -> p.toString)
+        .toMap
     } finally s.close()
+    val missing = committed -- onDisk.keySet
+    require(missing.isEmpty,
+      s"manifest/disk divergence in $outDir: committed partitions with no directory: " +
+        missing.toSeq.sorted.mkString(", "))
+    val paths = onDisk.filter { case (v, _) => committed(v) }.values.toList.sorted
     if (paths.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(paths: _*)
   }

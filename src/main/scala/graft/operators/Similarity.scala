@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** dot(a, b) with builtin higher-order functions (codegen'd, no UDF). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x)
@@ -130,7 +132,11 @@ object Similarity {
   /** Approximate NN via multi-table hyperplane LSH: candidates are rows
     * sharing any table's bucket with the query; exact cosine re-rank.
     * `tables = 0` (default) auto-sizes via [[hyperplaneTables]] for
-    * [[AnnPlanningCosine]] at 95% per-neighbor recall. Only (id, table,
+    * [[AnnPlanningCosine]] at 95% per-neighbor recall — at the default
+    * planning cosine 0.2 that is ~92 tables, a 92x signature-ROW
+    * explosion per input row (ids only, never vectors); pass an explicit
+    * `tables` for higher-similarity regimes. The chosen count is logged
+    * per call. Only (id, table,
     * bucket) signature rows enter the probe join; vectors are joined back
     * by id AFTER candidate dedup, so the shuffled volume is ids — never
     * T copies of the vectors. Output: (query_id, neighbor_id, cosine,
@@ -140,6 +146,9 @@ object Similarity {
                   tables: Int = 0, bits: Int = 6, seed: Long = 42L,
                   dim: Int = 0): DataFrame = {
     val t = if (tables > 0) tables else hyperplaneTables(AnnPlanningCosine, bits, 0.95)
+    log.info(s"bucketedAnn: $t LSH tables of $bits bits " +
+      s"(signature-row explosion ${t}x per input row" +
+      (if (tables > 0) ", caller-specified)" else s", auto-sized for cosine $AnnPlanningCosine)"))
     val d = if (dim > 0) dim else vecDim(embeddings, vecCol)
     val sigs = embeddings
       .withColumn("__tb", explode(tableBuckets(col(vecCol), d, t, bits, seed)))
@@ -303,6 +312,8 @@ object Similarity {
                        seed: Long = 42L, targetRecall: Double = 0.97,
                        dim: Int = 0): DataFrame = {
     val t = if (tables > 0) tables else hyperplaneTables(minCosine, bits, targetRecall)
+    log.info(s"embeddingNearDup: $t LSH tables of $bits bits for minCosine $minCosine " +
+      s"(signature-row explosion ${t}x per input row)")
     val d = if (dim > 0) dim else vecDim(embeddings, vecCol)
     val sigs = embeddings
       .withColumn("__tb", explode(tableBuckets(col(vecCol), d, t, bits, seed)))

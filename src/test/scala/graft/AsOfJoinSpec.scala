@@ -54,4 +54,52 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got === expected)
     assert(expected.values.exists(_ >= 0), "some purchases should have prior clicks")
   }
+
+  test("asOf rejects caller columns colliding with reserved names") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, "x")).toDF("lid", "lt", "asof")
+    val right = Seq((2L, 3L)).toDF("rid", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right.withColumn("key", lit(1)),
+        Seq("key"), "lt", "rt", "rid", Seq("rid"))
+    }
+    assert(e.getMessage.contains("asof"))
+  }
+
+  test("asOfBucketed == asOf on random data including cross-bucket carries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // long gaps force many left buckets whose answer lives several buckets back
+    val right = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(100000).toLong, (i % 7).toLong)).toDF("rid", "rt", "key")
+    val left = (0 until 600).map(i =>
+      (1000L + i, rnd.nextInt(120000).toLong, (i % 9).toLong)).toDF("lid", "lt", "key")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lid"), coalesce(col("asof.rid"), lit(-1L)).as("rid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = run(AsOfJoin.asOf(left, right, Seq("key"), "lt", "rt", "rid", Seq("rid")))
+    val bucketed = run(AsOfJoin.asOfBucketed(left, right, Seq("key"), "lt", "rt",
+      "rid", Seq("rid"), t => (t / lit(1000L)).cast("long")))
+    assert(bucketed === plain)
+    assert(plain.values.exists(_ >= 0))
+    assert(plain.values.exists(_ < 0))
+  }
+
+  test("asOfBucketed bounds the hot-key window: one key with most rows, same result") {
+    import spark.implicits._
+    // planted hot key: 50k right rows + 5k lefts on ONE key; bucketed windows
+    // see at most ~rows-per-(key,bucket) rather than all 55k rows in one task
+    val n = 50000
+    val right = spark.range(n)
+      .select(col("id").as("rid"), (col("id") * 13 % 100000).as("rt"), lit(1L).as("key"))
+    val left = spark.range(5000)
+      .select((col("id") + 1000000).as("lid"), (col("id") * 97 % 110000).as("lt"), lit(1L).as("key"))
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lid"), coalesce(col("asof.rid"), lit(-1L)).as("rid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = run(AsOfJoin.asOf(left, right, Seq("key"), "lt", "rt", "rid", Seq("rid")))
+    val bucketed = run(AsOfJoin.asOfBucketed(left, right, Seq("key"), "lt", "rt",
+      "rid", Seq("rid"), t => (t / lit(500L)).cast("long")))
+    assert(bucketed === plain)
+  }
 }

@@ -86,4 +86,32 @@ class DedupSkewSpec extends SparkTestBase {
     val stats = Dedup.minhashBucketStats(docs, "doc_id", "text", numHashes = 32, bands = 16)
     assert(stats.agg(max("size")).head().getLong(0) > 50) // something was actually capped
   }
+
+  test("portableHash folds code points, not UTF-16 units (non-BMP agreement with SQL)") {
+    import spark.implicits._
+    // U+1F600 GRINNING FACE is a surrogate pair in UTF-16 but ONE character
+    // to SQL substr/ascii; the documented fold h <- (h*131 + codepoint) % P
+    // must see 0x1F600 once, not two surrogate halves
+    val s = "a😀b" // "a😀b"
+    def cpFold(str: String): Long = {
+      var h = 0L
+      str.codePoints().forEach(cp => h = (h * 131L + cp) % 2147483647L)
+      h
+    }
+    def utf16Fold(str: String): Long = {
+      var h = 0L
+      str.foreach(c => h = (h * 131L + c) % 2147483647L)
+      h
+    }
+    val got = Seq(Tuple1(s)).toDF("t")
+      .select(Dedup.portableHash(col("t"))).head().getLong(0)
+    assert(got === cpFold(s))
+    assert(got !== utf16Fold(s), "surrogate-pair fold would diverge from the SQL oracle")
+    // ASCII unchanged: the q_simhash_pairs oracle arithmetic still matches
+    val ascii = "hello world"
+    val gotAscii = Seq(Tuple1(ascii)).toDF("t")
+      .select(Dedup.portableHash(col("t"))).head().getLong(0)
+    assert(gotAscii === cpFold(ascii))
+    assert(gotAscii === utf16Fold(ascii))
+  }
 }

@@ -111,4 +111,20 @@ class ResumableWriteSpec extends SparkTestBase {
     assert(ResumableWrite.write(tricky, outDir, "p", runId = "r2").isEmpty)
     assert(ResumableWrite.readCommitted(spark, outDir, "p").count() == 3)
   }
+
+  test("manifest/disk divergence fails loudly instead of silently reading fewer rows") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("resumable6").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+    ResumableWrite.write(df, outDir, "p", runId = "r1")
+    assert(ResumableWrite.readCommitted(spark, outDir, "p").count() == 2)
+    // simulate partial deletion of a COMMITTED partition directory
+    val lost = java.nio.file.Paths.get(outDir, "p=b")
+    Files.walk(lost).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(Files.delete(_))
+    val e = intercept[IllegalArgumentException] {
+      ResumableWrite.readCommitted(spark, outDir, "p")
+    }
+    assert(e.getMessage.contains("b"))
+  }
 }
