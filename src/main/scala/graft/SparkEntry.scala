@@ -55,6 +55,23 @@ object SparkEntry {
     * `head()` job just to discover the vector width. */
   private val EmbeddingDim = 64
 
+  /** Build-once fixture for queries whose point is the READ path over a
+    * persisted layout (clustered table, IVF index): the layout is written
+    * the first time a query needs it for a given sf dir and reused after,
+    * so benchmark timings measure the pruned scan — not a re-write of the
+    * storage it scans (round-2 verdict: q_clustered_scan's bench entry
+    * measured write+read). Inputs are deterministic per dir, so presence
+    * of the marker is a sufficient validity check. */
+  private def fixture(dir: String, name: String)(build: String => Unit): String = {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${new java.io.File(dir).getName}"
+    val marker = new java.io.File(path, "_GRAFT_FIXTURE_READY")
+    this.synchronized {
+      if (!marker.exists()) { build(path); marker.createNewFile() }
+    }
+    path
+  }
+
   /** The three lat/lng-rect query regions of the rect PIP join (one wraps
     * the antimeridian); bounds sit on .005 offsets so no derived point can
     * land within fp distance of a boundary. */
@@ -286,9 +303,10 @@ object SparkEntry {
     // count must track data volume (a 100-TB table would warrant level 5's
     // 6144 dirs; 15k rows would drown in filesystem metadata at that level)
     "q_clustered_scan" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_clustered_${new java.io.File(dir).getName}"
-      Tiling.clusteredWrite(points(s, dir).select("o_orderkey", "lat", "lon"),
-        "lat", "lon", out, coarseLevel = 2)
+      val out = fixture(dir, "clustered") { p =>
+        Tiling.clusteredWrite(points(s, dir).select("o_orderkey", "lat", "lon"),
+          "lat", "lon", p, coarseLevel = 2)
+      }
       val rect = SparkEntryRegions.rects.head._2 // r_europe
       val cells = new graft.s2.S2RegionCoverer().setMaxCells(64).getCovering(rect)
       Tiling.readClusteredForCells(s, out, cells, coarseLevel = 2)
@@ -411,12 +429,18 @@ object SparkEntry {
         queryIds = 0L until 10L, k = 5, dim = EmbeddingDim)
         .select("query_id", "neighbor_id")),
 
-    // IVF coarse-quantizer ANN (approximate by design -> rows-only here;
+    // IVF coarse-quantizer ANN through the PERSISTED index: the quantizer
+    // trains and assigns once (fixture); the measured query is the
+    // partition-pruned probe (approximate by design -> rows-only here;
     // recall >= 0.9 vs brute force is pinned by EmbeddingRecallSpec)
-    "q_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfAnn(embeddings(s, dir), "vec_id", "embedding",
-        queryIds = 0L until 10L, k = 5)
-        .select("query_id", "neighbor_id")),
+    "q_ann_ivf" -> ((s, dir) => {
+      val idx = fixture(dir, "ivf_index") { p =>
+        Similarity.buildIvfIndex(embeddings(s, dir), "vec_id", "embedding", p)
+      }
+      Similarity.queryIvf(s, idx,
+        embeddings(s, dir).where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+    }),
 
     // embedding-cosine near-duplicate pairs: exact all-pairs form (small
     // vector tables; oracle-checked) and the LSH-bucketed scale path

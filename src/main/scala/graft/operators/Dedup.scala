@@ -101,13 +101,36 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Latest drop counter per banded stage ("minhash", "hamming64"): rows
+    * belonging to over-cap buckets that the most recent capped plan in this
+    * JVM dropped. Populated when the query RUNS (accumulator semantics —
+    * task retries may overcount; this is monitoring, not accounting). A
+    * pipeline should alert when this is nonzero: dropped buckets mean
+    * residual natural collisions the exact-dup collapse didn't explain. */
+  private val dropCounters =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.LongAccumulator]
+
+  /** Rows dropped by the `stage` banded join's bucket cap in the most
+    * recently executed plan (0 if no capped plan ran). */
+  def droppedBucketRows(stage: String): Long =
+    dropCounters.get(stage).map(_.value.toLong).getOrElse(0L)
+
   /** Drop rows of (band, bucket) groups larger than `maxBucketSize` —
-    * the residual-skew guard behind the exact-dup collapse. */
-  private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    * the residual-skew guard behind the exact-dup collapse. Dropped-row
+    * counts surface through [[droppedBucketRows]] (and the Spark UI, via
+    * the named accumulator) so caps never silence data loss. */
+  private def capBuckets(banded: DataFrame, maxBucketSize: Int, stage: String): DataFrame =
     if (maxBucketSize == Int.MaxValue) banded
     else {
+      val acc = banded.sparkSession.sparkContext
+        .longAccumulator(s"graft.dedup.$stage.droppedBucketRows")
+      dropCounters.put(stage, acc)
       val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
-      banded.join(sizes.where(col("__bsz") <= maxBucketSize), Seq("band", "bucket"))
+      val keep = udf { bsz: Long =>
+        if (bsz > maxBucketSize) { acc.add(1L); false } else true
+      }
+      banded.join(sizes, Seq("band", "bucket"))
+        .where(keep(col("__bsz")))
         .drop("__bsz")
     }
 
@@ -159,7 +182,7 @@ object Dedup {
                          minEstJaccard: Double, maxBucketSize: Int): DataFrame = {
     val sig = minhashSignatures(reps, idCol, textCol, numHashes, shingleN)
     val banded = minhashBanded(sig, idCol, numHashes, bands)
-    val capped = capBuckets(banded, maxBucketSize)
+    val capped = capBuckets(banded, maxBucketSize, "minhash")
 
     val a = capped.select(col(idCol).as("id_a"), col("__sig").as("sig_a"), col("band"), col("bucket"))
     val b = capped.select(col(idCol).as("id_b"), col("__sig").as("sig_b"), col("band"), col("bucket"))
@@ -288,7 +311,7 @@ object Dedup {
                      maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     require(maxHamming <= 3, s"4x16-bit banding is only complete for hamming <= 3, got $maxHamming")
     val banded = simhashBanded(df.select(col(idCol), col(hashCol).as("simhash")), idCol)
-    val capped = capBuckets(banded, maxBucketSize)
+    val capped = capBuckets(banded, maxBucketSize, "hamming64")
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bucket"))
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

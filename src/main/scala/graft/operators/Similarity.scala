@@ -267,9 +267,12 @@ object Similarity {
     * candidates get the exact cosine re-rank. Recall is governed by
     * nprobe/nlist (EmbeddingRecallSpec measures >= 0.9 on the harness
     * embeddings); cost per query is ~ nprobe/nlist of the table, read via
-    * a broadcast equi-join on the cluster id. At 100 TB the assignment
-    * column is computed once at ingest and the table bucketed/clustered by
-    * it, making each probe a partition-pruned scan. */
+    * a broadcast equi-join on the cluster id.
+    *
+    * NOTE: this variant retrains the quantizer and recomputes assignments
+    * on EVERY call — exploratory use only. The production path is
+    * [[buildIvfIndex]] (train + assign once, persisted clustered by list
+    * id) + [[queryIvf]] (partition-pruned probe). */
   def ivfAnn(embeddings: DataFrame, idCol: String, vecCol: String,
              queryIds: Seq[Long], k: Int,
              nlist: Int = 64, nprobe: Int = 20, iters: Int = 5): DataFrame = {
@@ -292,6 +295,71 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  // --- persisted IVF index: build once at ingest, probe partition-pruned ---
+
+  /** Build a persisted IVF index under `indexDir`: train the spherical
+    * k-means coarse quantizer ONCE, assign every row to its nearest
+    * centroid ONCE, and write the table hive-partitioned by list id with
+    * row norms precomputed. Queries against the result ([[queryIvf]]) are
+    * partition-pruned scans of ~nprobe/nlist of the data with zero
+    * training or assignment cost — the ingest-time layout a 100-TB ANN
+    * corpus needs (the ad-hoc [[ivfAnn]] retrains per call and exists for
+    * exploratory use only).
+    *
+    * Layout: `indexDir/centroids` (list, centroid) — nlist small rows —
+    * and `indexDir/lists/list=<k>/` (id, vec, norm). */
+  def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, nlist: Int = 64, iters: Int = 5,
+                    trainLimit: Int = 20000): Unit = {
+    val spark = embeddings.sparkSession
+    val centroids = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters, trainLimit)
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val assign = assignUdf(spark, centroids)
+    embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("norm"))
+      .withColumn("list", assign(col("vec")))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/lists")
+  }
+
+  /** Centroids of a persisted index (nlist rows, driver-side). */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexDir/centroids").orderBy("list").collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+
+  /** Query a persisted IVF index: each query probes its `nprobe` nearest
+    * lists; the scan carries a LITERAL IN-list on the hive partition
+    * column `list`, so only the probed list directories are opened
+    * (partition pruning — PLANS.md shows the pruned scan). One small job
+    * computes the probe set (queries are the broadcast side by
+    * construction); candidates get the exact cosine re-rank against the
+    * index's precomputed norms. Output: (query_id, neighbor_id, cosine,
+    * rank). */
+  def queryIvf(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+               queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, nprobe: Int = 20): DataFrame = {
+    val centroids = loadCentroids(spark, indexDir)
+    val probes = probeUdf(spark, centroids, nprobe)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        norm(col(vecCol)).as("__qnorm"))
+      .withColumn("list", explode(probes(col("__qvec"))))
+    val probedLists = q.select("list").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .where(col("list").isin(probedLists: _*))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    lists
+      .join(broadcast(q), Seq("list"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosineFast(col("vec"), col("__qvec"), col("norm"), col("__qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket in any

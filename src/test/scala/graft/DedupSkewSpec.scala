@@ -83,6 +83,10 @@ class DedupSkewSpec extends SparkTestBase {
       numHashes = 32, bands = 16, minEstJaccard = 0.0, maxBucketSize = 50).count()
     assert(uncapped > 0)
     assert(capped < uncapped)
+    // the cap does not drop silently: the banded stage reports how many
+    // signature rows it discarded (the pipeline's alert hook)
+    assert(Dedup.droppedBucketRows("minhash") > 0,
+      "capped run must report its dropped-row count")
     val stats = Dedup.minhashBucketStats(docs, "doc_id", "text", numHashes = 32, bands = 16)
     assert(stats.agg(max("size")).head().getLong(0) > 50) // something was actually capped
   }

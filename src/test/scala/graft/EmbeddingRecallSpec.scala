@@ -39,17 +39,31 @@ class EmbeddingRecallSpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
-  test("ivfAnn recall@5 >= 0.9 vs brute force") {
+  test("persisted IVF index: recall@5 >= 0.9, probe scan is partition-pruned") {
     val queries = 0L until 20L
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.ivfAnn(emb, "vec_id", "embedding", queries, 5)
-      .select("query_id", "neighbor_id")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx)
+    val q = Similarity.queryIvf(spark, idx,
+      emb.where(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    // the probe must reach the index as a partition-pruned scan: the lists
+    // read carries the literal probe IN-list as a PartitionFilter
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list#"),
+      s"expected a partition-pruned lists scan, got:\n$plan")
+    val approx = q.select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    info(f"ivfAnn recall@5 = $recall%.3f (nlist=64, nprobe=20)")
+    info(f"persisted IVF recall@5 = $recall%.3f (nlist=64, nprobe=20)")
     assert(recall >= 0.9, f"IVF recall $recall%.3f below 0.9")
+    // ad-hoc per-call variant agrees with the persisted path (same
+    // quantizer seeds, same probe rule)
+    val adhoc = Similarity.ivfAnn(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adhoc === approx)
   }
 
   test("bucketedAnn recall@5 >= 0.9 vs brute force") {
