@@ -386,6 +386,25 @@ object SparkEntry {
         numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
         .select("id_a", "id_b", "jaccard")),
 
+    // substring-level exact dedup: pairs sharing any verbatim >= 8-token
+    // span (inverted n-gram-fingerprint join + exact set verification)
+    "q_substring_dups" -> ((s, dir) =>
+      Dedup.substringDups(documents(s, dir).select("doc_id", "text"), "doc_id", "text", n = 8)
+        .select("id_a", "id_b")),
+
+    // incremental corpus dedup: a new batch (doc_id % 10 == 0) deduped
+    // against the standing corpus WITHOUT re-pairing the corpus with
+    // itself; output = near-dup pairs touching the batch
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      Dedup.incrementalNearDup(
+        corpus = docs.where(col("doc_id") % 10 =!= 0),
+        batch = docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", numHashes = 32, bands = 16,
+        minJaccard = 0.9, minEstJaccard = 0.5)
+        .select("id_a", "id_b")
+    }),
+
     // duplicate clusters: connected components over the verified near-dup
     // pair graph; cluster_id = canonical (minimum) doc id per component
     "q_dup_clusters" -> ((s, dir) =>
@@ -690,6 +709,30 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $TriJaccard AS jaccard
          |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
          |WHERE $TriJaccard >= 0.9""".stripMargin,
+
+    // verbatim >= 8-token spans: a pair shares a span iff their distinct
+    // 8-gram sets intersect; mirrored with the null-filtered token-window
+    // pattern so sub-8-token docs emit one short gram exactly like the
+    // engine's slice()
+    "q_substring_dups" -> {
+      val win = (0 until 8).map(j => s"toks[i+$j]").mkString("[", ", ", "]")
+      s"""WITH docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+         |og AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+         |  i -> array_to_string(list_filter($win, t -> t IS NOT NULL), ' '))) AS g FROM docs)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM og a JOIN og b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.g, b.g)) > 0""".stripMargin
+    },
+
+    // incremental dedup == the full pair set restricted to pairs touching
+    // the batch (the engine must find exactly these without generating any
+    // corpus-corpus pair)
+    "q_incremental_dedup" ->
+      s"""WITH $TriCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+         |WHERE $TriJaccard >= 0.9
+         |  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)""".stripMargin,
 
     // connected components in SQL: reachability closure via a recursive CTE
     // over the symmetrized true-trigram-jaccard pair graph, then min

@@ -345,6 +345,110 @@ object Dedup {
       .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
   }
 
+  // --- substring-level exact dedup ---------------------------------------
+
+  /** Documents sharing any verbatim >= `n`-token span — the C4/RefinedWeb
+    * "substring dedup" primitive (whole-document near-dup misses a page
+    * that embeds a paragraph of another). Two documents share an n-token
+    * span iff they share an n-token word n-gram, so candidate generation
+    * is an inverted-index equi-join on n-gram FINGERPRINTS (8-byte
+    * xxhash64 rows, never the gram text), and verification is an exact
+    * n-gram set intersection on candidate pairs only (kills the ~2^-64
+    * fingerprint collisions). Scale shape: exact-dup collapse first, so a
+    * million identical pages contribute one fingerprint set; the
+    * per-fingerprint join reuses the capped-bucket guard (stage
+    * "substring" in [[droppedBucketRows]]) against boilerplate spans
+    * shared by everything. Output: (id_a, id_b) with a < b, expanded back
+    * to all document pairs. */
+  def substringDups(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
+    val (reps, members) = collapseExact(df, idCol, textCol)
+    val grams = shingles(reps, idCol, textCol, n)
+    val banded = grams.select(col(idCol), lit(0).as("band"),
+      xxhash64(col("shingle")).as("bucket"))
+    val capped = capBuckets(banded, maxBucketSize, "substring")
+    val cand = capped.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      .join(capped.select(col(idCol).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // exact verification: candidate pairs whose true n-gram sets intersect
+    val sets = grams.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("g"))
+    val verified = cand
+      .join(sets.select(col(idCol).as("id_a"), col("g").as("g_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("g").as("g_b")), "id_b")
+      .where(size(array_intersect(col("g_a"), col("g_b"))) > 0)
+      .select("id_a", "id_b")
+    expandPairs(verified, members, Seq.empty)
+  }
+
+  // --- incremental (batch-vs-corpus) dedup --------------------------------
+
+  /** Banded MinHash signature layout (id, signature, band, bucket) in the
+    * shape [[incrementalNearDup]] probes — persist THIS at ingest so a
+    * daily batch never re-pairs (or even re-reads the text of) the
+    * existing corpus. */
+  def minhashBandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                              numHashes: Int = 32, bands: Int = 16,
+                              shingleN: Int = 3): DataFrame =
+    minhashBanded(minhashSignatures(df, idCol, textCol, numHashes, shingleN),
+      idCol, numHashes, bands)
+
+  /** Dedup a NEW batch against an EXISTING corpus without re-pairing the
+    * corpus with itself (the daily-ingest case): the batch's banded
+    * signatures probe the stored corpus signatures PLUS the batch's own,
+    * so every candidate pair touches the batch by construction — no
+    * corpus-corpus pair is ever generated (IncrementalDedupSpec pins
+    * this even when the corpus contains internal near-dups). Text is
+    * re-read only for corpus docs that actually appear as candidates
+    * (semi-join). Exact-dup collapse applies to the batch; corpus docs
+    * identical to each other each probe independently (their signatures
+    * are equal, so completeness is unaffected). Output: verified pairs
+    * (id_a, id_b, jaccard >= minJaccard) touching the batch, expanded to
+    * all batch-member pairs. */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 32, bands: Int = 16, shingleN: Int = 3,
+                         minJaccard: Double = 0.9, minEstJaccard: Double = 0.5,
+                         maxBucketSize: Int = 100000): DataFrame = {
+    val (bReps, bMembers) = collapseExact(batch, idCol, textCol)
+    val cand = incrementalCandidates(
+      minhashBandedSignatures(corpus, idCol, textCol, numHashes, bands, shingleN),
+      minhashBandedSignatures(bReps, idCol, textCol, numHashes, bands, shingleN),
+      idCol, numHashes, minEstJaccard, maxBucketSize)
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val texts = corpus.select(col(idCol), col(textCol))
+      .unionByName(bReps.select(col(idCol), col(textCol)))
+      .join(candIds, Seq(idCol), "left_semi")
+    val verified = ngramJaccard(texts, idCol, textCol, cand.select("id_a", "id_b"), shingleN)
+      .where(col("jaccard") >= minJaccard)
+    val corpusIdentity = corpus.select(col(idCol).as("__id"), col(idCol).as("__rep"))
+    expandPairs(verified, bMembers.unionByName(corpusIdentity), Seq("jaccard" -> lit(1.0)))
+  }
+
+  /** Asymmetric banded candidate join: batch signatures (left) probe
+    * stored corpus + batch signatures (right). Exposed for the spec that
+    * asserts no corpus-corpus candidate exists. */
+  private[graft] def incrementalCandidates(corpusBanded: DataFrame, batchBanded: DataFrame,
+                                           idCol: String, numHashes: Int,
+                                           minEstJaccard: Double, maxBucketSize: Int): DataFrame = {
+    val stored = capBuckets(corpusBanded.unionByName(batchBanded), maxBucketSize, "incremental")
+    val a = batchBanded.select(col(idCol).as("__pid"), col("__sig").as("sig_a"),
+      col("band"), col("bucket"))
+    val b = stored.select(col(idCol).as("__sid"), col("__sig").as("sig_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("__pid") =!= col("__sid"))
+      .select(
+        least(col("__pid"), col("__sid")).as("id_a"),
+        greatest(col("__pid"), col("__sid")).as("id_b"),
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
+          lit(numHashes.toDouble)).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
   /** Connected components over a near-duplicate pair graph: every document
     * that appears in a pair gets `cluster_id` = the minimum document id
     * reachable from it, i.e. one canonical representative per duplicate
