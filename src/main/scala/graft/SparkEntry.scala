@@ -532,14 +532,28 @@ object SparkEntry {
     }),
 
     // perceptual-hash image near-dup: plant single-pixel-patched copies of
-    // every 40th image, find them by dhash banding (rows-only: PNG decode
-    // has no SQL oracle; ImageNearDupSpec pins exact pair recovery)
+    // every 40th image, find them by dhash banding. The planted set is
+    // deterministic (p_partkey % 40 == 0 <-> key + 10^8) and unrelated
+    // rasters sit at ~32 hamming bits, so the planted pairs ARE the exact
+    // answer — oracled as such; ImageNearDupSpec asserts the full sf0.01
+    // population has no natural <= 3-bit dhash collision, which is what
+    // makes the planted-pair SQL exact rather than merely expected
     "q_image_neardup" -> ((s, dir) => {
       val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
       val planted = ImagePayload.withPatch(images.where(col("p_partkey") % 40 === 0), 2, 2, 1)
         .withColumn("p_partkey", col("p_partkey") + 100000000L)
       ImagePayload.imageNearDup(images.unionByName(planted), "p_partkey")
         .select("id_a", "id_b")
+    }),
+
+    // real WAV decode (javax.sound, zero external codecs): container parse,
+    // PCM decode, exact-sample equality and feature sanity must hold for
+    // every row — any failure drops rows vs the all-parts oracle
+    "q_audio_features" -> ((s, dir) => {
+      val audio = AudioPayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      AudioPayload.featureGate(audio, "p_partkey")
+        .where(col("features_ok"))
+        .select("p_partkey")
     }),
 
     "q_image_tile_join" -> ((s, dir) => {
@@ -860,6 +874,15 @@ object SparkEntry {
     "q_image_payload" -> "SELECT p_partkey FROM part",
 
     "q_image_features" -> "SELECT p_partkey FROM part",
+
+    "q_audio_features" -> "SELECT p_partkey FROM part",
+
+    // exact: the engine must recover precisely the planted patched copies
+    // (no natural pair exists within hamming 3 — spec-asserted over the
+    // whole population, see q_image_neardup comment)
+    "q_image_neardup" ->
+      """SELECT p_partkey AS id_a, p_partkey + 100000000 AS id_b
+        |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
 
     "q_image_tile_join" ->
       s"""WITH pts AS (SELECT printf('img%012d', p_partkey) AS image_id,

@@ -25,6 +25,29 @@ class ImageNearDupSpec extends SparkTestBase {
     assert(got == planted, s"missing=${planted -- got}, extra=${got -- planted}")
   }
 
+  test("no natural <= 3-bit dhash collision in the full sf0.01 population (oracle precondition)") {
+    // q_image_neardup's planted-pair SQL oracle is exact ONLY if no two
+    // unrelated synthesized rasters sit within hamming 3; assert that over
+    // every part key the oracle query touches
+    val keys = spark.read.parquet(s"${sf("sf0.01")}/part.parquet").select("p_partkey")
+    val hashes = ImagePayload.withPerceptualHash(ImagePayload.synthesize(keys, "p_partkey"))
+      .select("dhash").collect().map(_.getLong(0))
+    assert(hashes.length === 2000)
+    var minH = 64
+    var i = 0
+    while (i < hashes.length) {
+      var j = i + 1
+      while (j < hashes.length) {
+        val h = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+        if (h < minH) minH = h
+        j += 1
+      }
+      i += 1
+    }
+    info(s"min pairwise dhash hamming across 2000 unrelated rasters = $minH")
+    assert(minH > 3, s"natural collision at hamming $minH would break the planted-pair oracle")
+  }
+
   test("byte-identical re-encode has hamming 0; undecodable bytes get no hash") {
     val keys = spark.read.parquet(s"${sf("sf0.01")}/part.parquet")
       .select("p_partkey").orderBy("p_partkey").limit(5)
