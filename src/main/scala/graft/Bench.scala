@@ -161,6 +161,29 @@ object Bench {
       } finally s3.stop()
     }
 
+    // --- billion-row soak: the flagship-shaped job at 10^9 rows in one
+    // session — proves no driver/memory cliff beyond the sweep's ~10^8-row
+    // regime and records sustained throughput + peak heap (round-2 verdict
+    // ask #9; the memory headroom exists because nothing per-row ever
+    // reaches the driver: the job is scan -> expressions -> broadcast join
+    // -> partial-agg counts)
+    val soakJson = if (sys.env.getOrElse("SPARK_GRAFT_SOAK", "1") == "1") {
+      val soakRows = sys.env.getOrElse("SPARK_GRAFT_SOAK_ROWS", "1000000000").toLong
+      val s4 = session(cpus)
+      try {
+        scalingJob(s4, 10000000L) // warm codegen with a small run
+        import scala.jdk.CollectionConverters._
+        val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        heapPools.foreach(_.resetPeakUsage())
+        val t0 = System.nanoTime()
+        val matched = scalingJob(s4, soakRows)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+        f"""{"rows":$soakRows,"sec":$sec%.1f,"rows_per_sec":${soakRows / sec}%.1f,"join_matches":$matched,"peak_heap_mb":$peakMb}"""
+      } finally s4.stop()
+    } else "null"
+
     // --- scaling evidence: identical job at N and 4N cores, two pairs ---
     // The high pair (cpus/4 -> cpus) crosses this host's physical-core/SMT
     // boundary (local[32] maps onto ~16 physical cores), so the low pair
@@ -199,7 +222,7 @@ object Bench {
     val errsJson = errors.map(e => s""""$e"""").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsJson,"flagship_rows":$nRows,"flagship_sec":$flagshipSec%.3f,"flagship_rows_per_sec":$flagshipRps%.1f,"skewed_rows_per_sec":$skewRps%.1f,"scaling":$scalingJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsJson,"flagship_rows":$nRows,"flagship_sec":$flagshipSec%.3f,"flagship_rows_per_sec":$flagshipRps%.1f,"skewed_rows_per_sec":$skewRps%.1f,"soak":$soakJson,"scaling":$scalingJson,"sf":"$sfDir"}""")
   }
 }
 

@@ -224,6 +224,20 @@ object SparkEntry {
         .select(col("event_id"), coalesce(col("asof.click_id"), lit(-1L)).as("click_id"))
     }),
 
+    // the skew-hardened two-pass variant must produce the IDENTICAL result
+    // (same oracle): windows bounded per (user, hour-bucket) + summary carry
+    "q_asof_bucketed" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"), col("user_id"))
+      AsOfJoin.asOfBucketed(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        rightOrderCol = "click_id", rightCarryCols = Seq("click_id"),
+        bucketFor = t => (unix_millis(t.cast("timestamp")) / lit(3600000L)).cast("long"))
+        .select(col("event_id"), coalesce(col("asof.click_id"), lit(-1L)).as("click_id"))
+    }),
+
     // --- streaming-equivalent sessionization (batch window-function form) ---
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapMillis = 30 * 60 * 1000L)
@@ -628,6 +642,14 @@ object SparkEntry {
         | FROM events) t WHERE rnk <= 2""".stripMargin,
 
     "q_asof_join" ->
+      """SELECT l.event_id, COALESCE((
+        |  SELECT r.event_id FROM events r
+        |  WHERE r.user_id = l.user_id AND r.event_type = 'click' AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1), -1) AS click_id
+        |FROM events l WHERE l.event_type = 'purchase'""".stripMargin,
+
+    // identical semantics to q_asof_join, by construction — identical oracle
+    "q_asof_bucketed" ->
       """SELECT l.event_id, COALESCE((
         |  SELECT r.event_id FROM events r
         |  WHERE r.user_id = l.user_id AND r.event_type = 'click' AND r.ts <= l.ts

@@ -327,6 +327,25 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/lists")
   }
 
+  /** Append a new batch to a persisted IVF index WITHOUT retraining: rows
+    * are assigned with the STORED centroids and appended to the clustered
+    * layout (dynamic partition append — each batch adds files only to the
+    * list directories it touches). The index-maintenance companion of
+    * [[graft.operators.Dedup.incrementalNearDup]]: daily ingest is
+    * O(batch), never O(corpus). Centroid drift under sustained appends is
+    * a retrain-policy decision (rebuild when recall decays), not an
+    * operator concern. */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val assign = assignUdf(spark, loadCentroids(spark, indexDir))
+    batch
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("norm"))
+      .withColumn("list", assign(col("vec")))
+      .repartition(col("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$indexDir/lists")
+  }
+
   /** Centroids of a persisted index (nlist rows, driver-side). */
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                             indexDir: String): Array[Array[Double]] =

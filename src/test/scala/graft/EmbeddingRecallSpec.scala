@@ -66,6 +66,27 @@ class EmbeddingRecallSpec extends SparkTestBase {
     assert(adhoc === approx)
   }
 
+  test("IVF incremental append: batch joins the index without retrain, recall holds") {
+    val queries = 0L until 20L
+    val idx = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    // build on even ids only (nlist sized to the halved corpus: 32 ~
+    // sqrt-n scaling), then append the odd ids as a daily batch
+    Similarity.buildIvfIndex(emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+      nlist = 32)
+    Similarity.appendToIvfIndex(emb.where(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.queryIvf(spark, idx,
+      emb.where(col("vec_id") < 20), "vec_id", "embedding", k = 5, nprobe = 24)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"post-append IVF recall@5 = $recall%.3f (nlist=32, nprobe=24)")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9 after append")
+    assert(approx.exists(_._2 % 2 == 1), "appended (odd) rows must be retrievable")
+  }
+
   test("bucketedAnn recall@5 >= 0.9 vs brute force") {
     val queries = 0L until 20L
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
