@@ -243,6 +243,26 @@ object SparkEntry {
       graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapMillis = 30 * 60 * 1000L)
         .select("user_id", "session_start", "session_end", "n_events")),
 
+    // streaming spatial aggregation (same transform batch/stream): per-tile
+    // windowed counts, self-checked down to a derived oracle exactly like
+    // q_tile_counts — every event lands in exactly one (hour, level-4 tile)
+    // bucket with a valid token, so per-window totals must equal the plain
+    // per-hour event counts
+    "q_stream_tile_counts" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      graft.streaming.EventStreams.tiledWindowCounts(ev, "lat", "lon", level = 4)
+        .groupBy("window_start")
+        .agg(
+          sum("n").as("total_events"),
+          count(lit(1)).as("n_tiles"),
+          sum(when(s2_level(s2_cell_from_token(col("tile_token"))) === 4, 1L)
+            .otherwise(0L)).as("lvl4"))
+        .where(col("n_tiles") === col("lvl4") && col("n_tiles").between(1, 1536))
+        .select("window_start", "total_events")
+    }),
+
     // --- S2 kernel self-consistency over every derived point ---
     "q_tile_roundtrip" -> ((s, dir) => {
       points(s, dir)
@@ -655,6 +675,10 @@ object SparkEntry {
         |  WHERE r.user_id = l.user_id AND r.event_type = 'click' AND r.ts <= l.ts
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1), -1) AS click_id
         |FROM events l WHERE l.event_type = 'purchase'""".stripMargin,
+
+    "q_stream_tile_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS total_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (

@@ -74,29 +74,31 @@ object AudioPayload {
       }
     } catch { case _: Exception => None }
 
-  /** [rms, zeroCrossingRate, peak, durationSec] of a decoded clip, with
-    * amplitudes normalized to [0, 1]; empty array if undecodable. */
-  def audioFeatures(bytes: Array[Byte]): Array[Double] =
-    decodePcm(bytes) match {
-      case None => Array.emptyDoubleArray
-      case Some(s) if s.isEmpty => Array.emptyDoubleArray
-      case Some(s) =>
-        var sum2 = 0.0
-        var peak = 0.0
-        var crossings = 0
-        var i = 0
-        while (i < s.length) {
-          val v = s(i) / 32768.0
-          sum2 += v * v
-          peak = math.max(peak, math.abs(v))
-          if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) crossings += 1
-          i += 1
-        }
-        Array(math.sqrt(sum2 / s.length),
-          crossings.toDouble / math.max(1, s.length - 1),
-          peak,
-          s.length / SampleRate.toDouble)
+  /** [rms, zeroCrossingRate, peak, durationSec] from already-decoded
+    * samples, amplitudes normalized to [0, 1]. */
+  def featuresOf(s: Array[Short]): Array[Double] =
+    if (s.isEmpty) Array.emptyDoubleArray
+    else {
+      var sum2 = 0.0
+      var peak = 0.0
+      var crossings = 0
+      var i = 0
+      while (i < s.length) {
+        val v = s(i) / 32768.0
+        sum2 += v * v
+        peak = math.max(peak, math.abs(v))
+        if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) crossings += 1
+        i += 1
+      }
+      Array(math.sqrt(sum2 / s.length),
+        crossings.toDouble / math.max(1, s.length - 1),
+        peak,
+        s.length / SampleRate.toDouble)
     }
+
+  /** Decode + [[featuresOf]]; empty array if undecodable. */
+  def audioFeatures(bytes: Array[Byte]): Array[Double] =
+    decodePcm(bytes).map(featuresOf).getOrElse(Array.emptyDoubleArray)
 
   private val encodeUdf = udf((key: Long) => encodeWav(key))
   private val featuresUdf = udf((bytes: Array[Byte]) => audioFeatures(bytes))
@@ -126,8 +128,9 @@ object AudioPayload {
       case Some(got) =>
         // WAV is lossless: decoded PCM must equal the resynthesized truth
         // exactly, and the derived features must be physically sane
+        // (features computed from the one decode — no second parse)
         val expected = samples(key)
-        val f = audioFeatures(bytes)
+        val f = featuresOf(got)
         java.util.Arrays.equals(got, expected) &&
           f.length == 4 && f(0) > 0.4 && f(0) < 0.7 && // sine rms ~ 0.8/sqrt(2)
           f(1) > 0.0 && f(1) < 0.5 && f(2) <= 1.0 && f(3) > 0.0

@@ -30,6 +30,25 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Watermarked per-tile windowed counts over a geotagged event stream —
+    * the streaming form of [[graft.operators.Tiling.tileStats]]. The s2
+    * tiling expressions run inside the micro-batch plan (custom Catalyst
+    * expressions are streaming-safe: deterministic, codegen'd, stateless),
+    * so the only state is the windowed aggregation's, keyed by
+    * (window, tile) — bounded by 6*4^level cells times live windows, not
+    * by input rate. */
+  def tiledWindowCounts(events: DataFrame, latCol: String, lonCol: String,
+                        level: Int, watermark: String = "10 minutes",
+                        windowLength: String = "1 hour"): DataFrame = {
+    import graft.functions.s2functions._
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("tile_token", s2_token(s2_tile(col(latCol), col(lonCol), level)))
+      .groupBy(window(col("ts"), windowLength), col("tile_token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("tile_token"), col("n"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

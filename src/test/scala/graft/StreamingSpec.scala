@@ -37,6 +37,36 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("tiled window counts on a MemoryStream == the batch transform (s2 exprs in streaming plans)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def geo(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("lat", ((col("event_id") * 9973 + 12345) % 18000).cast("double") / 100.0 - 90.0)
+      .withColumn("lon", ((col("event_id") * 31337 + 54321) % 36000).cast("double") / 100.0 - 180.0)
+
+    val events = (0 until 200).map(i =>
+      Event(i.toLong, ts(i % 130), i % 7, "click", 1.0))
+    val input = MemoryStream[Event]
+    input.addData(events.take(120): _*)
+    input.addData(events.drop(120): _*)
+
+    val query = EventStreams.tiledWindowCounts(geo(input.toDF()), "lat", "lon", level = 4)
+      .writeStream.format("memory").queryName("tile_counts_stream")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql("SELECT window_start, tile_token, n FROM tile_counts_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val expected = EventStreams.tiledWindowCounts(geo(events.toDF()), "lat", "lon", level = 4)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expected)
+      assert(got.toSeq.map(_._3).sum === 200L, "every event in exactly one (window, tile) bucket")
+      assert(got.map(_._1).size > 1, "events span multiple hour windows")
+    } finally query.stop()
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) == batch window-function sessionize") {
     val spark0 = spark
     import spark0.implicits._
