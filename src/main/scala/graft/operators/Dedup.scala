@@ -411,10 +411,25 @@ object Dedup {
                          idCol: String, textCol: String,
                          numHashes: Int = 32, bands: Int = 16, shingleN: Int = 3,
                          minJaccard: Double = 0.9, minEstJaccard: Double = 0.5,
-                         maxBucketSize: Int = 100000): DataFrame = {
+                         maxBucketSize: Int = 100000): DataFrame =
+    incrementalNearDupStored(
+      minhashBandedSignatures(corpus, idCol, textCol, numHashes, bands, shingleN),
+      corpus, batch, idCol, textCol, numHashes, bands, shingleN,
+      minJaccard, minEstJaccard, maxBucketSize)
+
+  /** [[incrementalNearDup]] against a PERSISTED corpus signature table
+    * (the [[minhashBandedSignatures]] layout written at ingest): the daily
+    * run computes signatures only for the batch and scans the stored
+    * signatures instead of re-shingling the corpus — corpus TEXT is read
+    * only for verification of actual candidates. */
+  def incrementalNearDupStored(corpusBanded: DataFrame, corpus: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               numHashes: Int = 32, bands: Int = 16, shingleN: Int = 3,
+                               minJaccard: Double = 0.9, minEstJaccard: Double = 0.5,
+                               maxBucketSize: Int = 100000): DataFrame = {
     val (bReps, bMembers) = collapseExact(batch, idCol, textCol)
     val cand = incrementalCandidates(
-      minhashBandedSignatures(corpus, idCol, textCol, numHashes, bands, shingleN),
+      corpusBanded,
       minhashBandedSignatures(bReps, idCol, textCol, numHashes, bands, shingleN),
       idCol, numHashes, minEstJaccard, maxBucketSize)
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
