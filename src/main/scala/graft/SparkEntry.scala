@@ -386,6 +386,20 @@ object SparkEntry {
         KnnQueries, k = 5, startLevel = 4)
         .select("query_id", "o_orderkey")),
 
+    // region-region intersection join: one ~3 deg x 4 deg rect per customer
+    // (wrapping the antimeridian where the center is near +-180), pairs of
+    // intersecting rects via fixed-level covering-cell buckets + exact
+    // closed-interval refinement; oracle transcribes the kernel's
+    // R1/S1Interval.intersects rules literally over the same derived bounds
+    "q_rect_join" -> ((s, dir) => {
+      val rects = customer(s, dir).select(col("c_custkey"),
+        expr(RectLatLoSql).as("lat_lo"), expr(RectLatHiSql).as("lat_hi"),
+        expr(RectLonLoSql).as("lon_lo"), expr(RectLonHiSql).as("lon_hi"))
+      SpatialJoin.rectIntersectJoin(rects, "c_custkey",
+        "lat_lo", "lat_hi", "lon_lo", "lon_hi", level = 5)
+        .select("id_a", "id_b")
+    }),
+
     // distance self-join (pairs within 500 km) via neighbor-cell bucketing —
     // no cross join; oracle is the brute-force haversine over all pairs
     "q_distance_join" -> ((s, dir) => {
@@ -614,6 +628,18 @@ object SparkEntry {
   private val CustLatSql = latSqlFor("c_custkey")
   private val CustLonSql = lonSqlFor("c_custkey")
 
+  /** Rect bounds for q_rect_join, ONE definition shared by the Spark query
+    * (expr) and the DuckDB oracle so both sides compute bit-identical
+    * doubles. Half-sizes carry a .005 fraction while centers are multiples
+    * of 0.01, so no derived bound can land exactly on +-180 (where the
+    * kernel identifies -pi with pi but naive degree SQL would not). */
+  private val RectLatLoSql = s"greatest(-89.995, ($CustLatSql) - 1.505)"
+  private val RectLatHiSql = s"least(89.995, ($CustLatSql) + 1.505)"
+  private val RectLonLoSql =
+    s"CASE WHEN ($CustLonSql) - 2.005 < -180.0 THEN ($CustLonSql) - 2.005 + 360.0 ELSE ($CustLonSql) - 2.005 END"
+  private val RectLonHiSql =
+    s"CASE WHEN ($CustLonSql) + 2.005 > 180.0 THEN ($CustLonSql) + 2.005 - 360.0 ELSE ($CustLonSql) + 2.005 END"
+
   /** Shared CTE prefix (docs + distinct word-trigram sets) and Jaccard
     * expression for the trigram-oracle family: q_minhash_pairs,
     * q_ngram_jaccard, q_dup_clusters and q_split_leakfree MUST stay
@@ -754,6 +780,24 @@ object SparkEntry {
       s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
          |${cases.mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    // literal transcription of R1Interval.intersects (closed, lat) and
+    // S1Interval.intersects (closed, wrap-aware: lo > hi == inverted) in
+    // degrees — the radians conversion is monotone, so every comparison
+    // decides identically
+    "q_rect_join" ->
+      s"""WITH r AS (SELECT c_custkey,
+         |  $RectLatLoSql AS lat_lo, $RectLatHiSql AS lat_hi,
+         |  $RectLonLoSql AS lon_lo, $RectLonHiSql AS lon_hi FROM customer)
+         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |FROM r a JOIN r b ON a.c_custkey < b.c_custkey
+         |WHERE a.lat_lo <= b.lat_hi AND b.lat_lo <= a.lat_hi
+         |  AND (CASE
+         |    WHEN a.lon_lo > a.lon_hi AND b.lon_lo > b.lon_hi THEN TRUE
+         |    WHEN a.lon_lo > a.lon_hi THEN (b.lon_lo <= a.lon_hi OR b.lon_hi >= a.lon_lo)
+         |    WHEN b.lon_lo > b.lon_hi THEN (a.lon_lo <= b.lon_hi OR a.lon_hi >= b.lon_lo)
+         |    ELSE (b.lon_lo <= a.lon_hi AND b.lon_hi >= a.lon_lo)
+         |  END)""".stripMargin,
 
     "q_distance_join" -> {
       val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")

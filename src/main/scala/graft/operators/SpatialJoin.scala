@@ -228,4 +228,62 @@ object SpatialJoin {
       .where(col("distance_m") <= radiusM)
       .select("id_a", "id_b", "distance_m")
   }
+
+  /** Region-region intersection self-join over lat/lng rectangles — the
+    * missing third member of the join family (point x region, point x
+    * point, now region x region). Bounds are degree columns; `lonLo >
+    * lonHi` means the rect wraps the antimeridian.
+    *
+    * Candidates must share a FIXED-level-`level` S2 cell: any point of
+    * rectA intersect rectB lies in exactly one level-`level` cell, which
+    * then intersects both rects and appears in both cell sets — so the
+    * bucketed equi-join is complete. Per-rect cells come from the
+    * reference's fixed-level flood fill (`S2RegionCoverer.cs:289-293`,
+    * seeded at the rect center) with the exact curved-edge rect x cell
+    * test; refinement is the kernel's exact `S2LatLngRect.intersects`
+    * (closed intervals, wrap-aware). Shuffle carries only (id, cell,
+    * bounds) rows; no cross join at any scale. `level` trades explode
+    * factor (finer = more cells per rect) against bucket selectivity —
+    * pick it so a typical rect covers a handful of cells. */
+  def rectIntersectJoin(rects: DataFrame, idCol: String,
+                        latLoCol: String, latHiCol: String,
+                        lonLoCol: String, lonHiCol: String,
+                        level: Int = 5): DataFrame = {
+    val cellsUdf = udf { (latLo: Double, latHi: Double, lonLo: Double, lonHi: Double) =>
+      val rect = S2LatLngRect(
+        R1Interval(math.toRadians(latLo), math.toRadians(latHi)),
+        S1Interval(math.toRadians(lonLo), math.toRadians(lonHi)))
+      val seed = rect.center.toPoint
+      S2RegionCoverer.getSimpleCovering(rect, seed, level).toArray
+    }
+    val intersectsUdf = udf {
+      (aLo: Double, aHi: Double, aGlo: Double, aGhi: Double,
+       bLo: Double, bHi: Double, bGlo: Double, bGhi: Double) =>
+        S2LatLngRect(
+          R1Interval(math.toRadians(aLo), math.toRadians(aHi)),
+          S1Interval(math.toRadians(aGlo), math.toRadians(aGhi)))
+          .intersects(S2LatLngRect(
+            R1Interval(math.toRadians(bLo), math.toRadians(bHi)),
+            S1Interval(math.toRadians(bGlo), math.toRadians(bGhi))))
+    }
+    val withCells = rects.select(col(idCol),
+        col(latLoCol).as("__lo"), col(latHiCol).as("__hi"),
+        col(lonLoCol).as("__glo"), col(lonHiCol).as("__ghi"))
+      .withColumn("__cell",
+        explode(cellsUdf(col("__lo"), col("__hi"), col("__glo"), col("__ghi"))))
+    val a = withCells.select(col(idCol).as("id_a"), col("__cell"),
+      col("__lo").as("__alo"), col("__hi").as("__ahi"),
+      col("__glo").as("__aglo"), col("__ghi").as("__aghi"))
+    val b = withCells.select(col(idCol).as("id_b"), col("__cell"),
+      col("__lo").as("__blo"), col("__hi").as("__bhi"),
+      col("__glo").as("__bglo"), col("__ghi").as("__bghi"))
+    a.join(b, "__cell")
+      .where(col("id_a") < col("id_b"))
+      .drop("__cell")
+      .dropDuplicates("id_a", "id_b")
+      .where(intersectsUdf(
+        col("__alo"), col("__ahi"), col("__aglo"), col("__aghi"),
+        col("__blo"), col("__bhi"), col("__bglo"), col("__bghi")))
+      .select("id_a", "id_b")
+  }
 }
