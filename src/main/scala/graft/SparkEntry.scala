@@ -63,14 +63,19 @@ object SparkEntry {
     * measured write+read). Inputs are deterministic per dir, so presence
     * of the marker is a sufficient validity check. */
   private def fixture(dir: String, name: String)(build: String => Unit): String = {
+    // FixtureVersion is part of the path: bump it whenever a fixture's
+    // layout or producing code changes, or a stale /tmp fixture from an
+    // earlier build would silently feed the new reader
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${new java.io.File(dir).getName}"
+      s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${FixtureVersion}_${new java.io.File(dir).getName}"
     val marker = new java.io.File(path, "_GRAFT_FIXTURE_READY")
     this.synchronized {
       if (!marker.exists()) { build(path); marker.createNewFile() }
     }
     path
   }
+
+  private val FixtureVersion = "r3a"
 
   /** The three lat/lng-rect query regions of the rect PIP join (one wraps
     * the antimeridian); bounds sit on .005 offsets so no derived point can
