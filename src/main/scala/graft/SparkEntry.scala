@@ -243,6 +243,28 @@ object SparkEntry {
         .select(col("event_id"), coalesce(col("asof.click_id"), lit(-1L)).as("click_id"))
     }),
 
+    // --- trajectories (the reference domain's flight-track workload) ---
+    // per-entity track stats: per-segment lengths rounded to integer meters
+    // (integer meters per segment -> order-independent sums; the
+    // OracleMarginSpec-style rounding-boundary margin is asserted in
+    // TrajectorySpec so engine and SQL round identically)
+    "q_traj_stats" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.trajStats(pts, "user_id", "ts", "event_id", "lat", "lon")
+        .select("user_id", "n_points", "track_m", "max_seg_m")
+    }),
+
+    // which users' tracks visit each query region (vertex semantics)
+    "q_traj_region" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.visitsRegions(pts, "lat", "lon", "user_id", rectRegions)
+        .select("region_id", "user_id")
+    }),
+
     // --- streaming-equivalent sessionization (batch window-function form) ---
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapMillis = 30 * 60 * 1000L)
@@ -718,6 +740,36 @@ object SparkEntry {
     "q_stream_tile_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, count(*) AS total_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_traj_stats" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val d = haversineExpr("plat", "plon", "lat", "lon")
+      s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events),
+         |s AS (SELECT user_id, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lat, lon
+         |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |d AS (SELECT user_id, CASE WHEN plat IS NULL THEN NULL
+         |        ELSE CAST(round($d) AS BIGINT) END AS seg_m FROM s)
+         |SELECT user_id, count(*) AS n_points,
+         |  CAST(COALESCE(sum(seg_m), 0) AS BIGINT) AS track_m,
+         |  COALESCE(max(seg_m), 0) AS max_seg_m
+         |FROM d GROUP BY user_id""".stripMargin
+    },
+
+    "q_traj_region" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      s"""WITH p AS (SELECT user_id, $evLat AS lat, $evLon AS lon FROM events)
+         |SELECT DISTINCT 'r_europe' AS region_id, user_id FROM p
+         | WHERE lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005
+         |UNION ALL
+         |SELECT DISTINCT 'r_andes' AS region_id, user_id FROM p
+         | WHERE lat BETWEEN -40.005 AND -5.005 AND lon BETWEEN -80.005 AND -60.005
+         |UNION ALL
+         |SELECT DISTINCT 'r_pacific_wrap' AS region_id, user_id FROM p
+         | WHERE lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)
+         |""".stripMargin
+    },
 
     "q_sessionize" ->
       """WITH x AS (

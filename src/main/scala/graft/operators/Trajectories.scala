@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.s2functions._
+import graft.s2.S2Region
+
+/** Trajectory operators over timestamped point tables — the flight-track
+  * workload of the reference's domain (each entity's ordered positions
+  * form a polyline; the kernel-side S2Polyline ops are
+  * s2/S2Polyline.scala, `S2Polyline.cs`). Distributed shape: everything
+  * is per-entity windows + the existing covering PIP join; one shuffle by
+  * entity for the segment stats, broadcast regions for the visit join. */
+object Trajectories {
+
+  /** Per-entity track statistics: number of points, total track length
+    * and longest segment — segment lengths in INTEGER meters (rounded
+    * per segment before summing, so the aggregate is order-independent
+    * and exactly reproducible by a SQL oracle; a float sum would depend
+    * on Spark's partial-aggregation order, and sub-meter units would put
+    * rounding boundaries too close to the engine/oracle fp-op-order
+    * divergence — TrajectorySpec pins the margin). Segments follow
+    * (tsCol, orderCol) order within each entity: ONE shuffle by entity
+    * id, one window pass. */
+  def trajStats(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                latCol: String, lonCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(orderCol))
+    points
+      .withColumn("__plat", lag(col(latCol), 1).over(w))
+      .withColumn("__plon", lag(col(lonCol), 1).over(w))
+      .withColumn("__seg_m",
+        when(col("__plat").isNull, lit(null))
+          .otherwise(round(s2_distance_m(col("__plat"), col("__plon"),
+            col(latCol), col(lonCol))).cast("long")))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_points"),
+        coalesce(sum("__seg_m"), lit(0L)).as("track_m"),
+        coalesce(max("__seg_m"), lit(0L)).as("max_seg_m"))
+  }
+
+  /** (region_id, entity) pairs whose track VISITS the region — i.e. any
+    * of the entity's points lies inside (vertex semantics; segment-only
+    * crossings between consecutive points are the sampling question a
+    * producer answers with sampling density, not the join). Runs the
+    * covering PIP join on the raw points, then collapses to distinct
+    * (region, entity) — the dedup aggregates partially map-side, so a
+    * million-point track shuffles one row per (task, region). */
+  def visitsRegions(points: DataFrame, latCol: String, lonCol: String,
+                    idCol: String, regions: Seq[(String, S2Region)]): DataFrame =
+    SpatialJoin.pipJoin(points, latCol, lonCol, regions)
+      .select(col("region_id"), col(idCol))
+      .distinct()
+}

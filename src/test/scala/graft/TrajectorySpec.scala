@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Trajectories
+import graft.s2.S2LatLng
+
+/** Trajectory stats and region visits: brute-force equivalence plus the
+  * rounding-margin precondition that makes the integer-centimeter oracle
+  * exact (same argument shape as OracleMarginSpec for the PIP oracles). */
+class TrajectorySpec extends SparkTestBase {
+
+  private def geo(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("lat", ((col("event_id") * 9973 + 12345) % 18000).cast("double") / 100.0 - 90.0)
+    .withColumn("lon", ((col("event_id") * 31337 + 54321) % 36000).cast("double") / 100.0 - 180.0)
+
+  test("trajStats == per-user brute force (kernel distances, integer-meter sums)") {
+    val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
+    val got = Trajectories.trajStats(pts, "user_id", "ts", "event_id", "lat", "lon")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    def millis(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val rows = pts.select("user_id", "ts", "event_id", "lat", "lon").collect()
+      .map(r => (r.getLong(0), millis(r, 1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val expected = rows.groupBy(_._1).map { case (uid, g) =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val segs = sorted.sliding(2).collect { case Array(a, b) =>
+        math.round(S2LatLng.fromDegrees(a._4, a._5).getEarthDistance(
+          S2LatLng.fromDegrees(b._4, b._5)))
+      }.toSeq
+      uid -> ((sorted.length.toLong,
+        if (segs.isEmpty) 0L else segs.sum,
+        if (segs.isEmpty) 0L else segs.max))
+    }
+    assert(got === expected)
+    assert(got.values.exists(_._2 > 0))
+  }
+
+  test("rounding margin at sf0.01: no segment distance sits near a half-meter boundary") {
+    // the oracle recomputes each segment's haversine in SQL with the same
+    // formula but different fp op ORDER (e.g. radians conversion), so the
+    // two sides can differ by ~ulp (~2.4e-10 m at track scale); the
+    // integer-meter oracle is exact iff no distance is that close to a
+    // x.5 m rounding boundary. Deterministic inputs -> assert the margin
+    // once (measured 1.6e-6 m; centimeter units measured 2e-8 m — too
+    // close, which is why trajStats rounds to meters).
+    val pts = geo(spark.read.parquet(s"${sf("sf0.01")}/events.parquet"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    import graft.functions.s2functions._
+    val margin = pts
+      .withColumn("__plat", lag(col("lat"), 1).over(w))
+      .withColumn("__plon", lag(col("lon"), 1).over(w))
+      .where(col("__plat").isNotNull)
+      .select(s2_distance_m(col("__plat"), col("__plon"), col("lat"), col("lon")).as("m"))
+      .select(abs(col("m") - floor(col("m")) - 0.5).as("margin"))
+      .agg(min("margin")).head().getDouble(0)
+    info(f"min distance to a rounding boundary = $margin%.3e m")
+    assert(margin > 1e-7, f"segment within $margin%.3e m of a half-meter boundary " +
+      "- the integer-meter oracle would be fp-order-sensitive")
+  }
+
+  test("visitsRegions == brute-force vertex containment") {
+    val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
+    val got = Trajectories.visitsRegions(pts, "lat", "lon", "user_id", SparkEntryRegions.rects)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rows = pts.select("user_id", "lat", "lon").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expected = (for {
+      (rid, region) <- SparkEntryRegions.rects
+      (uid, la, lo) <- rows
+      if graft.operators.SpatialJoin.regionContains(region, la, lo)
+    } yield (rid, uid)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+}
