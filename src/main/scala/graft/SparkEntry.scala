@@ -413,6 +413,18 @@ object SparkEntry {
         KnnQueries, k = 5, startLevel = 4)
         .select("query_id", "o_orderkey")),
 
+    // all-pairs kNN self-join: every customer's 5 nearest other customers,
+    // exact via escalating neighbor-ring resolution (KnnSelfJoinSpec pins
+    // brute-force equality and the rank-gap margin that makes the oracle
+    // fp-safe: min adjacent-rank gap 4.7 m vs ~1e-9 m cross-engine noise)
+    "q_knn_self" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      Knn.knnSelfJoin(pts, "c_custkey", "lat", "lon", k = 5)
+        .select("id", "neighbor_id", "rank")
+    }),
+
     // region-region intersection join: one ~3 deg x 4 deg rect per customer
     // (wrapping the antimeridian where the center is near +-180), pairs of
     // intersecting rects via fixed-level covering-cell buckets + exact
@@ -836,6 +848,16 @@ object SparkEntry {
       }
       s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
          |${cases.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    "q_knn_self" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer)
+         |SELECT id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT a.c_custkey AS id, b.c_custkey AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.c_custkey ORDER BY $d, b.c_custkey) AS rnk
+         |  FROM pts a JOIN pts b ON a.c_custkey <> b.c_custkey) t
+         |WHERE rnk <= 5""".stripMargin
     },
 
     // literal transcription of R1Interval.intersects (closed, lat) and

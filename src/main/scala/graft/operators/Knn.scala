@@ -122,4 +122,84 @@ object Knn {
       .where(col("rank") <= k)
       .select((col("__qid").as("query_id") +: idCols.map(col)) :+ col("distance_m") :+ col("rank"): _*)
   }
+
+  /** ALL-pairs exact kNN self-join: every point gets its k nearest other
+    * points (the all-pairs companion of [[knnJoin]]'s fixed query list —
+    * the classic "for each listing, its 5 closest competitors" workload).
+    *
+    * Iterative neighbor-ring resolution, fine to coarse: at level L a
+    * still-unresolved point gathers candidates from its 3x3 cell block
+    * (own cell + `GetAllNeighbors`); if the block holds >= k candidates
+    * and the k-th candidate distance is <= minWidth(L) — the same
+    * adjacency guarantee [[SpatialJoin.distanceJoin]] rests on: anything
+    * closer than minWidth(L) must lie inside the block — then the block
+    * top-k IS the global top-k and the point retires with exact ranks.
+    * Survivors escalate to coarser levels; the remainder (points whose
+    * k-th neighbor is beyond the coarsest guarantee, a handful in any
+    * non-degenerate dataset) finishes by brute force against the full
+    * table with the REMAINDER broadcast. Per level: one 9x-explode
+    * equi-join on the cell id + one window; only (id, lat, lon) rows
+    * shuffle, and resolved points leave the working set before the next
+    * (more expensive per row, coarser) level. */
+  def knnSelfJoin(points: DataFrame, idCol: String, latCol: String, lonCol: String,
+                  k: Int, startLevel: Int = 6, minLevel: Int = 2,
+                  levelStep: Int = 2): DataFrame = {
+    require(k > 0 && startLevel >= minLevel && levelStep > 0)
+    val pts = points.select(col(idCol), col(latCol), col(lonCol)).localCheckpoint()
+    val nTotal = pts.count()
+    require(nTotal >= 2, "knnSelfJoin needs at least two points")
+    val kEff = math.min(k.toLong, nTotal - 1)
+
+    val b = pts.select(col(idCol).as("neighbor_id"),
+      col(latCol).as("__blat"), col(lonCol).as("__blon"))
+    var unresolved = pts
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var level = startLevel
+    while (level >= minLevel && !unresolved.isEmpty) {
+      val boundM = S2Projections.MinWidth.getValue(level) * S2LatLng.EarthRadiusMeters
+      val a = unresolved.select(col(idCol).as("id"),
+          col(latCol).as("__alat"), col(lonCol).as("__alon"))
+        .withColumn("__c", s2_tile(col("__alat"), col("__alon"), level))
+        .withColumn("__bucket",
+          explode(array_union(array(col("__c")), s2_all_neighbors(col("__c"), level))))
+        .drop("__c")
+      val wRank = Window.partitionBy("id").orderBy(col("distance_m"), col("neighbor_id"))
+      val wAll = Window.partitionBy("id")
+      val ranked = a
+        .join(b.withColumn("__bucket", s2_tile(col("__blat"), col("__blon"), level)), "__bucket")
+        .where(col("id") =!= col("neighbor_id"))
+        .withColumn("distance_m",
+          s2_distance_m(col("__alat"), col("__alon"), col("__blat"), col("__blon")))
+        .withColumn("rank", row_number().over(wRank))
+        .withColumn("__cnt", count(lit(1)).over(wAll))
+        .where(col("rank") <= kEff)
+        .select("id", "neighbor_id", "distance_m", "rank", "__cnt")
+        .localCheckpoint()
+      val resolvedIds = ranked.groupBy("id")
+        .agg(max("distance_m").as("__dk"), max("__cnt").as("__cnt"))
+        .where(col("__cnt") >= nTotal - 1 ||
+          (col("__cnt") >= kEff && col("__dk") <= boundM))
+        .select("id")
+      parts += ranked.join(resolvedIds, "id")
+        .select("id", "neighbor_id", "distance_m", "rank")
+      unresolved = unresolved
+        .join(resolvedIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      level -= levelStep
+    }
+    if (!unresolved.isEmpty) {
+      val rest = unresolved.select(col(idCol).as("id"),
+        col(latCol).as("__alat"), col(lonCol).as("__alon"))
+      val wRank = Window.partitionBy("id").orderBy(col("distance_m"), col("neighbor_id"))
+      parts += b
+        .crossJoin(broadcast(rest))
+        .where(col("id") =!= col("neighbor_id"))
+        .withColumn("distance_m",
+          s2_distance_m(col("__alat"), col("__alon"), col("__blat"), col("__blon")))
+        .withColumn("rank", row_number().over(wRank))
+        .where(col("rank") <= kEff)
+        .select("id", "neighbor_id", "distance_m", "rank")
+    }
+    parts.reduce(_ unionByName _)
+  }
 }
