@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   * key, at the price of one extra small shuffle of per-bucket summaries. */
 object AsOfJoin {
 
-  /** Internal column names reserved by the implementation; caller columns
-    * may not collide (they would be silently clobbered otherwise). */
-  private val Reserved = Seq("__t", "__side", "__ord", "__carry", "__bkt", "asof")
+  /** Internal column names reserved by the implementation (both variants);
+    * caller columns may not collide (they would be silently clobbered
+    * otherwise). */
+  private val Reserved =
+    Seq("__t", "__side", "__ord", "__carry", "__bkt", "__inb", "__prev", "asof")
 
   private def requireNoReserved(left: DataFrame, right: DataFrame): Unit = {
     val clash = (left.columns ++ right.columns).distinct.filter(Reserved.contains)

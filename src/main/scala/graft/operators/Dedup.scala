@@ -101,17 +101,23 @@ object Dedup {
     cross.unionByName(within)
   }
 
-  /** Latest drop counter per banded stage ("minhash", "hamming64"): rows
-    * belonging to over-cap buckets that the most recent capped plan in this
-    * JVM dropped. Populated when the query RUNS (accumulator semantics —
-    * task retries may overcount; this is monitoring, not accounting). A
-    * pipeline should alert when this is nonzero: dropped buckets mean
-    * residual natural collisions the exact-dup collapse didn't explain. */
+  /** Latest drop counter per banded stage ("minhash", "hamming64",
+    * "substring", "incremental"): signature rows of over-cap buckets the
+    * most recent capped plan in this JVM dropped. Populated when the query
+    * RUNS. Alerting semantics: nonzero iff rows were dropped — dropped
+    * buckets mean residual natural collisions the exact-dup collapse
+    * didn't explain. The magnitude is an AT-LEAST count that can read
+    * high (the capped subtree is evaluated once per plan branch — twice
+    * in a self-join — and task retries re-add); it can never read low:
+    * the filter predicate references both join sides, so Catalyst cannot
+    * push it below the join onto the per-bucket aggregate (which would
+    * count over-cap BUCKETS instead of rows). */
   private val dropCounters =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.LongAccumulator]
 
   /** Rows dropped by the `stage` banded join's bucket cap in the most
-    * recently executed plan (0 if no capped plan ran). */
+    * recently executed plan (0 if no capped plan ran) — see
+    * [[dropCounters]] for the exact semantics. */
   def droppedBucketRows(stage: String): Long =
     dropCounters.get(stage).map(_.value.toLong).getOrElse(0L)
 
@@ -119,18 +125,22 @@ object Dedup {
     * the residual-skew guard behind the exact-dup collapse. Dropped-row
     * counts surface through [[droppedBucketRows]] (and the Spark UI, via
     * the named accumulator) so caps never silence data loss. */
-  private def capBuckets(banded: DataFrame, maxBucketSize: Int, stage: String): DataFrame =
+  private def capBuckets(banded: DataFrame, maxBucketSize: Int, stage: String,
+                         idCol: String): DataFrame =
     if (maxBucketSize == Int.MaxValue) banded
     else {
       val acc = banded.sparkSession.sparkContext
         .longAccumulator(s"graft.dedup.$stage.droppedBucketRows")
       dropCounters.put(stage, acc)
       val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
-      val keep = udf { bsz: Long =>
+      // the unused id argument pins the predicate to the banded side, so
+      // the filter stays ABOVE the join and counts per banded ROW, not per
+      // bucket of the aggregated side
+      val keep = udf { (bsz: Long, id: String) =>
         if (bsz > maxBucketSize) { acc.add(1L); false } else true
       }
       banded.join(sizes, Seq("band", "bucket"))
-        .where(keep(col("__bsz")))
+        .where(keep(col("__bsz"), col(idCol).cast("string")))
         .drop("__bsz")
     }
 
@@ -182,7 +192,7 @@ object Dedup {
                          minEstJaccard: Double, maxBucketSize: Int): DataFrame = {
     val sig = minhashSignatures(reps, idCol, textCol, numHashes, shingleN)
     val banded = minhashBanded(sig, idCol, numHashes, bands)
-    val capped = capBuckets(banded, maxBucketSize, "minhash")
+    val capped = capBuckets(banded, maxBucketSize, "minhash", idCol)
 
     val a = capped.select(col(idCol).as("id_a"), col("__sig").as("sig_a"), col("band"), col("bucket"))
     val b = capped.select(col(idCol).as("id_b"), col("__sig").as("sig_b"), col("band"), col("bucket"))
@@ -311,7 +321,7 @@ object Dedup {
                      maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     require(maxHamming <= 3, s"4x16-bit banding is only complete for hamming <= 3, got $maxHamming")
     val banded = simhashBanded(df.select(col(idCol), col(hashCol).as("simhash")), idCol)
-    val capped = capBuckets(banded, maxBucketSize, "hamming64")
+    val capped = capBuckets(banded, maxBucketSize, "hamming64", idCol)
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bucket"))
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -366,7 +376,7 @@ object Dedup {
     val grams = shingles(reps, idCol, textCol, n)
     val banded = grams.select(col(idCol), lit(0).as("band"),
       xxhash64(col("shingle")).as("bucket"))
-    val capped = capBuckets(banded, maxBucketSize, "substring")
+    val capped = capBuckets(banded, maxBucketSize, "substring", idCol)
     val cand = capped.select(col(idCol).as("id_a"), col("band"), col("bucket"))
       .join(capped.select(col(idCol).as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -448,7 +458,7 @@ object Dedup {
   private[graft] def incrementalCandidates(corpusBanded: DataFrame, batchBanded: DataFrame,
                                            idCol: String, numHashes: Int,
                                            minEstJaccard: Double, maxBucketSize: Int): DataFrame = {
-    val stored = capBuckets(corpusBanded.unionByName(batchBanded), maxBucketSize, "incremental")
+    val stored = capBuckets(corpusBanded.unionByName(batchBanded), maxBucketSize, "incremental", idCol)
     val a = batchBanded.select(col(idCol).as("__pid"), col("__sig").as("sig_a"),
       col("band"), col("bucket"))
     val b = stored.select(col(idCol).as("__sid"), col("__sig").as("sig_b"),

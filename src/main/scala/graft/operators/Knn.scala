@@ -175,10 +175,16 @@ object Knn {
         .where(col("rank") <= kEff)
         .select("id", "neighbor_id", "distance_m", "rank", "__cnt")
         .localCheckpoint()
+      // retirement bound shaved by a relative + absolute safety margin
+      // (same discipline as knnJoin's cap radius): fp noise in the
+      // computed distances is ~1e-8 m, so a dk in the shaved band simply
+      // escalates one level instead of risking a boundary-equal wrong
+      // retirement
+      val safeBound = boundM * (1 - 1e-9) - 1e-6
       val resolvedIds = ranked.groupBy("id")
         .agg(max("distance_m").as("__dk"), max("__cnt").as("__cnt"))
         .where(col("__cnt") >= nTotal - 1 ||
-          (col("__cnt") >= kEff && col("__dk") <= boundM))
+          (col("__cnt") >= kEff && col("__dk") <= safeBound))
         .select("id")
       parts += ranked.join(resolvedIds, "id")
         .select("id", "neighbor_id", "distance_m", "rank")

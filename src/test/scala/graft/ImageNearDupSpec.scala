@@ -25,27 +25,41 @@ class ImageNearDupSpec extends SparkTestBase {
     assert(got == planted, s"missing=${planted -- got}, extra=${got -- planted}")
   }
 
-  test("no natural <= 3-bit dhash collision in the full sf0.01 population (oracle precondition)") {
-    // q_image_neardup's planted-pair SQL oracle is exact ONLY if no two
-    // unrelated synthesized rasters sit within hamming 3; assert that over
-    // every part key the oracle query touches
+  test("no non-planted <= 3-bit dhash pair in the full q_image_neardup population (oracle precondition)") {
+    // q_image_neardup's planted-pair SQL oracle is exact ONLY if, across
+    // the COMPLETE population the query builds (2000 originals + 50
+    // patched copies), no pair is within hamming 3 except the planted
+    // (original, its-own-copy) pairs themselves — checking originals alone
+    // would miss a patched copy drifting within 3 bits of an UNRELATED
+    // raster (patching moves a hash by up to a few bits)
     val keys = spark.read.parquet(s"${sf("sf0.01")}/part.parquet").select("p_partkey")
-    val hashes = ImagePayload.withPerceptualHash(ImagePayload.synthesize(keys, "p_partkey"))
-      .select("dhash").collect().map(_.getLong(0))
-    assert(hashes.length === 2000)
-    var minH = 64
+    val images = ImagePayload.synthesize(keys, "p_partkey")
+    val planted = ImagePayload.withPatch(images.where(col("p_partkey") % 40 === 0), 2, 2, 1)
+      .withColumn("p_partkey", col("p_partkey") + 100000000L)
+    val pop = ImagePayload.withPerceptualHash(images.unionByName(planted))
+      .select("p_partkey", "dhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pop.length === 2050)
+    var minNonPlanted = 64
     var i = 0
-    while (i < hashes.length) {
+    while (i < pop.length) {
       var j = i + 1
-      while (j < hashes.length) {
-        val h = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
-        if (h < minH) minH = h
+      while (j < pop.length) {
+        val (ia, ha) = pop(i)
+        val (ib, hb) = pop(j)
+        val isPlantedPair =
+          math.max(ia, ib) == math.min(ia, ib) + 100000000L && math.min(ia, ib) % 40 == 0
+        if (!isPlantedPair) {
+          val h = java.lang.Long.bitCount(ha ^ hb)
+          if (h < minNonPlanted) minNonPlanted = h
+        }
         j += 1
       }
       i += 1
     }
-    info(s"min pairwise dhash hamming across 2000 unrelated rasters = $minH")
-    assert(minH > 3, s"natural collision at hamming $minH would break the planted-pair oracle")
+    info(s"min non-planted pairwise dhash hamming across 2050 rasters = $minNonPlanted")
+    assert(minNonPlanted > 3,
+      s"non-planted pair at hamming $minNonPlanted would break the planted-pair oracle")
   }
 
   test("byte-identical re-encode has hamming 0; undecodable bytes get no hash") {
