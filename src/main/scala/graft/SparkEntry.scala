@@ -243,6 +243,38 @@ object SparkEntry {
         .select(col("event_id"), coalesce(col("asof.click_id"), lit(-1L)).as("click_id"))
     }),
 
+    // geofence enter/exit transitions: membership vector per track point
+    // (exact kernel refinement against broadcast regions, no join), one
+    // window pass comparing to the predecessor; first in-region sighting
+    // is an 'enter' (prior state unknown == outside)
+    "q_geofence" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Geofence.transitions(pts, "user_id", "ts", "event_id", "lat", "lon", rectRegions)
+        .select("user_id", "event_id", "region_id", "transition")
+    }),
+
+    // multi-level tile pyramid in ONE pass (ancestor-chain explode + one
+    // partial-combined aggregation); derived oracle exactly like
+    // q_tile_counts, per level: every point lands in exactly one valid
+    // tile of the right level, and cell counts are monotone in level
+    "q_tile_pyramid" -> ((s, dir) => {
+      val perLevel = Tiling.tilePyramid(points(s, dir), "lat", "lon", 2, 6)
+        .groupBy("level")
+        .agg(
+          sum("n").as("total_points"),
+          count(lit(1)).as("n_cells"),
+          sum(when(s2_level(s2_cell_from_token(col("tile_token"))) === col("level"), 1L)
+            .otherwise(0L)).as("lvl_ok"))
+        .where(col("n_cells") === col("lvl_ok"))
+      val w = Window.orderBy("level")
+      perLevel
+        .withColumn("__finer_cells", lead("n_cells", 1).over(w))
+        .where(col("__finer_cells").isNull || col("__finer_cells") >= col("n_cells"))
+        .select("level", "total_points")
+    }),
+
     // --- trajectories (the reference domain's flight-track workload) ---
     // per-entity track stats: per-segment lengths rounded to integer meters
     // (integer meters per segment -> order-independent sums; the
@@ -752,6 +784,32 @@ object SparkEntry {
     "q_stream_tile_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, count(*) AS total_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    // per-region lag SQL over (user, ts, event_id) order — boundary-safe
+    // because the rect bounds sit on .005 offsets no derived point hits
+    "q_geofence" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      def branch(rid: String, pred: String) =
+        s"""SELECT '$rid' AS region_id, user_id, event_id,
+           |  CASE WHEN inr THEN 'enter' ELSE 'exit' END AS transition FROM (
+           |  SELECT user_id, event_id, inr,
+           |    lag(inr) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pinr
+           |  FROM (SELECT user_id, ts, event_id, ($pred) AS inr FROM p) x) t
+           |WHERE inr <> COALESCE(pinr, FALSE)""".stripMargin
+      s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events)
+         |${branch("r_europe", "lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005")}
+         |UNION ALL
+         |${branch("r_andes", "lat BETWEEN -40.005 AND -5.005 AND lon BETWEEN -80.005 AND -60.005")}
+         |UNION ALL
+         |${branch("r_pacific_wrap", "lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)")}
+         |""".stripMargin
+    },
+
+    "q_tile_pyramid" ->
+      """SELECT CAST(l.level AS INTEGER) AS level, c.total_points
+        |FROM (SELECT unnest(generate_series(2, 6)) AS level) l
+        |CROSS JOIN (SELECT count(*) AS total_points FROM orders) c""".stripMargin,
 
     "q_traj_stats" -> {
       val evLat = latSqlFor("event_id")

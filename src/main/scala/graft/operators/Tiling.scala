@@ -25,6 +25,25 @@ object Tiling {
       .groupBy("tile_token")
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Multi-level tile pyramid: per-tile counts at every level in
+    * [minLevel, maxLevel] in ONE pass — each row explodes into its
+    * ancestor chain (maxLevel - minLevel + 1 rows, a map-side constant)
+    * and a single hash aggregation with partial combine produces every
+    * zoom level at once, instead of (levels) separate scans. This is the
+    * map-tile rollup a rendering pipeline precomputes: level L's
+    * histogram is exactly level L+1's rolled up by `s2_parent`, which
+    * TilingPyramidSpec pins. */
+  def tilePyramid(df: DataFrame, latCol: String, lonCol: String,
+                  minLevel: Int, maxLevel: Int): DataFrame = {
+    require(0 <= minLevel && minLevel <= maxLevel && maxLevel <= 30)
+    df.withColumn("__leaf", s2_cell_id(col(latCol), col(lonCol)))
+      .select(explode(array((minLevel to maxLevel).map(l =>
+        struct(lit(l).as("level"),
+          s2_token(s2_parent(col("__leaf"), l)).as("tile_token"))): _*)).as("__lt"))
+      .groupBy(col("__lt.level").as("level"), col("__lt.tile_token").as("tile_token"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Write the table spatially clustered: hive-partitioned by the coarse
     * tile token at `coarseLevel` and sorted within files by the unsigned
     * leaf cell id (SURVEY.md sections 2.9/4.2). Spatial predicates then
