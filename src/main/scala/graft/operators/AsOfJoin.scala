@@ -33,7 +33,7 @@ object AsOfJoin {
     * caller columns may not collide (they would be silently clobbered
     * otherwise). */
   private val Reserved =
-    Seq("__t", "__side", "__ord", "__carry", "__bkt", "__inb", "__prev", "asof")
+    Seq("__t", "__side", "__ord", "__carry", "__bkt", "__inb", "__prev", "__rank", "asof")
 
   private def requireNoReserved(left: DataFrame, right: DataFrame): Unit = {
     val clash = (left.columns ++ right.columns).distinct.filter(Reserved.contains)

@@ -22,10 +22,19 @@ object Geofence {
   /** @return (idCol, orderCol, region_id, transition) with transition in
     *         {"enter", "exit"}, one row per membership change, ordered
     *         per entity by (tsCol, orderCol) */
+  /** Working/output column names the implementation owns; input columns
+    * may not collide (same guard discipline as [[AsOfJoin]]). */
+  private val Reserved =
+    Seq("__flags", "__prev", "__pos", "__in", "__was", "region_id", "transition")
+
   def transitions(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
                   latCol: String, lonCol: String,
                   regions: Seq[(String, S2Region)]): DataFrame = {
     require(regions.nonEmpty)
+    val clash = points.columns.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"transitions reserves column names ${Reserved.mkString(", ")}; rename input columns: " +
+        clash.mkString(", "))
     val regs = regions // serializable: captured in the UDF closure (broadcast by Spark)
     val flagsUdf = udf { (lat: Double, lon: Double) =>
       regs.map { case (_, r) => SpatialJoin.regionContains(r, lat, lon) }

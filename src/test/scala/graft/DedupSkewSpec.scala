@@ -96,8 +96,11 @@ class DedupSkewSpec extends SparkTestBase {
     info(s"dropped rows: expected $expectedDropped, reported $reported")
     assert(reported >= expectedDropped,
       s"reported $reported under-reads the $expectedDropped dropped rows")
-    assert(reported <= 2 * expectedDropped,
-      s"reported $reported exceeds 2x the $expectedDropped dropped rows")
+    // 2x is the steady-state ceiling (one evaluation per self-join side);
+    // allow headroom for task retries / speculative re-execution, which
+    // the counter's documented at-least semantics permit
+    assert(reported <= 3 * expectedDropped,
+      s"reported $reported far exceeds the $expectedDropped dropped rows")
   }
 
   test("portableHash folds code points, not UTF-16 units (non-BMP agreement with SQL)") {

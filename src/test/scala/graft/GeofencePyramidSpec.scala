@@ -7,9 +7,11 @@ import graft.operators.{Geofence, SpatialJoin, Tiling}
 /** Geofence transition detection and the one-pass tile pyramid. */
 class GeofencePyramidSpec extends SparkTestBase {
 
+  // the ONE synthetic-coordinate derivation (SparkEntry.latSqlFor), not an
+  // inline copy, so spec and query cannot drift
   private def geo(df: org.apache.spark.sql.DataFrame) = df
-    .withColumn("lat", ((col("event_id") * 9973 + 12345) % 18000).cast("double") / 100.0 - 90.0)
-    .withColumn("lon", ((col("event_id") * 31337 + 54321) % 36000).cast("double") / 100.0 - 180.0)
+    .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+    .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
 
   test("geofence transitions == brute-force membership diff per track") {
     val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
@@ -17,10 +19,14 @@ class GeofencePyramidSpec extends SparkTestBase {
       SparkEntryRegions.rects)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
 
-    def millis(r: org.apache.spark.sql.Row, i: Int): Long =
-      r.getAs[java.time.LocalDateTime](i).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // full-precision ordering key (epochSecond, nano) — millis truncation
+    // could disagree with the operator's ts ordering on sub-ms timestamps
+    def tsKey(r: org.apache.spark.sql.Row, i: Int): (Long, Int) = {
+      val inst = r.getAs[java.time.LocalDateTime](i).toInstant(java.time.ZoneOffset.UTC)
+      (inst.getEpochSecond, inst.getNano)
+    }
     val rows = pts.select("user_id", "ts", "event_id", "lat", "lon").collect()
-      .map(r => (r.getLong(0), millis(r, 1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), tsKey(r, 1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
     val expected = (for {
       (rid, region) <- SparkEntryRegions.rects
       (_, track) <- rows.groupBy(_._1).toSeq

@@ -19,10 +19,14 @@ class TrajectorySpec extends SparkTestBase {
     val got = Trajectories.trajStats(pts, "user_id", "ts", "event_id", "lat", "lon")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
 
-    def millis(r: org.apache.spark.sql.Row, i: Int): Long =
-      r.getAs[java.time.LocalDateTime](i).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // full-precision (epochSecond, nano) ordering key — millis truncation
+    // could disagree with the operator's ts ordering on sub-ms timestamps
+    def tsKey(r: org.apache.spark.sql.Row, i: Int): (Long, Int) = {
+      val inst = r.getAs[java.time.LocalDateTime](i).toInstant(java.time.ZoneOffset.UTC)
+      (inst.getEpochSecond, inst.getNano)
+    }
     val rows = pts.select("user_id", "ts", "event_id", "lat", "lon").collect()
-      .map(r => (r.getLong(0), millis(r, 1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), tsKey(r, 1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
     val expected = rows.groupBy(_._1).map { case (uid, g) =>
       val sorted = g.sortBy(e => (e._2, e._3))
       val segs = sorted.sliding(2).collect { case Array(a, b) =>
