@@ -421,6 +421,33 @@ object SparkEntry {
       SpatialJoin.pipJoin(points(s, dir), "lat", "lon", polygonRegions)
         .select("region_id", "o_orderkey")),
 
+    // the same rect PIP join written as PURE SQL text against the
+    // registered s2_* function surface: the literal-arg s2_rect_covering
+    // CONSTANT-FOLDS at plan time, so the covering prefilter costs one
+    // array_contains per row with zero per-row covering work; the exact
+    // bounds refine makes the conjunction equal the rect oracle
+    "q_pip_rect_sql" -> ((s, dir) => {
+      graft.functions.s2functions.registerAll(s)
+      points(s, dir).createOrReplaceTempView("pts_sql_v")
+      def branch(rid: String, latLo: Double, latHi: Double,
+                 lonLo: Double, lonHi: Double, refine: String) =
+        s"""SELECT '$rid' AS region_id, o_orderkey
+           |FROM (SELECT o_orderkey, lat, lon,
+           |        s2_parent(s2_cell_id(lat, lon), 4) AS c4 FROM pts_sql_v)
+           |WHERE array_contains(
+           |        s2_rect_covering(CAST($latLo AS DOUBLE), CAST($latHi AS DOUBLE),
+           |                         CAST($lonLo AS DOUBLE), CAST($lonHi AS DOUBLE), 4), c4)
+           |  AND $refine""".stripMargin
+      s.sql(Seq(
+        branch("r_europe", 35.005, 60.005, -10.005, 30.005,
+          "lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005"),
+        branch("r_andes", -40.005, -5.005, -80.005, -60.005,
+          "lat BETWEEN -40.005 AND -5.005 AND lon BETWEEN -80.005 AND -60.005"),
+        branch("r_pacific_wrap", -15.005, 15.005, 160.005, -160.005,
+          "lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)"))
+        .mkString("\nUNION ALL\n"))
+    }),
+
     // 2500-vertex geodesic circle: refinement runs through the per-loop
     // edge index (>= 2000 vertices). Both engine and oracle exclude a 50 m
     // band around the radius, which dwarfs the ~2 m chord-vs-arc gap of the
@@ -866,6 +893,10 @@ object SparkEntry {
     "q_pip_rect" -> RectOracleSql,
 
     "q_pip_rect_exec" -> RectOracleSql,
+
+    // identical answer through the pure-SQL surface (covering prefilter is
+    // complete, bounds refine is exact)
+    "q_pip_rect_sql" -> RectOracleSql,
 
     "q_pip_circle" -> {
       val d = haversineExpr("lat", "lon", "10.0", "20.0")

@@ -227,3 +227,39 @@ case class S2VertexNeighbors(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "s2_vertex_neighbors"
 }
+
+/** `s2_rect_covering(latLoDeg, latHiDeg, lonLoDeg, lonHiDeg, level)` -> the
+  * fixed-level covering cell ids of a lat/lng rectangle (lonLo > lonHi
+  * wraps the antimeridian), via the reference's flood fill
+  * (`S2RegionCoverer.cs:289-293`). FOLDABLE when the bounds are literals —
+  * the usual case — so `array_contains(s2_rect_covering(...), cell)`
+  * constant-folds to a literal-array membership test at plan time: a
+  * pure-SQL covering prefilter with zero per-row covering cost. */
+case class S2RectCovering(children: Seq[Expression])
+    extends Expression with ExpectsInputTypes with CodegenFallback with Serializable {
+  require(children.size == 5, "s2_rect_covering(latLo, latHi, lonLo, lonHi, level)")
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val latLo = vs(0).asInstanceOf[Double]
+      val latHi = vs(1).asInstanceOf[Double]
+      val lonLo = vs(2).asInstanceOf[Double]
+      val lonHi = vs(3).asInstanceOf[Double]
+      val level = vs(4).asInstanceOf[Int]
+      val rect = graft.s2.S2LatLngRect(
+        graft.s2.R1Interval(math.toRadians(latLo), math.toRadians(latHi)),
+        graft.s2.S1Interval(math.toRadians(lonLo), math.toRadians(lonHi)))
+      new GenericArrayData(
+        graft.s2.S2RegionCoverer.getSimpleCovering(rect, rect.center.toPoint, level).toArray)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): S2RectCovering = copy(children = newChildren)
+  override def prettyName: String = "s2_rect_covering"
+}

@@ -146,6 +146,8 @@ class S2Extensions extends (SparkSessionExtensions => Unit) {
       { case Seq(a, b) => S2VertexNeighbors(a, b) }))
     ext.injectFunction((FunctionIdentifier("s2_region_contains"), info("s2_region_contains"),
       { case Seq(a, b, c) => S2RegionContains(a, b, c) }))
+    ext.injectFunction((FunctionIdentifier("s2_rect_covering"), info("s2_rect_covering"),
+      args => S2RectCovering(args)))
 
     ext.injectOptimizerRule(_ => PushS2RegionBounds)
   }

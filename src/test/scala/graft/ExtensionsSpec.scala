@@ -57,4 +57,28 @@ class ExtensionsSpec extends SparkTestBase {
     }.map(_.getLong(0)).toSet
     assert(got == brute)
   }
+
+  test("s2_rect_covering: SQL-registered, constant-folded, complete for a rect") {
+    graft.functions.s2functions.registerAll(spark)
+    // wrap rect spanning the antimeridian
+    val df = spark.sql(
+      """SELECT s2_rect_covering(CAST(-5.0 AS DOUBLE), CAST(5.0 AS DOUBLE),
+        |                        CAST(175.0 AS DOUBLE), CAST(-175.0 AS DOUBLE), 4) AS cov""".stripMargin)
+    // literal args -> ConstantFolding evaluates at plan time: the optimized
+    // plan carries the array literal, not the expression
+    assert(!df.queryExecution.optimizedPlan.toString.contains("s2_rect_covering"),
+      "literal-arg covering must constant-fold")
+    val cov = df.head().getSeq[Long](0).toSet
+    assert(cov.nonEmpty)
+    import graft.s2.{S2CellId, S2LatLng, S2CellUnion}
+    // completeness: every point of the rect maps to a level-4 cell in cov
+    for (lat <- BigDecimal(-4.9) to BigDecimal(4.9) by 1.1; lonOff <- BigDecimal(0.1) to BigDecimal(9.9) by 1.1) {
+      val lon = 175.0 + lonOff.toDouble
+      val lonW = if (lon > 180) lon - 360 else lon
+      val cell = S2CellId.parentForLevel(S2CellId.fromLatLngDegrees(lat.toDouble, lonW), 4)
+      assert(cov.contains(cell), s"cell of ($lat, $lonW) missing from covering")
+    }
+    // all members really are level 4 and intersect the rect
+    assert(cov.forall(S2CellId.level(_) == 4))
+  }
 }
