@@ -82,17 +82,15 @@ object SparkEntry {
     * land within fp distance of a boundary. */
   private def rectRegions: Seq[(String, S2Region)] = SparkEntryRegions.rects
 
-  private val RectOracleSql =
+  private val RectOracleSql = {
+    val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
+      s"""SELECT '$rid' AS region_id, o_orderkey FROM pts
+         | WHERE ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}""".stripMargin
+    }
     s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
-       |SELECT 'r_europe' AS region_id, o_orderkey FROM pts
-       | WHERE lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005
-       |UNION ALL
-       |SELECT 'r_andes' AS region_id, o_orderkey FROM pts
-       | WHERE lat BETWEEN -40.005 AND -5.005 AND lon BETWEEN -80.005 AND -60.005
-       |UNION ALL
-       |SELECT 'r_pacific_wrap' AS region_id, o_orderkey FROM pts
-       | WHERE lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)
+       |${branches.mkString("\nUNION ALL\n")}
        |""".stripMargin
+  }
 
   /** Shell+hole diamond polygon (`S2Polygon.cs:944-964` containment
     * semantics). Both loops are convex, so spherical containment IS
@@ -401,9 +399,10 @@ object SparkEntry {
           "lat", "lon", p, coarseLevel = 2)
       }
       val rect = SparkEntryRegions.rects.head._2 // r_europe
+      val (_, latLo, latHi, lonLo, lonHi) = SparkEntryRegions.rectBounds.head
       val cells = new graft.s2.S2RegionCoverer().setMaxCells(64).getCovering(rect)
       Tiling.readClusteredForCells(s, out, cells, coarseLevel = 2)
-        .where(col("lat").between(35.005, 60.005) && col("lon").between(-10.005, 30.005))
+        .where(col("lat").between(latLo, latHi) && col("lon").between(lonLo, lonHi))
         .select("o_orderkey")
     }),
 
@@ -429,23 +428,16 @@ object SparkEntry {
     "q_pip_rect_sql" -> ((s, dir) => {
       graft.functions.s2functions.registerAll(s)
       points(s, dir).createOrReplaceTempView("pts_sql_v")
-      def branch(rid: String, latLo: Double, latHi: Double,
-                 lonLo: Double, lonHi: Double, refine: String) =
+      val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
         s"""SELECT '$rid' AS region_id, o_orderkey
            |FROM (SELECT o_orderkey, lat, lon,
            |        s2_parent(s2_cell_id(lat, lon), 4) AS c4 FROM pts_sql_v)
            |WHERE array_contains(
            |        s2_rect_covering(CAST($latLo AS DOUBLE), CAST($latHi AS DOUBLE),
            |                         CAST($lonLo AS DOUBLE), CAST($lonHi AS DOUBLE), 4), c4)
-           |  AND $refine""".stripMargin
-      s.sql(Seq(
-        branch("r_europe", 35.005, 60.005, -10.005, 30.005,
-          "lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005"),
-        branch("r_andes", -40.005, -5.005, -80.005, -60.005,
-          "lat BETWEEN -40.005 AND -5.005 AND lon BETWEEN -80.005 AND -60.005"),
-        branch("r_pacific_wrap", -15.005, 15.005, 160.005, -160.005,
-          "lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)"))
-        .mkString("\nUNION ALL\n"))
+           |  AND ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}""".stripMargin
+      }
+      s.sql(branches.mkString("\nUNION ALL\n"))
     }),
 
     // 2500-vertex geodesic circle: refinement runs through the per-loop
@@ -817,19 +809,17 @@ object SparkEntry {
     "q_geofence" -> {
       val evLat = latSqlFor("event_id")
       val evLon = lonSqlFor("event_id")
-      def branch(rid: String, pred: String) =
+      val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
         s"""SELECT '$rid' AS region_id, user_id, event_id,
            |  CASE WHEN inr THEN 'enter' ELSE 'exit' END AS transition FROM (
            |  SELECT user_id, event_id, inr,
            |    lag(inr) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pinr
-           |  FROM (SELECT user_id, ts, event_id, ($pred) AS inr FROM p) x) t
+           |  FROM (SELECT user_id, ts, event_id,
+           |    (${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}) AS inr FROM p) x) t
            |WHERE inr <> COALESCE(pinr, FALSE)""".stripMargin
+      }
       s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events)
-         |${branch("r_europe", "lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005")}
-         |UNION ALL
-         |${branch("r_andes", "lat BETWEEN -40.005 AND -5.005 AND lon BETWEEN -80.005 AND -60.005")}
-         |UNION ALL
-         |${branch("r_pacific_wrap", "lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)")}
+         |${branches.mkString("\nUNION ALL\n")}
          |""".stripMargin
     },
 
@@ -856,15 +846,12 @@ object SparkEntry {
     "q_traj_region" -> {
       val evLat = latSqlFor("event_id")
       val evLon = lonSqlFor("event_id")
+      val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
+        s"""SELECT DISTINCT '$rid' AS region_id, user_id FROM p
+           | WHERE ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}""".stripMargin
+      }
       s"""WITH p AS (SELECT user_id, $evLat AS lat, $evLon AS lon FROM events)
-         |SELECT DISTINCT 'r_europe' AS region_id, user_id FROM p
-         | WHERE lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005
-         |UNION ALL
-         |SELECT DISTINCT 'r_andes' AS region_id, user_id FROM p
-         | WHERE lat BETWEEN -40.005 AND -5.005 AND lon BETWEEN -80.005 AND -60.005
-         |UNION ALL
-         |SELECT DISTINCT 'r_pacific_wrap' AS region_id, user_id FROM p
-         | WHERE lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)
+         |${branches.mkString("\nUNION ALL\n")}
          |""".stripMargin
     },
 
@@ -885,10 +872,12 @@ object SparkEntry {
 
     "q_tile_counts" -> "SELECT count(*) AS total_points FROM orders",
 
-    "q_clustered_scan" ->
+    "q_clustered_scan" -> {
+      val (_, latLo, latHi, lonLo, lonHi) = SparkEntryRegions.rectBounds.head // r_europe
       s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
          |SELECT o_orderkey FROM pts
-         |WHERE lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005""".stripMargin,
+         |WHERE ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}""".stripMargin
+    },
 
     "q_pip_rect" -> RectOracleSql,
 
@@ -1150,17 +1139,15 @@ object SparkEntry {
       """SELECT p_partkey AS id_a, p_partkey + 100000000 AS id_b
         |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
 
-    "q_image_tile_join" ->
+    "q_image_tile_join" -> {
+      val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
+        s"""SELECT '$rid' AS region_id, image_id FROM pts
+           | WHERE ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}""".stripMargin
+      }
       s"""WITH pts AS (SELECT printf('img%012d', p_partkey) AS image_id,
          |  $PartLatSql AS lat, $PartLonSql AS lon FROM part)
-         |SELECT 'r_europe' AS region_id, image_id FROM pts
-         | WHERE lat BETWEEN 35.005 AND 60.005 AND lon BETWEEN -10.005 AND 30.005
-         |UNION ALL
-         |SELECT 'r_andes' AS region_id, image_id FROM pts
-         | WHERE lat BETWEEN -40.005 AND -5.005 AND lon BETWEEN -80.005 AND -60.005
-         |UNION ALL
-         |SELECT 'r_pacific_wrap' AS region_id, image_id FROM pts
-         | WHERE lat BETWEEN -15.005 AND 15.005 AND (lon >= 160.005 OR lon <= -160.005)
+         |${branches.mkString("\nUNION ALL\n")}
          |""".stripMargin
+    }
   )
 }

@@ -236,13 +236,20 @@ case class S2VertexNeighbors(left: Expression, right: Expression)
   * constant-folds to a literal-array membership test at plan time: a
   * pure-SQL covering prefilter with zero per-row covering cost. */
 case class S2RectCovering(children: Seq[Expression])
-    extends Expression with ExpectsInputTypes with CodegenFallback with Serializable {
+    extends Expression with ImplicitCastInputTypes with CodegenFallback with Serializable {
   require(children.size == 5, "s2_rect_covering(latLo, latHi, lonLo, lonHi, level)")
   override def inputTypes: Seq[DataType] =
     Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
   override def foldable: Boolean = children.forall(_.foldable)
+
+  /** Refuse plans whose covering would exceed this many cells: the flood
+    * fill runs on the DRIVER during constant folding, so a 25x40-degree
+    * rect at level 20 must fail fast instead of enumerating billions of
+    * cells before the first task launches. */
+  private val MaxCoveringCells = 1 << 17
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) null
@@ -252,9 +259,20 @@ case class S2RectCovering(children: Seq[Expression])
       val lonLo = vs(2).asInstanceOf[Double]
       val lonHi = vs(3).asInstanceOf[Double]
       val level = vs(4).asInstanceOf[Int]
+      require(0 <= level && level <= 30, s"s2_rect_covering level $level outside [0, 30]")
       val rect = graft.s2.S2LatLngRect(
         graft.s2.R1Interval(math.toRadians(latLo), math.toRadians(latHi)),
         graft.s2.S1Interval(math.toRadians(lonLo), math.toRadians(lonHi)))
+      // fail fast on coverings too large to enumerate: spherical rect
+      // area / average cell area at the level, with slack for boundary
+      // cells
+      val area = rect.lng.length *
+        math.max(0.0, math.sin(rect.lat.hi) - math.sin(rect.lat.lo))
+      val avgCellArea = 4 * math.Pi / (6.0 * math.pow(4.0, level))
+      val estimate = area / avgCellArea
+      require(estimate <= MaxCoveringCells,
+        f"s2_rect_covering would produce ~$estimate%.0f level-$level cells " +
+          f"(> $MaxCoveringCells); use a coarser level for a rect this large")
       new GenericArrayData(
         graft.s2.S2RegionCoverer.getSimpleCovering(rect, rect.center.toPoint, level).toArray)
     }

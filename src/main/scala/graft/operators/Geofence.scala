@@ -19,14 +19,14 @@ import graft.s2.S2Region
   * state unknown == outside, the standard geofence convention). */
 object Geofence {
 
-  /** @return (idCol, orderCol, region_id, transition) with transition in
-    *         {"enter", "exit"}, one row per membership change, ordered
-    *         per entity by (tsCol, orderCol) */
   /** Working/output column names the implementation owns; input columns
     * may not collide (same guard discipline as [[AsOfJoin]]). */
   private val Reserved =
     Seq("__flags", "__prev", "__pos", "__in", "__was", "region_id", "transition")
 
+  /** @return (idCol, orderCol, region_id, transition) with transition in
+    *         {"enter", "exit"}, one row per membership change, ordered
+    *         per entity by (tsCol, orderCol) */
   def transitions(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
                   latCol: String, lonCol: String,
                   regions: Seq[(String, S2Region)]): DataFrame = {

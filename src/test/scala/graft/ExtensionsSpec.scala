@@ -70,7 +70,7 @@ class ExtensionsSpec extends SparkTestBase {
       "literal-arg covering must constant-fold")
     val cov = df.head().getSeq[Long](0).toSet
     assert(cov.nonEmpty)
-    import graft.s2.{S2CellId, S2LatLng, S2CellUnion}
+    import graft.s2.{S2Cell, S2CellId}
     // completeness: every point of the rect maps to a level-4 cell in cov
     for (lat <- BigDecimal(-4.9) to BigDecimal(4.9) by 1.1; lonOff <- BigDecimal(0.1) to BigDecimal(9.9) by 1.1) {
       val lon = 175.0 + lonOff.toDouble
@@ -78,7 +78,12 @@ class ExtensionsSpec extends SparkTestBase {
       val cell = S2CellId.parentForLevel(S2CellId.fromLatLngDegrees(lat.toDouble, lonW), 4)
       assert(cov.contains(cell), s"cell of ($lat, $lonW) missing from covering")
     }
-    // all members really are level 4 and intersect the rect
+    // all members really are level 4 and SOUND: each intersects the rect
     assert(cov.forall(S2CellId.level(_) == 4))
+    val wrapRect = S2LatLngRect(
+      R1Interval(math.toRadians(-5.0), math.toRadians(5.0)),
+      S1Interval(math.toRadians(175.0), math.toRadians(-175.0)))
+    assert(cov.forall(c => wrapRect.mayIntersectCell(S2Cell(c))),
+      "covering member does not intersect the rect")
   }
 }
