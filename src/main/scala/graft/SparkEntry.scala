@@ -138,6 +138,15 @@ object SparkEntry {
   private val CircleRadiusM = 2500000.0
   private val CircleBandM = 50.0
 
+  /** Shared oracle of q_pip_circle and q_pip_circle_sql: exact haversine
+    * radius test with the 50 m exclusion band both engine paths apply. */
+  private lazy val CircleOracleSql = {
+    val d = haversineExpr("lat", "lon", "10.0", "20.0")
+    s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
+       |SELECT 'c_2500km' AS region_id, o_orderkey FROM pts
+       |WHERE $d < ${CircleRadiusM - CircleBandM}""".stripMargin
+  }
+
   private def haversineExpr(lat1: String, lon1: String, lat2: String, lon2: String): String = {
     val rl1 = s"(($lat1) * (pi() / 180))"
     val rl2 = s"(($lat2) * (pi() / 180))"
@@ -452,6 +461,20 @@ object SparkEntry {
         .where(abs(s2_distance_m(col("lat"), col("lon"), lit(10.0), lit(20.0))
           - CircleRadiusM) > CircleBandM)
         .select("region_id", "o_orderkey")
+    }),
+
+    // the circle query as PURE SQL: constant-folded cap covering prefilter
+    // + the kernel haversine (s2_distance_m) as the exact predicate — the
+    // same d < R - band condition the q_pip_circle oracle states
+    "q_pip_circle_sql" -> ((s, dir) => {
+      graft.functions.s2functions.registerAll(s)
+      points(s, dir).createOrReplaceTempView("pts_circle_v")
+      s.sql(
+        s"""SELECT 'c_2500km' AS region_id, o_orderkey
+           |FROM (SELECT o_orderkey, lat, lon,
+           |        s2_parent(s2_cell_id(lat, lon), 4) AS c4 FROM pts_circle_v)
+           |WHERE array_contains(s2_cap_covering(10.0D, 20.0D, ${CircleRadiusM}D, 4), c4)
+           |  AND s2_distance_m(lat, lon, 10.0D, 20.0D) < ${CircleRadiusM - CircleBandM}D""".stripMargin)
     }),
 
     "q_doughnut" -> ((s, dir) =>
@@ -887,12 +910,12 @@ object SparkEntry {
     // complete, bounds refine is exact)
     "q_pip_rect_sql" -> RectOracleSql,
 
-    "q_pip_circle" -> {
-      val d = haversineExpr("lat", "lon", "10.0", "20.0")
-      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
-         |SELECT 'c_2500km' AS region_id, o_orderkey FROM pts
-         |WHERE $d < ${CircleRadiusM - CircleBandM}""".stripMargin
-    },
+    "q_pip_circle" -> CircleOracleSql,
+
+    // same answer through the pure-SQL surface: the cap covering prefilter
+    // is complete (a contained point's level-4 cell intersects the cap) and
+    // the refine predicate is the identical kernel haversine
+    "q_pip_circle_sql" -> CircleOracleSql,
 
     // exact spherical PIP for the convex shell+hole diamond: the point is in
     // the polygon iff inside the shell's edge planes and not inside the

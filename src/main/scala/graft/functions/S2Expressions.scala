@@ -281,3 +281,47 @@ case class S2RectCovering(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): S2RectCovering = copy(children = newChildren)
   override def prettyName: String = "s2_rect_covering"
 }
+
+/** `s2_cap_covering(centerLatDeg, centerLonDeg, radiusMeters, level)` ->
+  * the fixed-level covering cell ids of a spherical cap — the circle
+  * companion of [[S2RectCovering]], same foldability (literal args
+  * constant-fold to a literal array at plan time) and same fail-fast
+  * guards against driver-side blowup. */
+case class S2CapCovering(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes with CodegenFallback with Serializable {
+  require(children.size == 4, "s2_cap_covering(centerLat, centerLon, radiusM, level)")
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  private val MaxCoveringCells = 1 << 17
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val lat = vs(0).asInstanceOf[Double]
+      val lon = vs(1).asInstanceOf[Double]
+      val radiusM = vs(2).asInstanceOf[Double]
+      val level = vs(3).asInstanceOf[Int]
+      require(0 <= level && level <= 30, s"s2_cap_covering level $level outside [0, 30]")
+      require(radiusM > 0, s"s2_cap_covering radius $radiusM must be positive")
+      val angle = math.min(math.Pi, radiusM / S2LatLng.EarthRadiusMeters)
+      val area = 2 * math.Pi * (1 - math.cos(angle))
+      val avgCellArea = 4 * math.Pi / (6.0 * math.pow(4.0, level))
+      val estimate = area / avgCellArea
+      require(estimate <= MaxCoveringCells,
+        f"s2_cap_covering would produce ~$estimate%.0f level-$level cells " +
+          f"(> $MaxCoveringCells); use a coarser level for a cap this large")
+      val axis = S2LatLng.fromDegrees(lat, lon).toPoint
+      val cap = graft.s2.S2Cap.fromAxisAngle(axis, angle)
+      new GenericArrayData(
+        graft.s2.S2RegionCoverer.getSimpleCovering(cap, axis, level).toArray)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): S2CapCovering = copy(children = newChildren)
+  override def prettyName: String = "s2_cap_covering"
+}

@@ -76,5 +76,6 @@ object s2functions {
     reg("s2_edge_neighbors", { case Seq(a) => S2EdgeNeighbors(a) })
     reg("s2_vertex_neighbors", { case Seq(a, b) => S2VertexNeighbors(a, b) })
     reg("s2_rect_covering", args => S2RectCovering(args))
+    reg("s2_cap_covering", args => S2CapCovering(args))
   }
 }

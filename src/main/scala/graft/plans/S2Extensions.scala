@@ -148,6 +148,8 @@ class S2Extensions extends (SparkSessionExtensions => Unit) {
       { case Seq(a, b, c) => S2RegionContains(a, b, c) }))
     ext.injectFunction((FunctionIdentifier("s2_rect_covering"), info("s2_rect_covering"),
       args => S2RectCovering(args)))
+    ext.injectFunction((FunctionIdentifier("s2_cap_covering"), info("s2_cap_covering"),
+      args => S2CapCovering(args)))
 
     ext.injectOptimizerRule(_ => PushS2RegionBounds)
   }

@@ -86,4 +86,36 @@ class ExtensionsSpec extends SparkTestBase {
     assert(cov.forall(c => wrapRect.mayIntersectCell(S2Cell(c))),
       "covering member does not intersect the rect")
   }
+
+  test("s2_cap_covering: SQL-registered, constant-folded, complete and sound for a cap") {
+    graft.functions.s2functions.registerAll(spark)
+    val radiusM = 2500000.0
+    val df = spark.sql(
+      s"SELECT s2_cap_covering(CAST(10.0 AS DOUBLE), CAST(20.0 AS DOUBLE), ${radiusM}D, 4) AS cov")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("s2_cap_covering"),
+      "literal-arg cap covering must constant-fold")
+    val cov = df.head().getSeq[Long](0).toSet
+    assert(cov.nonEmpty)
+    import graft.s2.{S2Cell, S2CellId, S2LatLng}
+    val angle = radiusM / S2LatLng.EarthRadiusMeters
+    val cap = graft.s2.S2Cap.fromAxisAngle(S2LatLng.fromDegrees(10.0, 20.0).toPoint, angle)
+    // completeness: every contained sample point's level-4 cell is in cov
+    for (lat <- BigDecimal(-10) to BigDecimal(30) by 2.7; lon <- BigDecimal(0) to BigDecimal(40) by 2.7) {
+      val p = S2LatLng.fromDegrees(lat.toDouble, lon.toDouble).toPoint
+      if (cap.contains(p)) {
+        val cell = S2CellId.parentForLevel(S2CellId.fromPoint(p), 4)
+        assert(cov.contains(cell), s"cell of ($lat, $lon) missing from cap covering")
+      }
+    }
+    // soundness: every member is level 4 and may intersect the cap
+    assert(cov.forall(S2CellId.level(_) == 4))
+    assert(cov.forall(c => cap.mayIntersectCell(S2Cell(c))),
+      "cap covering member does not intersect the cap")
+    // guard: a leaf-level covering of a planet-scale cap must fail fast,
+    // not hang the driver inside constant folding
+    val huge = intercept[Exception] {
+      spark.sql(s"SELECT s2_cap_covering(0.0D, 0.0D, ${radiusM}D, 30)").collect()
+    }
+    assert(huge.getMessage.contains("coarser level"), s"unexpected guard message: ${huge.getMessage}")
+  }
 }
