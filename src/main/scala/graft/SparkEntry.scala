@@ -138,6 +138,25 @@ object SparkEntry {
   private val CircleRadiusM = 2500000.0
   private val CircleBandM = 50.0
 
+  /** Shared oracle of q_geofence and q_geofence_stream: per-region lag SQL
+    * over (user, ts, event_id) order. */
+  private lazy val GeofenceOracleSql = {
+    val evLat = latSqlFor("event_id")
+    val evLon = lonSqlFor("event_id")
+    val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
+      s"""SELECT '$rid' AS region_id, user_id, event_id,
+         |  CASE WHEN inr THEN 'enter' ELSE 'exit' END AS transition FROM (
+         |  SELECT user_id, event_id, inr,
+         |    lag(inr) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pinr
+         |  FROM (SELECT user_id, ts, event_id,
+         |    (${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}) AS inr FROM p) x) t
+         |WHERE inr <> COALESCE(pinr, FALSE)""".stripMargin
+    }
+    s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events)
+       |${branches.mkString("\nUNION ALL\n")}
+       |""".stripMargin
+  }
+
   /** Shared oracle of q_pip_circle and q_pip_circle_sql: exact haversine
     * radius test with the 50 m exclusion band both engine paths apply. */
   private lazy val CircleOracleSql = {
@@ -260,6 +279,19 @@ object SparkEntry {
         .withColumn("lon", expr(lonSqlFor("event_id")))
       Geofence.transitions(pts, "user_id", "ts", "event_id", "lat", "lon", rectRegions)
         .select("user_id", "event_id", "region_id", "transition")
+    }),
+
+    // the stateful streaming geofence run over the SAME batch input (like
+    // q_sessionize, this exercises the flatMapGroupsWithState operator in
+    // its batch mode) — identical semantics, identical oracle
+    "q_geofence_stream" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      graft.streaming.EventStreams
+        .geofenceTransitions(pts, "user_id", "ts", "event_id", "lat", "lon", rectRegions)
+        .select(col("entity_id").as("user_id"), col("order").as("event_id"),
+          col("region_id"), col("transition"))
     }),
 
     // multi-level tile pyramid in ONE pass (ancestor-chain explode + one
@@ -829,22 +861,10 @@ object SparkEntry {
 
     // per-region lag SQL over (user, ts, event_id) order — boundary-safe
     // because the rect bounds sit on .005 offsets no derived point hits
-    "q_geofence" -> {
-      val evLat = latSqlFor("event_id")
-      val evLon = lonSqlFor("event_id")
-      val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
-        s"""SELECT '$rid' AS region_id, user_id, event_id,
-           |  CASE WHEN inr THEN 'enter' ELSE 'exit' END AS transition FROM (
-           |  SELECT user_id, event_id, inr,
-           |    lag(inr) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pinr
-           |  FROM (SELECT user_id, ts, event_id,
-           |    (${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}) AS inr FROM p) x) t
-           |WHERE inr <> COALESCE(pinr, FALSE)""".stripMargin
-      }
-      s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events)
-         |${branches.mkString("\nUNION ALL\n")}
-         |""".stripMargin
-    },
+    "q_geofence" -> GeofenceOracleSql,
+
+    // same answer through the stateful streaming operator's batch mode
+    "q_geofence_stream" -> GeofenceOracleSql,
 
     "q_tile_pyramid" ->
       """SELECT CAST(l.level AS INTEGER) AS level, c.total_points

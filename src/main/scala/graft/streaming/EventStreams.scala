@@ -126,6 +126,95 @@ object EventStreams {
       }
   }
 
+  final case class TrackPoint(entity_id: Long, ts: Timestamp, order: Long, flags: Seq[Boolean])
+
+  final case class GeofenceState(lastTs: Long, lastOrder: Long, flags: Seq[Boolean])
+
+  final case class GeofenceTransition(entity_id: Long, order: Long,
+                                      region_id: String, transition: String)
+
+  /** Streaming geofence: enter/exit transitions of entity tracks against a
+    * broadcast region list, with the last-known membership vector kept in
+    * per-entity state ACROSS micro-batches — the streaming twin of
+    * [[graft.operators.Geofence.transitions]] (same first-sighting-inside ==
+    * `enter` convention, same exact kernel refinement per point).
+    *
+    * Distributed shape: membership flags evaluate row-at-a-time inside the
+    * micro-batch plan (regions ride the task closure — no join); the state
+    * function only diffs boolean vectors, so per-entity state is O(regions)
+    * and per-batch work is O(points in batch). State is evicted when the
+    * watermark passes `lastTs + idleTtlMillis`; an entity reappearing after
+    * a TTL silence restarts as all-outside (may re-emit `enter` for a region
+    * it never left — the standard geofence trade of state size vs replay).
+    *
+    * Ordering: rows are processed in (ts, order) order within each batch; a
+    * row at-or-before the state's last processed position arrives too late
+    * to retro-insert (its transitions may already be emitted) and is
+    * DROPPED, never applied backwards. On an in-order feed the output
+    * equals the batch operator's exactly (StreamingSpec pins this). Works
+    * identically on a finite batch input (no timeout, trailing state
+    * discarded after emission). */
+  def geofenceTransitions(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                          latCol: String, lonCol: String,
+                          regions: Seq[(String, graft.s2.S2Region)],
+                          watermarkDelay: String = "10 minutes",
+                          idleTtlMillis: Long = 24 * 3600 * 1000L): Dataset[GeofenceTransition] = {
+    require(regions.nonEmpty)
+    val spark0 = points.sparkSession
+    import spark0.implicits._
+
+    val regs = regions
+    val names = regions.map(_._1)
+    val flagsUdf = udf { (lat: Double, lon: Double) =>
+      regs.map { case (_, r) => graft.operators.SpatialJoin.regionContains(r, lat, lon) }
+    }
+    val isStream = points.isStreaming
+    val src0 = points.select(
+      col(idCol).cast("long").as("entity_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(orderCol).cast("long").as("order"),
+      flagsUdf(col(latCol), col(lonCol)).as("flags"))
+    val src = (if (isStream) src0.withWatermark("ts", watermarkDelay) else src0).as[TrackPoint]
+
+    src
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[GeofenceState, GeofenceTransition](
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()) {
+        case (entityId, rows, state: GroupState[GeofenceState]) =>
+          if (state.hasTimedOut) {
+            // idle past the TTL: forget the entity (bounds total state by
+            // ACTIVE entities, not ever-seen entities)
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.order))
+            var st = state.getOption.getOrElse(
+              GeofenceState(Long.MinValue, Long.MinValue, Seq.fill(regs.size)(false)))
+            val out = scala.collection.mutable.ArrayBuffer.empty[GeofenceTransition]
+            for (p <- sorted) {
+              val t = p.ts.getTime
+              val fresh = t > st.lastTs || (t == st.lastTs && p.order > st.lastOrder)
+              if (fresh) {
+                var i = 0
+                while (i < names.size) {
+                  if (p.flags(i) != st.flags(i))
+                    out += GeofenceTransition(entityId, p.order, names(i),
+                      if (p.flags(i)) "enter" else "exit")
+                  i += 1
+                }
+                st = GeofenceState(t, p.order, p.flags)
+              } // else: stale arrival behind the emitted frontier — dropped
+            }
+            if (isStream) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + idleTtlMillis)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
   /** Batch-mode sessionization with plain window functions — the oracle-able
     * equivalent of [[sessionize]] (gap > threshold starts a new session). */
   def sessionizeBatch(events: DataFrame, gapMillis: Long = 30 * 60 * 1000L): DataFrame = {

@@ -156,6 +156,79 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming geofence over micro-batches == batch Geofence.transitions on an in-order feed") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def geo(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
+
+    // per-entity in-order: ts monotone in event_id, entities interleaved
+    val events = (0 until 300).map(i => Event(i.toLong, ts(i), i % 5, "move", 0.0))
+    val input = MemoryStream[Event]
+    input.addData(events.take(110): _*)  // split mid-track, twice
+    input.addData(events.slice(110, 220): _*)
+    input.addData(events.drop(220): _*)
+
+    val query = graft.streaming.EventStreams
+      .geofenceTransitions(geo(input.toDF()), "user_id", "ts", "event_id", "lat", "lon",
+        SparkEntryRegions.rects)
+      .writeStream.format("memory").queryName("geofence_stream")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql("SELECT entity_id, order, region_id, transition FROM geofence_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      val expected = graft.operators.Geofence
+        .transitions(geo(events.toDF()), "user_id", "ts", "event_id", "lat", "lon",
+          SparkEntryRegions.rects)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      assert(got === expected)
+      assert(got.exists(_._4 == "enter") && got.exists(_._4 == "exit"),
+        "test data must actually cross region boundaries")
+    } finally query.stop()
+  }
+
+  test("geofence state survives batch boundaries; stale arrivals never emit backwards") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    import graft.s2.{R1Interval, S1Interval, S2LatLngRect}
+    val rect: graft.s2.S2Region = S2LatLngRect(
+      R1Interval(math.toRadians(40.0), math.toRadians(50.0)),
+      S1Interval(math.toRadians(10.0), math.toRadians(20.0)))
+
+    import StreamingSpec.P
+    val input = MemoryStream[P]
+    val query = graft.streaming.EventStreams
+      .geofenceTransitions(input.toDF(), "user_id", "ts", "event_id", "lat", "lon",
+        Seq("r" -> rect))
+      .writeStream.format("memory").queryName("geofence_xbatch")
+      .outputMode("append").start()
+    try {
+      // batch 1: outside -> inside (one enter)
+      input.addData(P(1, ts(0), 1, 0.0, 0.0), P(1, ts(1), 2, 45.0, 15.0))
+      query.processAllAvailable()
+      // batch 2: STILL inside (must emit nothing — the in-region state
+      // crossed the batch boundary), plus a stale event (ts(1)-equal ts but
+      // smaller order, outside the rect) that must be dropped, not applied
+      input.addData(P(1, ts(2), 4, 44.0, 14.0), P(1, ts(1), 1, 0.0, 0.0))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM geofence_xbatch").count() == 1,
+        "continuing inside across batches must not re-emit enter; stale row must be dropped")
+      // batch 3: exits
+      input.addData(P(1, ts(3), 5, 0.0, 0.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT entity_id, order, region_id, transition FROM geofence_xbatch ORDER BY order")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+      assert(rows == Seq((1L, 2L, "r", "enter"), (1L, 5L, "r", "exit")), s"got $rows")
+    } finally query.stop()
+  }
+
   test("sessionizeBatch on the events table produces plausible sessions") {
     val df = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
     val sessions = EventStreams.sessionizeBatch(df)
@@ -164,4 +237,9 @@ class StreamingSpec extends SparkTestBase {
     val agg = sessions.agg(sum("n_events")).collect()(0).getLong(0)
     assert(agg == df.count(), "every event belongs to exactly one session")
   }
+}
+
+object StreamingSpec {
+  /** Hand-positioned track point for the cross-batch geofence test. */
+  final case class P(user_id: Long, ts: Timestamp, event_id: Long, lat: Double, lon: Double)
 }
