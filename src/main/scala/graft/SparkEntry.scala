@@ -762,6 +762,26 @@ object SparkEntry {
       val tiled = Tiling.tileAssign(images, "lat", "lon", 8)
       SpatialJoin.pipJoin(tiled, "lat", "lon", rectRegionsForParts)
         .select("region_id", "image_id")
+    }),
+
+    // interval-overlap join: click activity windows × error windows per
+    // user (1-10 h synthetic durations; hour buckets ≈ typical length,
+    // so each interval copies ≤ 11×). The first-shared-bucket conjunct
+    // emits each pair once — no pair-dedup shuffle; oracle is the plain
+    // quadratic overlap join in DuckDB
+    "q_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def withEnd(tf: DataFrame) = tf.withColumn("end_ts",
+        expr("timestampadd(MINUTE, CAST(60 + event_id % 540 AS INT), ts)"))
+      val clicks = withEnd(ev.where(col("event_type") === "click"))
+        .select(col("event_id").as("a_id"), col("user_id"),
+          col("ts").as("a_s"), col("end_ts").as("a_e"))
+      val errors = withEnd(ev.where(col("event_type") === "error"))
+        .select(col("event_id").as("b_id"), col("user_id"),
+          col("ts").as("b_s"), col("end_ts").as("b_e"))
+      IntervalJoin.overlapJoin(clicks, errors, Seq("user_id"),
+        "a_s", "a_e", "b_s", "b_e", bucketMillis = 3600000L)
+        .select("a_id", "b_id")
     })
   )
 
@@ -1191,6 +1211,16 @@ object SparkEntry {
          |  $PartLatSql AS lat, $PartLonSql AS lon FROM part)
          |${branches.mkString("\nUNION ALL\n")}
          |""".stripMargin
-    }
+    },
+
+    "q_interval_join" ->
+      """WITH a AS (SELECT event_id AS a_id, user_id, ts AS a_s,
+        |             ts + to_minutes(60 + event_id % 540) AS a_e
+        |           FROM events WHERE event_type = 'click'),
+        |     b AS (SELECT event_id AS b_id, user_id, ts AS b_s,
+        |             ts + to_minutes(60 + event_id % 540) AS b_e
+        |           FROM events WHERE event_type = 'error')
+        |SELECT a_id, b_id FROM a JOIN b USING (user_id)
+        |WHERE a_s <= b_e AND b_s <= a_e""".stripMargin
   )
 }
