@@ -782,6 +782,23 @@ object SparkEntry {
       IntervalJoin.overlapJoin(clicks, errors, Seq("user_id"),
         "a_s", "a_e", "b_s", "b_e", bucketMillis = 3600000L)
         .select("a_id", "b_id")
+    }),
+
+    // mergeable histogram-quantile sketch: p50/p95 of extended price in
+    // cents per return flag, $1000 buckets. Fixed-size state partials
+    // map-side and shuffles ONE 110-long buffer per (task, flag) — the
+    // 100-TB-safe percentile, yet deterministic integer arithmetic the
+    // DuckDB oracle reproduces exactly (bucket counts + running sums)
+    "q_quantile_sketch" -> ((s, dir) => {
+      val hq = udaf(new graft.functions.Sketches.HistQuantile(
+        0L, 100000L, 110, Seq(0.5, 0.95)))
+      lineitem(s, dir)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        .groupBy("l_returnflag")
+        .agg(hq(col("cents")).as("qa"))
+        .select(col("l_returnflag"),
+          element_at(col("qa"), 1).as("p50_c"),
+          element_at(col("qa"), 2).as("p95_c"))
     })
   )
 
@@ -1221,6 +1238,23 @@ object SparkEntry {
         |             ts + to_minutes(60 + event_id % 540) AS b_e
         |           FROM events WHERE event_type = 'error')
         |SELECT a_id, b_id FROM a JOIN b USING (user_id)
-        |WHERE a_s <= b_e AND b_s <= a_e""".stripMargin
+        |WHERE a_s <= b_e AND b_s <= a_e""".stripMargin,
+
+    // exact recomputation of the histogram-quantile contract: same bucket
+    // counts, same running-sum threshold max(1, ceil(q*n)) — q*n is an
+    // IEEE double product of identical operands in both engines, so the
+    // threshold can't diverge
+    "q_quantile_sketch" ->
+      """WITH x AS (SELECT l_returnflag,
+        |    LEAST(109, GREATEST(0, CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT) / 100000.0) AS BIGINT))) AS b
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, b, count(*) AS cnt FROM x GROUP BY 1, 2),
+        |w AS (SELECT l_returnflag, b,
+        |        SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY l_returnflag) AS n FROM c)
+        |SELECT l_returnflag,
+        |  CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN b * 100000 END) AS BIGINT) AS p50_c,
+        |  CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN b * 100000 END) AS BIGINT) AS p95_c
+        |FROM w GROUP BY 1""".stripMargin
   )
 }
