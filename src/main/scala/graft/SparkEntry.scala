@@ -799,6 +799,19 @@ object SparkEntry {
         .select(col("l_returnflag"),
           element_at(col("qa"), 1).as("p50_c"),
           element_at(col("qa"), 2).as("p95_c"))
+    }),
+
+    // spherical Douglas-Peucker track simplification (rows-only: the
+    // recursion's data-dependent splits are not ANSI-SQL-expressible;
+    // SimplifySpec pins the deviation bound — every dropped point within
+    // tolerance of the simplified track — plus golden kernel cases)
+    "q_simplify" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.simplifyTracks(pts, "user_id", "ts", "event_id",
+        "lat", "lon", toleranceMeters = 200000.0)
+        .select("user_id", "event_id")
     })
   )
 

@@ -53,4 +53,38 @@ object Trajectories {
     SpatialJoin.pipJoin(points, latCol, lonCol, regions)
       .select(col("region_id"), col(idCol))
       .distinct()
+
+  /** Earth radius used by s2_distance_m (G12) — tolerances in meters
+    * convert to radians against the same sphere. */
+  private val EarthRadiusM = 6367000.0
+
+  /** Per-entity spherical Douglas-Peucker track simplification (kernel:
+    * s2/S2Polyline.simplifyIndices — the reference's declared-but-absent
+    * `initToSimplified`, `S2Polygon.cs:605-610`). Returns the kept
+    * (idCol, orderCol) rows; every dropped point is within
+    * `toleranceMeters` of the simplified track (SimplifySpec pins the
+    * bound). Distributed shape: ONE shuffle by entity, each track
+    * simplified where its rows land — per-entity state is the track
+    * itself, the same boundedness assumption as any per-key window.
+    * `orderCol` must be long-castable and (tsCol, orderCol) unique per
+    * entity. */
+  def simplifyTracks(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                     latCol: String, lonCol: String, toleranceMeters: Double): DataFrame = {
+    import graft.s2.{S2LatLng, S2Polyline}
+    val tolRad = toleranceMeters / EarthRadiusM
+    val kept = udf { (lats: Seq[Double], lons: Seq[Double], ords: Seq[Long]) =>
+      val verts = lats.indices
+        .map(i => S2LatLng.fromDegrees(lats(i), lons(i)).toPoint).toArray
+      S2Polyline.simplifyIndices(verts, tolRad).map(ords(_)).toSeq
+    }
+    points
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("t"), col(orderCol).cast("long").as("o"),
+        col(latCol).cast("double").as("la"), col(lonCol).cast("double").as("lo")))).as("__trk"))
+      .select(col(idCol), explode(kept(
+        expr("transform(__trk, x -> x.la)"),
+        expr("transform(__trk, x -> x.lo)"),
+        expr("transform(__trk, x -> x.o)"))).as(orderCol))
+  }
 }

@@ -103,4 +103,51 @@ final class S2Polyline(vertexSeq: IndexedSeq[S2Point]) extends S2Region with Ser
     }
     true
   }
+
+  /** Spherical Douglas-Peucker simplification: the capability the
+    * reference declares but never implements (`initToSimplified()` is
+    * named only as a future consumer of the edge-clipping index,
+    * `S2Polygon.cs:605-610`; `S2Polyline.cs` has no simplify at all).
+    * Returns a polyline over a subsequence of the vertices such that
+    * every DROPPED vertex lies within `toleranceRadians` of the edge
+    * that replaced it (and hence of the simplified polyline). Endpoints
+    * are always kept. */
+  def simplify(toleranceRadians: Double): S2Polyline =
+    new S2Polyline(S2Polyline.simplifyIndices(vertices, toleranceRadians).map(vertices(_)))
+}
+
+object S2Polyline {
+
+  /** Indices kept by spherical Douglas-Peucker, ascending. Iterative
+    * explicit stack (a degenerate zigzag must not overflow the JVM
+    * stack); the farthest-vertex tie breaks to the LOWEST index so the
+    * result is a pure function of the input. */
+  def simplifyIndices(vertices: Array[S2Point], toleranceRadians: Double): Array[Int] = {
+    require(toleranceRadians >= 0, s"tolerance must be >= 0, got $toleranceRadians")
+    val n = vertices.length
+    if (n <= 2) return Array.range(0, n)
+    val keep = new Array[Boolean](n)
+    keep(0) = true
+    keep(n - 1) = true
+    val stack = scala.collection.mutable.ArrayDeque[(Int, Int)]((0, n - 1))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.removeLast()
+      if (hi - lo > 1) {
+        var worst = -1
+        var worstD = toleranceRadians
+        var i = lo + 1
+        while (i < hi) {
+          val d = S2EdgeUtil.getDistance(vertices(i), vertices(lo), vertices(hi))
+          if (d > worstD) { worst = i; worstD = d }
+          i += 1
+        }
+        if (worst >= 0) {
+          keep(worst) = true
+          stack.append((lo, worst))
+          stack.append((worst, hi))
+        }
+      }
+    }
+    Array.range(0, n).filter(keep)
+  }
 }
