@@ -812,6 +812,25 @@ object SparkEntry {
       Trajectories.simplifyTracks(pts, "user_id", "ts", "event_id",
         "lat", "lon", toleranceMeters = 200000.0)
         .select("user_id", "event_id")
+    }),
+
+    // image duplicate CLUSTERS: two differently-patched copies per planted
+    // original; dhash banding pairs each copy with its original and CC
+    // closes the transitive cluster {k, k+1e8, k+2e8} with min label k.
+    // Oracle is the planted structure — exact because ImageNearDupSpec
+    // asserts the 3-population has no cross-cluster <= 3-bit pair
+    "q_image_dup_clusters" -> ((s, dir) => {
+      val originals = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val sel = originals.where(col("p_partkey") % 40 === 0)
+      val copy1 = ImagePayload.withPatch(sel, 2, 2, 1)
+        .withColumn("p_partkey", col("p_partkey") + 100000000L)
+      val copy2 = ImagePayload.withPatch(sel, 3, 3, 1)
+        .withColumn("p_partkey", col("p_partkey") + 200000000L)
+      val pairs = ImagePayload.imageNearDup(
+        originals.unionByName(copy1).unionByName(copy2), "p_partkey")
+        .select("id_a", "id_b")
+      Dedup.duplicateClusters(pairs)
+        .select(col("doc_id").as("image_key"), col("cluster_id"))
     })
   )
 
@@ -1268,6 +1287,19 @@ object SparkEntry {
         |SELECT l_returnflag,
         |  CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN b * 100000 END) AS BIGINT) AS p50_c,
         |  CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN b * 100000 END) AS BIGINT) AS p95_c
-        |FROM w GROUP BY 1""".stripMargin
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // planted cluster structure (see q_image_dup_clusters comment): each
+    // selected original k forms the component {k, k+1e8, k+2e8}, min
+    // label k; singleton (unpaired) images never enter the pair list
+    "q_image_dup_clusters" ->
+      """SELECT p_partkey AS image_key, p_partkey AS cluster_id
+        |FROM part WHERE p_partkey % 40 = 0
+        |UNION ALL
+        |SELECT p_partkey + 100000000 AS image_key, p_partkey AS cluster_id
+        |FROM part WHERE p_partkey % 40 = 0
+        |UNION ALL
+        |SELECT p_partkey + 200000000 AS image_key, p_partkey AS cluster_id
+        |FROM part WHERE p_partkey % 40 = 0""".stripMargin
   )
 }

@@ -62,6 +62,50 @@ class ImageNearDupSpec extends SparkTestBase {
       s"non-planted pair at hamming $minNonPlanted would break the planted-pair oracle")
   }
 
+  test("q_image_dup_clusters 3-population precondition: copies pair with their original, no cross-cluster <= 3-bit pair") {
+    // the cluster oracle {k, k+1e8, k+2e8} -> label k is exact iff
+    // (a) both patched copies sit within hamming 3 of their original (the
+    //     CC then closes the 3-member component regardless of the
+    //     copy1-copy2 distance), and
+    // (b) no pair from DIFFERENT clusters (or involving an unplanted
+    //     original) is within hamming 3
+    val keys = spark.read.parquet(s"${sf("sf0.01")}/part.parquet").select("p_partkey")
+    val images = ImagePayload.synthesize(keys, "p_partkey")
+    val sel = images.where(col("p_partkey") % 40 === 0)
+    val copy1 = ImagePayload.withPatch(sel, 2, 2, 1)
+      .withColumn("p_partkey", col("p_partkey") + 100000000L)
+    val copy2 = ImagePayload.withPatch(sel, 3, 3, 1)
+      .withColumn("p_partkey", col("p_partkey") + 200000000L)
+    val pop = ImagePayload.withPerceptualHash(
+      images.unionByName(copy1).unionByName(copy2))
+      .select("p_partkey", "dhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hashOf = pop.toMap
+    assert(pop.length === hashOf.size)
+    val clusterOf = (k: Long) => k % 100000000L
+    // (a) within-cluster original<->copy distances
+    for ((k, h) <- pop if k >= 100000000L) {
+      val d = java.lang.Long.bitCount(h ^ hashOf(clusterOf(k)))
+      assert(d <= 3, s"copy $k at hamming $d from its original")
+    }
+    // (b) min cross-cluster distance
+    var minCross = 64
+    var i = 0
+    while (i < pop.length) {
+      var j = i + 1
+      while (j < pop.length) {
+        if (clusterOf(pop(i)._1) != clusterOf(pop(j)._1)) {
+          val h = java.lang.Long.bitCount(pop(i)._2 ^ pop(j)._2)
+          if (h < minCross) minCross = h
+        }
+        j += 1
+      }
+      i += 1
+    }
+    info(s"min cross-cluster dhash hamming across ${pop.length} rasters = $minCross")
+    assert(minCross > 3, s"cross-cluster pair at hamming $minCross breaks the cluster oracle")
+  }
+
   test("byte-identical re-encode has hamming 0; undecodable bytes get no hash") {
     val keys = spark.read.parquet(s"${sf("sf0.01")}/part.parquet")
       .select("p_partkey").orderBy("p_partkey").limit(5)
