@@ -831,6 +831,40 @@ object SparkEntry {
         .select("id_a", "id_b")
       Dedup.duplicateClusters(pairs)
         .select(col("doc_id").as("image_key"), col("cluster_id"))
+    }),
+
+    // STREAMING corpus dedup: the %10==0 docs arrive over a real 2-batch
+    // MemoryStream; each micro-batch probes the persisted signature store
+    // and is folded in, so the accumulated pair stream must equal the
+    // one-shot incremental batch run — same oracle as q_incremental_dedup
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = documents(s, dir).select("doc_id", "text")
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      // the store MUTATES during the run — a fresh dir per invocation, not
+      // a shared fixture
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_dedup").toString
+      graft.streaming.StreamingDedup.initStore(s, storeDir, corpus, "doc_id", "text")
+      val streamed = docs.where(col("doc_id") % 10 === 0)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val (batch1, batch2) = streamed.partition { case (id, _) => (id / 10) % 2 == 0 }
+      val acc = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.nearDupStream(
+        input.toDF().toDF("doc_id", "text"), storeDir, "doc_id", "text",
+        (pairs, _) => acc.synchronized {
+          acc ++= pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+        })
+      try {
+        input.addData(batch1.toSeq)
+        q.processAllAvailable()
+        input.addData(batch2.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      acc.toSeq.toDF("id_a", "id_b")
     })
   )
 
@@ -1300,6 +1334,15 @@ object SparkEntry {
         |FROM part WHERE p_partkey % 40 = 0
         |UNION ALL
         |SELECT p_partkey + 200000000 AS image_key, p_partkey AS cluster_id
-        |FROM part WHERE p_partkey % 40 = 0""".stripMargin
+        |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
+
+    // identical pair semantics to q_incremental_dedup by construction
+    // (2-batch stream == one-shot incremental batch), identical oracle
+    "q_stream_dedup" ->
+      s"""WITH $TriCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+         |WHERE $TriJaccard >= 0.9
+         |  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)""".stripMargin
   )
 }
