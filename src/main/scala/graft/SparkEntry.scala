@@ -638,6 +638,44 @@ object SparkEntry {
         .select("doc_id", "bucket", "batch_id")
     }),
 
+    // deterministic per-group sample: 7 docs per language, chosen by the
+    // portable two-round id hash — reproducible regardless of partitioning
+    "q_group_sample" -> ((s, dir) =>
+      Curation.groupSample(documents(s, dir).select("doc_id", "lang"),
+        Seq("lang"), "doc_id", k = 7)
+        .select("doc_id", "lang")),
+
+    // Bloom-pruned exact semi join: lineitem rows whose part key belongs to
+    // a selective part subset; the probabilistic prune runs codegen'd over
+    // the scan, the exact pass sees only survivors -> result == plain semi
+    // join, oracle-checkable
+    "q_bloom_semi" -> ((s, dir) =>
+      BloomJoin.prunedSemiJoin(
+        lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_partkey"),
+        part(s, dir).where(col("p_size") === 1), "l_partkey", "p_partkey")
+        .select("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // one-scan data profiling: per-column null/distinct/extreme stats over
+    // the documents table (exact distincts -> DuckDB-checkable)
+    "q_profile" -> ((s, dir) =>
+      Profiling.profile(documents(s, dir),
+        numericCols = Seq("doc_id", "n_chars"), stringCols = Seq("lang", "source"))),
+
+    // JSON source: the same documents rows round-tripped through a JSONL
+    // fixture and read back with an explicit schema (schema-on-read, no
+    // inference job), aggregated per language — the oracle reads the
+    // parquet original, so the query proves source-format fidelity
+    "q_json_scan" -> ((s, dir) => {
+      val json = fixture(dir, "docs_jsonl") { p =>
+        documents(s, dir).write.mode("overwrite").json(p)
+      }
+      val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+      s.read.schema(schema).json(json)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    }),
+
     // --- similarity search over embeddings ---
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), "vec_id", "embedding",
@@ -1187,6 +1225,45 @@ object SparkEntry {
          | CAST((CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 200 AS BIGINT) AS batch_id
          |FROM b""".stripMargin
     },
+
+    // the two-round affine hash recomputed literally; ties broken by id
+    "q_group_sample" -> {
+      val (p, a, b) = (Dedup.HashP, Curation.HashA, Curation.HashB)
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  ((((doc_id % $p) * $a) % $p) * $b) % $p AS hh FROM documents)
+         |SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS r FROM h) t
+         |WHERE r <= 7""".stripMargin
+    },
+
+    // the Bloom prune is cost-only: the exact pass makes the result a
+    // plain semi join
+    "q_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)""".stripMargin,
+
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val
+           |FROM documents""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val
+           |FROM documents""".stripMargin
+      Seq(num("doc_id"), num("n_chars"), str("lang"), str("source"))
+        .mkString("\nUNION ALL\n")
+    },
+
+    // oracle reads the parquet original: the JSONL round trip must not
+    // change a single aggregated value
+    "q_json_scan" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // SimHash recomputed bit-for-bit in SQL: Dedup.portableHash is the
     // polynomial char-code fold (h*131 + c) mod 2^31-1, and bit i of the

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+/** Bloom-filter semi-join pruning — the standard 100-TB trick for a
+  * selective join: before any join machinery touches the big side, filter
+  * it map-side with a fixed-size bitset summarizing the key side.
+  *
+  * Why it matters at scale: a broadcast hash join needs the whole key set
+  * as a hash table on every executor (~50+ bytes/key); a shuffle join
+  * moves the entire big side. A Bloom filter needs ~10 BITS per key at 1%
+  * false positives, so a 10^8-key build side compresses to ~125 MB — small
+  * enough to ship — and the big side's shuffle (or final exact join) then
+  * only sees `true_matches + fp_rate * rows` survivors. This is the same
+  * shape as Spark's own runtime row-level filtering (InjectRuntimeFilter),
+  * reimplemented portably so ANY operator in this engine can prune with it
+  * (the filter is a plain deterministic function of the key set, usable in
+  * specs and oracles).
+  *
+  * Determinism: hashing is splitmix64 double-hashing — a pure function of
+  * the key, independent of partitioning or row order, so the pruned set is
+  * reproducible run-to-run (bit-for-bit identical bitsets).
+  *
+  * Exactness: [[prunedSemiJoin]] follows the probabilistic prune with an
+  * exact semi-join over the survivors, so its RESULT is exactly the plain
+  * semi join (false positives are dropped); only the COST depends on the
+  * fp rate. That makes it oracle-checkable by `WHERE key IN (SELECT ...)`.
+  */
+object BloomJoin {
+
+  /** splitmix64 finalizer: a full-avalanche 64-bit mixer (public constant
+    * set from the reference splitmix64 stream). */
+  private[graft] def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Set the key's `nHashes` bits in `bits` (double hashing: the i-th
+    * probe is `h1 + i*h2` over the bit space, h2 forced odd). */
+  private[graft] def add(bits: Array[Long], nHashes: Int, key: Long): Unit = {
+    val m = bits.length.toLong * 64L
+    val h1 = mix64(key)
+    val h2 = mix64(h1) | 1L
+    var i = 0
+    while (i < nHashes) {
+      val b = java.lang.Math.floorMod(h1 + i.toLong * h2, m)
+      bits((b >>> 6).toInt) |= (1L << (b & 63L))
+      i += 1
+    }
+  }
+
+  /** True iff every probe bit is set (never a false negative). Static so
+    * the codegen'd expression inlines one call, like the s2 kernels. */
+  def mightContain(bits: Array[Long], nHashes: Int, key: Long): Boolean = {
+    val m = bits.length.toLong * 64L
+    val h1 = mix64(key)
+    val h2 = mix64(h1) | 1L
+    var i = 0
+    while (i < nHashes) {
+      val b = java.lang.Math.floorMod(h1 + i.toLong * h2, m)
+      if ((bits((b >>> 6).toInt) & (1L << (b & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Distributed Bloom build: fixed-size mergeable state (one long array),
+    * so Spark partial-aggregates map-side and the shuffle carries one
+    * bitset per partition — never the keys themselves. */
+  final class BloomAgg(nBits: Int, nHashes: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(nBits >= 64 && (nBits & 63) == 0, s"nBits must be a positive multiple of 64: $nBits")
+    require(nHashes >= 1 && nHashes <= 16, s"nHashes out of range: $nHashes")
+    def zero: Array[Long] = new Array[Long](nBits / 64)
+    def reduce(b: Array[Long], key: Long): Array[Long] = { add(b, nHashes, key); b }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Build the filter over `keys(keyCol)` (cast to long). One aggregation
+    * job whose result is a single `nBits/8`-byte row — the same
+    * driver-sized exchange Spark's runtime-filter subqueries make. */
+  def buildBloom(keys: DataFrame, keyCol: String, nBits: Int = 1 << 20,
+                 nHashes: Int = 5): Array[Long] = {
+    import keys.sparkSession.implicits._
+    val agg = udaf(new BloomAgg(nBits, nHashes), Encoders.scalaLong)
+    keys.select(col(keyCol).cast("long")).na.drop()
+      .agg(agg(col(keyCol)).as("bits"))
+      .as[Array[Long]].head()
+  }
+
+  /** `bloom_might_contain(key)` over a driver-built bitset. The bitset
+    * rides along as a referenced object (exactly how Spark's own
+    * BloomFilterMightContain ships its filter), so the probe inlines into
+    * whole-stage codegen over the scan — zero exchanges, zero row
+    * multiplication on the big side. */
+  case class BloomMightContain(bits: Array[Long], nHashes: Int, child: Expression)
+      extends UnaryExpression with Serializable {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain needs a long key, got ${child.dataType}")
+    override protected def nullSafeEval(key: Any): Any =
+      mightContain(bits, nHashes, key.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+      nullSafeCodeGen(ctx, ev, key =>
+        s"${ev.value} = graft.operators.BloomJoin.mightContain($bitsRef, $nHashes, $key);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+      copy(child = newChild)
+    override def prettyName: String = "bloom_might_contain"
+  }
+
+  def mightContainCol(bits: Array[Long], nHashes: Int, key: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(BloomMightContain(bits, nHashes, ColumnBridge.expression(key)))
+  }
+
+  /** Exact semi join of `big` against `keys(keyCol)`, Bloom-pruned first.
+    *
+    * Plan shape: scan(big) -> codegen'd bitset probe (no exchange) ->
+    * exact LEFT SEMI against the deduped key set. With `broadcastExact`
+    * (the default; right for key sides that fit an executor hash table)
+    * the exact pass is a BroadcastHashJoin, so the big side is NEVER
+    * shuffled at all. With it off, the exact pass shuffles only the
+    * pruned survivors — the 100-TB case where even that is too big to
+    * broadcast still moves `matches + fp` rows, not the input.
+    */
+  def prunedSemiJoin(big: DataFrame, keys: DataFrame, bigKeyCol: String, keyCol: String,
+                     nBits: Int = 1 << 20, nHashes: Int = 5,
+                     broadcastExact: Boolean = true): DataFrame = {
+    val bloom = buildBloom(keys, keyCol, nBits, nHashes)
+    val pruned = big.where(mightContainCol(bloom, nHashes, col(bigKeyCol).cast("long")))
+    val keySet = keys.select(col(keyCol)).distinct()
+    val exactRight = if (broadcastExact) broadcast(keySet) else keySet
+    pruned.join(exactRight, pruned(bigKeyCol) === exactRight(keyCol), "left_semi")
+  }
+}

@@ -46,6 +46,34 @@ object Curation {
       .drop("cluster_id")
   }
 
+  /** Second-round id hash for [[groupSample]]'s ordering — one affine pass
+    * decorrelates poorly from consecutive ids, two rounds with distinct
+    * multipliers break the arithmetic progression. Pure int64 arithmetic
+    * below 2^62, so DuckDB reproduces it exactly (BIGINT overflow would
+    * ERROR there, not wrap). */
+  private[graft] val HashB = 1327217885L
+
+  def idHash2(id: Column): Column = (idHash(id) * HashB) % Dedup.HashP
+
+  /** Deterministic per-group sample: the k rows of each group with the
+    * smallest (idHash2(id), id) — a reproducible "random" subset (data
+    * ablations, eval carve-outs, per-source caps) that is a pure function
+    * of the ids: independent of partitioning, row order, cluster size, and
+    * re-runs, unlike `TABLESAMPLE`/`df.sample` whose output moves with the
+    * split layout. Requires unique ids (the id tiebreak makes row_number
+    * deterministic). One shuffle on the group key; within a group the
+    * window is the same per-key top-k shape as q_window_topk — a
+    * pathologically hot group serializes through one task, the documented
+    * window caveat (AsOfJoin.scala) shared by every ranking operator. */
+  def groupSample(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(idHash2(col(idCol)), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Fixed-token-budget packing: documents are bucketed by id hash (so the
     * sort is per-bucket, never global — the scale requirement) and packed
     * in id order; `batch_id` = the document's running-token START OFFSET
