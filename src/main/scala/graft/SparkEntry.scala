@@ -638,6 +638,31 @@ object SparkEntry {
         .select("doc_id", "bucket", "batch_id")
     }),
 
+    // co-located bucketed join: both sides pre-hashed into 8 buckets on
+    // the customer key, so the join itself plans with NO Exchange on
+    // either side (asserted in BucketingSpec); only the tiny per-segment
+    // aggregation shuffles
+    "q_bucketed_join" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replace('.', '_')
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${FixtureVersion}_$tag"
+      Bucketing.ensureBucketed(s, orders(s, dir), s"g_orders_$tag", "o_custkey", 8,
+        s"$base/orders")
+      Bucketing.ensureBucketed(s, customer(s, dir), s"g_customer_$tag", "c_custkey", 8,
+        s"$base/customer")
+      Bucketing.bucketedJoin(s, s"g_orders_$tag", "o_custkey", s"g_customer_$tag", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), countDistinct("o_custkey").as("n_custs"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+    }),
+
+    // exact frequent trigrams (contamination/boilerplate screen):
+    // space-saving candidate pass + exact verification; only candidates
+    // ever shuffle
+    "q_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.frequentNgrams(documents(s, dir), "text", n = 3,
+        minFraction = 0.0002)
+        .select("gram", "cnt")),
+
     // deterministic per-group sample: 7 docs per language, chosen by the
     // portable two-round id hash — reproducible regardless of partitioning
     "q_group_sample" -> ((s, dir) =>
@@ -1225,6 +1250,25 @@ object SparkEntry {
          | CAST((CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 200 AS BIGINT) AS batch_id
          |FROM b""".stripMargin
     },
+
+    // the bucketed layout changes the plan, not the rows
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | count(DISTINCT o_custkey) AS n_custs,
+        | min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // brute-force trigram frequency with the same tokenizer/windowing as
+    // the engine's candidates-then-verify path; the threshold is the same
+    // ceil(fraction * total) double arithmetic
+    "q_heavy_hitters" ->
+      """WITH docs AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |  i -> array_to_string(list_filter([toks[i], toks[i+1], toks[i+2]], t -> t IS NOT NULL), ' '))) AS gram FROM docs),
+        |tot AS (SELECT count(*) AS n FROM g)
+        |SELECT gram, count(*) AS cnt FROM g, tot
+        |GROUP BY gram, n HAVING count(*) >= ceil(0.0002 * n)""".stripMargin,
 
     // the two-round affine hash recomputed literally; ties broken by id
     "q_group_sample" -> {
