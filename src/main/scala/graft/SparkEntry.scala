@@ -638,6 +638,32 @@ object SparkEntry {
         .select("doc_id", "bucket", "batch_id")
     }),
 
+    // distributed vector->raster: a TABLE of 25 rect regions (one wraps
+    // the antimeridian) is rasterized executor-side to level-5 cells, the
+    // raster equi-joins points on their level-5 tile (disjoint same-level
+    // cells -> no pair dedup), and the exact wrap-aware rect predicate
+    // refines. No driver loop over regions, no cross join.
+    "q_rasterize" -> ((s, dir) => {
+      val rects = nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("region_id"))
+        .withColumn("lat_lo", lit(-66.005) + (col("region_id") % 5).cast("double") * 24.0)
+        .withColumn("lat_hi", col("lat_lo") + 10.0)
+        .withColumn("lon_lo", lit(-175.005) + col("region_id").cast("double") * 14.0)
+        .withColumn("lon_hi",
+          when(col("lon_lo") + 25.0 > 180.0, col("lon_lo") + 25.0 - 360.0)
+            .otherwise(col("lon_lo") + 25.0))
+      val raster = Vectorize.rasterizeRects(rects, "lat_lo", "lat_hi", "lon_lo", "lon_hi",
+        level = 5)
+      val pts = points(s, dir)
+        .select(col("o_orderkey"), col("lat"), col("lon"),
+          s2_tile(col("lat"), col("lon"), 5).as("tile"))
+      raster.join(pts, raster("cell") === pts("tile"))
+        .where(col("lat").between(col("lat_lo"), col("lat_hi")) &&
+          (((col("lon_lo") <= col("lon_hi")) && col("lon").between(col("lon_lo"), col("lon_hi"))) ||
+            ((col("lon_lo") > col("lon_hi")) && (col("lon") >= col("lon_lo") || col("lon") <= col("lon_hi")))))
+        .select("region_id", "o_orderkey")
+    }),
+
     // co-located bucketed join: both sides pre-hashed into 8 buckets on
     // the customer key, so the join itself plans with NO Exchange on
     // either side (asserted in BucketingSpec); only the tiny per-segment
@@ -1250,6 +1276,23 @@ object SparkEntry {
          | CAST((CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 200 AS BIGINT) AS batch_id
          |FROM b""".stripMargin
     },
+
+    // the same rect-bound arithmetic and wrap-aware containment, brute
+    // force over all (region, point) pairs
+    "q_rasterize" ->
+      s"""WITH r AS (SELECT CAST(n_nationkey AS BIGINT) AS region_id,
+         |  -66.005 + CAST(n_nationkey % 5 AS DOUBLE) * 24.0 AS lat_lo,
+         |  -66.005 + CAST(n_nationkey % 5 AS DOUBLE) * 24.0 + 10.0 AS lat_hi,
+         |  -175.005 + CAST(n_nationkey AS DOUBLE) * 14.0 AS lon_lo,
+         |  CASE WHEN -175.005 + CAST(n_nationkey AS DOUBLE) * 14.0 + 25.0 > 180.0
+         |    THEN -175.005 + CAST(n_nationkey AS DOUBLE) * 14.0 + 25.0 - 360.0
+         |    ELSE -175.005 + CAST(n_nationkey AS DOUBLE) * 14.0 + 25.0 END AS lon_hi
+         |  FROM nation),
+         |pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
+         |SELECT region_id, o_orderkey FROM r, pts
+         |WHERE lat BETWEEN lat_lo AND lat_hi
+         |  AND ((lon_lo <= lon_hi AND lon BETWEEN lon_lo AND lon_hi)
+         |    OR (lon_lo > lon_hi AND (lon >= lon_lo OR lon <= lon_hi)))""".stripMargin,
 
     // the bucketed layout changes the plan, not the rows
     "q_bucketed_join" ->

@@ -51,6 +51,14 @@ object s2functions {
     * builtin range predicates / sorts / range joins order ids correctly. */
   def s2_ord(cellId: Column): Column = cellId.bitwiseXOR(lit(Long.MinValue))
 
+  /** Fixed-level covering cells of a lat/lng rect (degrees). Foldable with
+    * literal args; with column args the flood fill runs per row on the
+    * executors — the distributed vector->raster path. */
+  def s2_rect_covering(latLo: Column, latHi: Column, lonLo: Column, lonHi: Column,
+                       level: Int): Column =
+    expr(S2RectCovering(Seq(child(latLo), child(latHi), child(lonLo), child(lonHi),
+      child(lit(level)))))
+
   /** Register all s2_* functions for SQL use on the given session. */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier

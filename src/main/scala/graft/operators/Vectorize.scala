@@ -14,6 +14,29 @@ import graft.s2._
   * (`S2PolygonBuilder.cs:74-142` XOR semantics). */
 object Vectorize {
 
+  /** Vector -> raster at TABLE granularity: rasterize a whole DataFrame of
+    * lat/lng rects — one row per region, `(regionIdCol, latLo, latHi,
+    * lonLo, lonHi)` in degrees — into `(region_id, cell)` rows at a fixed
+    * level. The covering flood fill runs EXECUTOR-side per row (the
+    * `s2_rect_covering` expression's non-foldable path), so a 10^6-region
+    * catalog rasterizes as an ordinary distributed projection + explode:
+    * no driver loop, no collect. This is the other direction of the
+    * raster<->vector pair from [[cellsToPolygon]], and the layout step of
+    * a many-region spatial join: rasterized regions equi-join points on
+    * the level-L tile (disjoint same-level cells -> at most one candidate
+    * cell per (point, region), no pair dedup needed), then the exact rect
+    * predicate refines. */
+  def rasterizeRects(rects: DataFrame,
+                     latLoCol: String, latHiCol: String,
+                     lonLoCol: String, lonHiCol: String, level: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.s2functions._
+    require(!rects.columns.contains("cell"), "rasterizeRects: input already has a 'cell' column")
+    rects.select(col("*"),
+      explode(s2_rect_covering(
+        col(latLoCol), col(latHiCol), col(lonLoCol), col(lonHiCol), level)).as("cell"))
+  }
+
   /** Outline polygon of a cell set (driver-side; tile sets per region are
     * small — for huge unions, pre-merge with [[graft.s2.S2CellUnion]]
     * normalization first). */
