@@ -50,28 +50,50 @@ object HeavyHitters {
     * `capacity` counters; on overflow the minimum counter is evicted and
     * the newcomer inherits its count + 1 (the classic over-estimate that
     * preserves the no-false-negative guarantee). Returns (candidate grams,
-    * final minimum counter =: eviction bound, grams seen). The O(capacity)
-    * eviction scan is fine at catalog capacities; a production build swaps
-    * in the linked-bucket structure of the paper for O(1). */
+    * final minimum counter =: eviction bound, grams seen).
+    *
+    * The counters live in count-keyed buckets (TreeMap count ->
+    * insertion-ordered key set, the paper's stream-summary structure), so
+    * increment and min-eviction are O(log #distinct-counts) — a naive
+    * min-scan eviction is O(capacity) per NON-candidate gram, which on a
+    * heavy-tailed stream at capacity 8k turns the pass from seconds into
+    * minutes (measured). */
   private[graft] def spaceSaving(it: Iterator[String], capacity: Int): (Seq[String], Long, Long) = {
-    val counts = new scala.collection.mutable.HashMap[String, Long]
+    import scala.jdk.CollectionConverters._
+    val count = new java.util.HashMap[String, java.lang.Long]
+    val buckets = new java.util.TreeMap[java.lang.Long, java.util.LinkedHashSet[String]]
+    def addTo(g: String, c: Long): Unit = {
+      var s = buckets.get(java.lang.Long.valueOf(c))
+      if (s == null) { s = new java.util.LinkedHashSet[String](); buckets.put(c, s) }
+      s.add(g)
+    }
+    def removeFrom(g: String, c: Long): Unit = {
+      val key = java.lang.Long.valueOf(c)
+      val s = buckets.get(key)
+      s.remove(g)
+      if (s.isEmpty) buckets.remove(key)
+    }
     var seen = 0L
     while (it.hasNext) {
       val g = it.next()
       seen += 1
-      counts.get(g) match {
-        case Some(c) => counts.update(g, c + 1)
-        case None =>
-          if (counts.size < capacity) counts.update(g, 1L)
-          else {
-            val (minG, minC) = counts.minBy(_._2)
-            counts.remove(minG)
-            counts.update(g, minC + 1)
-          }
+      val c = count.get(g)
+      if (c != null) {
+        val cv = c.longValue
+        count.put(g, cv + 1); removeFrom(g, cv); addTo(g, cv + 1)
+      } else if (count.size < capacity) {
+        count.put(g, 1L); addTo(g, 1L)
+      } else {
+        val minEntry = buckets.firstEntry()
+        val minC = minEntry.getKey.longValue
+        val victim = minEntry.getValue.iterator.next()
+        removeFrom(victim, minC)
+        count.remove(victim)
+        count.put(g, minC + 1); addTo(g, minC + 1)
       }
     }
-    val bound = if (counts.size < capacity) 0L else counts.values.min
-    (counts.keys.toSeq, bound, seen)
+    val bound = if (count.size < capacity) 0L else buckets.firstKey().longValue
+    (count.keySet.iterator.asScala.toSeq, bound, seen)
   }
 
   /** All word n-grams with frequency >= `minFraction` of the corpus gram
