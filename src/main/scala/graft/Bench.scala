@@ -118,13 +118,19 @@ object Bench {
     // plan reuse between reps), report the min; a query that throws is
     // reported as -1 and listed in "errors" instead of posing as a timing.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // SPARK_GRAFT_SWEEP=0 skips the per-query sweep: the whole bench runs in
+    // ONE JVM, so the sweep's aged heap taxes every later measurement by up
+    // to ~4x (measured on the soak) — sweep-less runs isolate
+    // flagship/skew/soak/scaling
+    val doSweep = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "1"
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     // warm the session (codegen compiler, parquet footers, page cache) so the
     // first query's timing is not a JVM-warmup artifact
     for (t <- Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings"))
       spark.read.parquet(s"$sfDir/$t.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = if (!doSweep) Seq.empty else
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc()
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
@@ -172,6 +178,7 @@ object Bench {
       val s4 = session(cpus)
       try {
         scalingJob(s4, 10000000L) // warm codegen with a small run
+        System.gc() // shed the sweep's aged garbage before the timed run
         import scala.jdk.CollectionConverters._
         val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
           .filter(_.getType == java.lang.management.MemoryType.HEAP)
