@@ -638,6 +638,11 @@ object SparkEntry {
         .select("doc_id", "bucket", "batch_id")
     }),
 
+    // characteristic terms per doc (tf-idf with an integer-exact rank
+    // contract: tf DESC, df ASC, term ASC)
+    "q_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(documents(s, dir), "doc_id", "text", k = 3)),
+
     // distributed vector->raster: a TABLE of 25 rect regions (one wraps
     // the antimeridian) is rasterized executor-side to level-5 cells, the
     // raster equi-joins points on their level-5 tile (disjoint same-level
@@ -1276,6 +1281,20 @@ object SparkEntry {
          | CAST((CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 200 AS BIGINT) AS batch_id
          |FROM b""".stripMargin
     },
+
+    // same tokenizer as q_langid_pred ([^a-z]+ == Spark's [^\p{L}]+ on
+    // this corpus); the rank is pure integer comparison, no float score
+    "q_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |  x -> len(x) > 0)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS r
+        |  FROM tf JOIN df USING (term)) t
+        |WHERE r <= 3""".stripMargin,
 
     // the same rect-bound arithmetic and wrap-aware containment, brute
     // force over all (region, point) pairs

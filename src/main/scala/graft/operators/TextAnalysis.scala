@@ -76,4 +76,32 @@ object TextAnalysis {
     * whitespace-normalized lowercased text (rolling-hash analogue). */
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Top-k characteristic terms per document — the tf-idf family member
+    * with an INTEGER-EXACT rank contract: terms order by (tf DESC, df ASC,
+    * term ASC), i.e. most frequent in the doc, rarest in the corpus,
+    * lexicographic tiebreak. A float tf*ln(N/df) score would rank the same
+    * way for fixed tf except at df ties — and its `ln` is not required to
+    * be correctly rounded, so two engines can disagree at near-ties; the
+    * integer contract makes the result oracle-checkable bit-for-bit.
+    *
+    * Shape at scale: two hash aggregations (tf per (doc, term), df per
+    * term — both map-side partial), one equi-join of df onto tf rows
+    * (vocabulary-sized build side: broadcast when it fits, shuffle
+    * otherwise — Spark's planner decides), one per-doc top-k window
+    * (bounded by tokens-per-doc). Nothing touches raw text twice. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^\\p{L}]+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("__r", row_number().over(w)).where(col("__r") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"))
+  }
 }
