@@ -93,12 +93,27 @@ object BloomJoin {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** Build the filter over `keys(keyCol)` (cast to long). One aggregation
-    * job whose result is a single `nBits/8`-byte row — the same
-    * driver-sized exchange Spark's runtime-filter subqueries make. */
+  /** Integral column types whose values embed losslessly in a long — the
+    * key types the Bloom prune supports. A silent `cast("long")` on
+    * anything else (strings, wide decimals) would null the key and DROP
+    * the row from the prune, breaking the exact-result contract, so
+    * non-integral keys are rejected loudly instead. */
+  private def requireIntegralKey(df: DataFrame, keyCol: String, side: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(keyCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+      s"BloomJoin: $side key '$keyCol' must be an integral type (hash the key to a " +
+        s"long upstream, e.g. xxhash64, for other types); got $dt")
+  }
+
+  /** Build the filter over `keys(keyCol)` (an integral column; null keys,
+    * which never equi-join, are skipped). One aggregation job whose result
+    * is a single `nBits/8`-byte row — the same driver-sized exchange
+    * Spark's runtime-filter subqueries make. */
   def buildBloom(keys: DataFrame, keyCol: String, nBits: Int = 1 << 20,
                  nHashes: Int = 5): Array[Long] = {
     import keys.sparkSession.implicits._
+    requireIntegralKey(keys, keyCol, "build")
     val agg = udaf(new BloomAgg(nBits, nHashes), Encoders.scalaLong)
     keys.select(col(keyCol).cast("long")).na.drop()
       .agg(agg(col(keyCol)).as("bits"))
@@ -149,9 +164,13 @@ object BloomJoin {
   def prunedSemiJoin(big: DataFrame, keys: DataFrame, bigKeyCol: String, keyCol: String,
                      nBits: Int = 1 << 20, nHashes: Int = 5,
                      broadcastExact: Boolean = true): DataFrame = {
+    requireIntegralKey(big, bigKeyCol, "probe")
     val bloom = buildBloom(keys, keyCol, nBits, nHashes)
     val pruned = big.where(mightContainCol(bloom, nHashes, col(bigKeyCol).cast("long")))
-    val keySet = keys.select(col(keyCol)).distinct()
+    // keys is scanned once for the bloom and once here — inherent to the
+    // pattern (Spark's own runtime filters do the same); the semi join
+    // dedups keys inside its hash relation, no explicit distinct needed
+    val keySet = keys.select(col(keyCol))
     val exactRight = if (broadcastExact) broadcast(keySet) else keySet
     pruned.join(exactRight, pruned(bigKeyCol) === exactRight(keyCol), "left_semi")
   }

@@ -22,9 +22,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Register `df` as a bucketed external table (write files if the table
-    * is not yet in this session's catalog). Sorted within buckets by the
-    * key, so downstream sort-merge joins skip their sorts too. */
+  /** Register `df` as a bucketed external table, writing the files when
+    * the table is not yet in this session's catalog (a fresh session over
+    * existing files re-writes them — the in-memory catalog cannot adopt
+    * bucket metadata from disk). Sorted within buckets by the key, so
+    * downstream sort-merge joins skip their sorts too.
+    *
+    * A table that already exists is validated against the requested
+    * layout (key, bucket count, location) and reused — `df` is NOT
+    * re-evaluated; asking for a DIFFERENT layout under the same name
+    * fails loudly instead of silently serving the old files. */
   def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
                      keyCol: String, nBuckets: Int, path: String): Unit = {
     if (!spark.catalog.tableExists(table)) {
@@ -34,6 +41,18 @@ object Bucketing {
         .option("path", path)
         .mode("overwrite")
         .saveAsTable(table)
+    } else {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val spec = meta.bucketSpec
+      require(spec.exists(s => s.numBuckets == nBuckets &&
+          s.bucketColumnNames == Seq(keyCol)),
+        s"ensureBucketed: table '$table' exists with bucket spec $spec, " +
+          s"not the requested ($nBuckets buckets on $keyCol)")
+      val existing = meta.location.getPath.stripSuffix("/")
+      val asked = new java.io.File(path).toURI.getPath.stripSuffix("/")
+      require(existing == asked,
+        s"ensureBucketed: table '$table' exists at $existing, not the requested $asked")
     }
   }
 

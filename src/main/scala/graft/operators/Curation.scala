@@ -67,6 +67,8 @@ object Curation {
     * window caveat (AsOfJoin.scala) shared by every ranking operator. */
   def groupSample(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
+    require(!df.columns.contains("__rank"),
+      "groupSample: input must not have a '__rank' column (reserved internal name)")
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(idHash2(col(idCol)), col(idCol))
     df.withColumn("__rank", row_number().over(w))

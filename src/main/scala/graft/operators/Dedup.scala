@@ -40,15 +40,21 @@ object Dedup {
   def exactDupGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
     exactDedup(df, idCol, keyCols).where(col("dup_count") > 1)
 
+  /** The ONE word-n-gram array expression (lowercased whitespace tokens,
+    * sliding windows of n, short docs yield one partial gram) — shared by
+    * [[shingles]] (deduped per doc) and [[HeavyHitters.ngrams]] (with
+    * multiplicity) and mirrored by every n-gram SQL oracle, so the engine
+    * paths cannot silently diverge from each other or from the oracles. */
+  private[operators] def ngramArray(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
   /** Word n-gram shingles of a text column, exploded to distinct
     * (id, shingle) rows. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol),
-        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("__toks"))
-      .select(col(idCol),
-        explode(expr(
-          s"transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)), i -> concat_ws(' ', slice(__toks, i, $n)))"))
-          .as("shingle"))
+    df.select(col(idCol), explode(ngramArray(col(textCol), n)).as("shingle"))
       .distinct()
 
   // --- exact-duplicate collapse / expansion -------------------------------

@@ -36,15 +36,11 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Word n-grams with multiplicity (same tokenizer and windowing as
-    * [[Dedup.shingles]], but NOT deduped per doc — frequency semantics
-    * need every occurrence). */
+  /** Word n-grams with multiplicity (the ONE gram expression shared with
+    * [[Dedup.shingles]], which dedups per doc on top; frequency semantics
+    * here need every occurrence). */
   def ngrams(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.select(
-        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("__toks"))
-      .select(explode(expr(
-        s"transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)), i -> concat_ws(' ', slice(__toks, i, $n)))"))
-        .as("gram"))
+    df.select(explode(Dedup.ngramArray(col(textCol), n)).as("gram"))
 
   /** Space-saving summary of one partition's gram stream: at most
     * `capacity` counters; on overflow the minimum counter is evicted and
@@ -74,6 +70,7 @@ object HeavyHitters {
       if (s.isEmpty) buckets.remove(key)
     }
     var seen = 0L
+    var evicted = false
     while (it.hasNext) {
       val g = it.next()
       seen += 1
@@ -84,6 +81,7 @@ object HeavyHitters {
       } else if (count.size < capacity) {
         count.put(g, 1L); addTo(g, 1L)
       } else {
+        evicted = true
         val minEntry = buckets.firstEntry()
         val minC = minEntry.getKey.longValue
         val victim = minEntry.getValue.iterator.next()
@@ -92,7 +90,10 @@ object HeavyHitters {
         count.put(g, minC + 1); addTo(g, minC + 1)
       }
     }
-    val bound = if (count.size < capacity) 0L else buckets.firstKey().longValue
+    // with zero evictions every gram of the stream is a candidate — an
+    // absent gram truly has count 0, so the bound is 0 even when the
+    // summary happens to sit exactly at capacity
+    val bound = if (evicted) buckets.firstKey().longValue else 0L
     (count.keySet.iterator.asScala.toSeq, bound, seen)
   }
 
@@ -119,6 +120,10 @@ object HeavyHitters {
       .collect()
     val totalBound = summaries.iterator.filter(_.isNullAt(0)).map(_.getLong(1)).sum
     val totalGrams = summaries.iterator.filter(_.isNullAt(0)).map(_.getLong(2)).sum
+    if (totalGrams == 0)
+      // empty corpus: the exact answer is the empty set, not a guard trip
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("gram STRING, cnt BIGINT"))
     val minCount = math.ceil(minFraction * totalGrams).toLong
     require(minCount > totalBound,
       s"frequentNgrams not exact: threshold $minCount <= eviction bound $totalBound — raise capacity ($capacity)")

@@ -92,6 +92,8 @@ object TextAnalysis {
     * (bounded by tokens-per-doc). Nothing touches raw text twice. */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    require(!Seq("term", "tf", "df", "__r").contains(idCol),
+      s"topTerms: id column '$idCol' collides with an output/reserved name")
     import org.apache.spark.sql.expressions.Window
     val toks = df
       .select(col(idCol), explode(split(lower(col(textCol)), "[^\\p{L}]+")).as("term"))

@@ -23,6 +23,16 @@ class BloomProfileSpec extends SparkTestBase {
     assert((0L until 997L).filter(_ % 13 == 0).forall(hits.contains), "false negative!")
   }
 
+  test("non-integral key types are rejected instead of silently cast to null") {
+    import spark.implicits._
+    val big = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val keys = Seq("a").toDF("key")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.prunedSemiJoin(big, keys, "k", "key")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("bloom filter has no false negatives and a sane false-positive rate") {
     import spark.implicits._
     val n = 5000L

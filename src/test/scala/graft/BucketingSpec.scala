@@ -71,4 +71,23 @@ class BucketingSpec extends SparkTestBase {
     assert(mtimes == after)
     assert(spark.table("spec_once_b").count() == 100)
   }
+
+  test("asking for a different layout under an existing name fails loudly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_guard").toString
+    val df = (0L until 10L).map(i => (i, i % 3)).toDF("id", "k")
+    Bucketing.ensureBucketed(spark, df, "spec_guard_b", "k", 2, s"$tmp/t")
+    val e1 = intercept[IllegalArgumentException] {
+      Bucketing.ensureBucketed(spark, df, "spec_guard_b", "id", 2, s"$tmp/t")
+    }
+    assert(e1.getMessage.contains("bucket spec"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bucketing.ensureBucketed(spark, df, "spec_guard_b", "k", 4, s"$tmp/t")
+    }
+    assert(e2.getMessage.contains("bucket spec"))
+    val e3 = intercept[IllegalArgumentException] {
+      Bucketing.ensureBucketed(spark, df, "spec_guard_b", "k", 2, s"$tmp/elsewhere")
+    }
+    assert(e3.getMessage.contains("exists at"))
+  }
 }

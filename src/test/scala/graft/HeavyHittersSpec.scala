@@ -49,6 +49,26 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(e.getMessage.contains("not exact"))
   }
 
+  test("full-but-never-evicted summary reports bound 0; empty corpus returns empty") {
+    import spark.implicits._
+    // exactly `capacity` distinct items, no evictions: bound must be 0 even
+    // though counts are large — a firstKey bound would spuriously trip the
+    // exactness guard
+    val stream = (0 until 4000).map(i => s"g${i % 8}")
+    val (cands, bound, seen) = HeavyHitters.spaceSaving(stream.iterator, 8)
+    assert(cands.size == 8 && bound == 0L && seen == 4000)
+    // a fraction threshold of ceil(f*n)=1 would be <= any nonzero bound;
+    // with bound 0 the result must be exact, not a guard failure
+    val docs = stream.zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("doc_id", "text")
+    val got = HeavyHitters.frequentNgrams(docs, "text", n = 1, minFraction = 0.124,
+      capacity = 8).count()
+    assert(got == 8)
+    // empty corpus: empty result, not an exception
+    val empty = HeavyHitters.frequentNgrams(docs.limit(0), "text", n = 1, minFraction = 0.1)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("gram", "cnt"))
+  }
+
   test("space-saving summary never loses an item above the eviction bound") {
     // deterministic skewed stream
     val stream = (0 until 5000).map { i =>
