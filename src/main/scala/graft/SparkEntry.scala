@@ -109,6 +109,40 @@ object SparkEntry {
       TextShapes.polygon(s"${loopText(DiamondShell)}; ${loopText(DiamondHole)}"))
   }
 
+  /** 25 deterministic convex hexagon loops keyed by n_nationkey — the
+    * polygon-TABLE fixture of q_poly_table_join. Vertices are computed
+    * driver-side in doubles and joined onto `nation` as data (a production
+    * polygon catalog IS data read from storage, not formulas), so the
+    * engine kernels and the oracle's inlined edge-plane normals consume
+    * bit-identical coordinates — no Spark-vs-DuckDB trig to reconcile.
+    * Centers stay within |lat| < 55 and |lon| < 170 so every hexagon is
+    * spherically convex and clear of poles/antimeridian; convexity, CCW
+    * orientation and the oracle's edge-plane margin are asserted in
+    * PolygonTableJoinSpec. Each tuple is (regionId, verts(lat,lon) CCW,
+    * center(lat,lon)). */
+  private[graft] lazy val HexPolys: Seq[(Long, Seq[(Double, Double)], (Double, Double))] =
+    (0L until 25L).map { k =>
+      val clat = ((k * 7919 + 1234) % 11000) / 100.0 - 55.0
+      val clon = ((k * 104729 + 5678) % 34000) / 100.0 - 170.0
+      val r = 2.0 + (k % 3).toDouble
+      val verts = (0 until 6).map { i =>
+        val th = 2.0 * math.Pi * i.toDouble / 6.0 + 0.3
+        (clat + r * math.sin(th), clon + 1.35 * r * math.cos(th))
+      }
+      (k, verts.toSeq, (clat, clon))
+    }
+
+  /** The HexPolys fixture as a polygon-table DataFrame anchored on the
+    * nation parquet: (region_id, lats, lons) with parallel vertex arrays. */
+  private[graft] def hexPolyTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hexDf = HexPolys
+      .map { case (k, vs, _) => (k, vs.map(_._1).toArray, vs.map(_._2).toArray) }
+      .toDF("region_id", "lats", "lons")
+    nation(s, dir).select(col("n_nationkey").cast("long").as("region_id"))
+      .join(hexDf, "region_id")
+  }
+
   /** Exact spherical containment for a CONVEX loop as an ANSI-SQL predicate
     * over a unit vector (px, py, pz): strictly inside every edge plane
     * v_i x v_{i+1}. The plane normals are computed here with the very same
@@ -447,6 +481,54 @@ object SparkEntry {
         .select("o_orderkey")
     }),
 
+    // MERGE (upsert) into the clustered layout: keys % 7 == 0 MOVE to new
+    // coordinates (old copies are hunted down across partitions by the
+    // key-semi-join scan), keys % 11 == 0 spawn inserts with fresh ids;
+    // only touched coarse-tile partitions are rewritten (TableMaintenance
+    // Spec pins that untouched partition files are byte-identical after).
+    // The fixture write is part of the measured op: merge is a mutation,
+    // so each invocation starts from a fresh base.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = points(s, dir).select(col("o_orderkey").cast("long"), col("lat"), col("lon"))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      Tiling.clusteredWrite(base, "lat", "lon", tmp, coarseLevel = 2)
+      val upd = orders(s, dir).where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").cast("long"),
+          expr(latSqlFor("(o_orderkey * 3 + 1)")).as("lat"),
+          expr(lonSqlFor("(o_orderkey * 3 + 1)")).as("lon"))
+      val ins = orders(s, dir).where(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 1000000000L).cast("long").as("o_orderkey"),
+          expr(latSqlFor("(o_orderkey * 5 + 2)")).as("lat"),
+          expr(lonSqlFor("(o_orderkey * 5 + 2)")).as("lon"))
+      Tiling.mergeClustered(s, tmp, upd.unionByName(ins), "o_orderkey", "lat", "lon",
+        coarseLevel = 2)
+      s.read.parquet(tmp).select("o_orderkey", "lat", "lon")
+    }),
+
+    // small-file compaction: a 3-batch fragmented clustered layout is
+    // compacted back to one sorted file per partition; rows are the
+    // invariant (the layout changes, not the content — same contract as
+    // q_bucketed_join), file-count/sort/pruning effects are pinned in
+    // TableMaintenanceSpec
+    "q_compact_scan" -> ((s, dir) => {
+      val base = points(s, dir).select(col("o_orderkey").cast("long"), col("lat"), col("lon"))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      base
+        .withColumn("__leaf", s2_cell_id(col("lat"), col("lon")))
+        .withColumn("coarse_tile", s2_token(s2_parent(col("__leaf"), 2)))
+        .withColumn("__leaf_ord", s2_ord(col("__leaf")))
+        .drop("__leaf")
+        // explicit partition count: AQE would otherwise coalesce the salted
+        // shuffle back to one task and nothing would fragment
+        .repartition(24, col("coarse_tile"), pmod(col("o_orderkey"), lit(3)))
+        .sortWithinPartitions("coarse_tile", "__leaf_ord")
+        .write.partitionBy("coarse_tile").parquet(tmp)
+      Tiling.compactClustered(s, tmp)
+      s.read.parquet(tmp).select("o_orderkey", "lat", "lon")
+    }),
+
     // --- covering PIP joins ---
     "q_pip_rect" -> ((s, dir) =>
       SpatialJoin.pipJoin(points(s, dir), "lat", "lon", rectRegions)
@@ -668,6 +750,17 @@ object SparkEntry {
             ((col("lon_lo") > col("lon_hi")) && (col("lon") >= col("lon_lo") || col("lon") <= col("lon_hi")))))
         .select("region_id", "o_orderkey")
     }),
+
+    // PIP join against a TABLE of polygons (vs q_pip_polygon's driver-side
+    // Seq): 25 convex hexagon loops live as (region_id, lats, lons) rows,
+    // are rasterized executor-side to level-6 cells with interior flags,
+    // equi-join points on their level-6 tile, and only boundary-cell hits
+    // run the exact s2_loop_contains refinement — vertex arrays are nulled
+    // on interior cells so they never shuffle for fast-path rows
+    "q_poly_table_join" -> ((s, dir) =>
+      SpatialJoin.polygonPipJoin(points(s, dir), "lat", "lon",
+          hexPolyTable(s, dir), "region_id", "lats", "lons", level = 6)
+        .select("region_id", "o_orderkey")),
 
     // co-located bucketed join: both sides pre-hashed into 8 buckets on
     // the customer key, so the join itself plans with NO Exchange on
@@ -1312,6 +1405,46 @@ object SparkEntry {
          |WHERE lat BETWEEN lat_lo AND lat_hi
          |  AND ((lon_lo <= lon_hi AND lon BETWEEN lon_lo AND lon_hi)
          |    OR (lon_lo > lon_hi AND (lon >= lon_lo OR lon <= lon_hi)))""".stripMargin,
+
+    // merge simulated in SQL: base rows whose key is NOT updated, plus the
+    // updated rows, plus the inserts — lat/lon are pure integer-rational
+    // arithmetic (no trig), so Spark and DuckDB produce bit-identical
+    // doubles
+    "q_merge_upsert" ->
+      s"""WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |    $LatSql AS lat, $LonSql AS lon FROM orders),
+         |upd AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |    ${latSqlFor("(o_orderkey * 3 + 1)")} AS lat,
+         |    ${lonSqlFor("(o_orderkey * 3 + 1)")} AS lon
+         |  FROM orders WHERE o_orderkey % 7 = 0),
+         |ins AS (SELECT CAST(o_orderkey + 1000000000 AS BIGINT) AS o_orderkey,
+         |    ${latSqlFor("(o_orderkey * 5 + 2)")} AS lat,
+         |    ${lonSqlFor("(o_orderkey * 5 + 2)")} AS lon
+         |  FROM orders WHERE o_orderkey % 11 = 0)
+         |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         |UNION ALL SELECT * FROM upd
+         |UNION ALL SELECT * FROM ins""".stripMargin,
+
+    // compaction changes the file layout, never the rows
+    "q_compact_scan" ->
+      s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |  $LatSql AS lat, $LonSql AS lon FROM orders""".stripMargin,
+
+    // one convex edge-plane branch per hexagon (same exactness argument as
+    // q_pip_polygon: normals are kernel-computed doubles inlined as
+    // literals; PolygonTableJoinSpec pins the margin precondition)
+    "q_poly_table_join" -> {
+      val branches = HexPolys.map { case (k, verts, center) =>
+        s"""SELECT CAST($k AS BIGINT) AS region_id, o_orderkey FROM xyz
+           | WHERE ${convexLoopSql(verts, center)}""".stripMargin
+      }
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |xyz AS (SELECT o_orderkey,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts)
+         |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // the bucketed layout changes the plan, not the rows
     "q_bucketed_join" ->

@@ -325,3 +325,135 @@ case class S2CapCovering(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): S2CapCovering = copy(children = newChildren)
   override def prettyName: String = "s2_cap_covering"
 }
+
+/** Per-thread LRU of constructed [[graft.s2.S2Loop]]s keyed by vertex
+  * content. Loop construction is O(n) (bound + origin) and `contains`
+  * lazily builds an edge index for large loops, so the refinement side of a
+  * polygon-table join — where one task streams many candidate points of the
+  * SAME few border polygons (the equi-join groups rows by covering cell) —
+  * would otherwise rebuild the loop once per (point, polygon) pair. Thread
+  * confinement also keeps the loop's lazy internal state (edge iterator,
+  * first-logical-vertex memo) race-free. */
+private[functions] object LoopCache {
+  final class Key(val lats: Array[Double], val lons: Array[Double]) {
+    override val hashCode: Int =
+      31 * java.util.Arrays.hashCode(lats) + java.util.Arrays.hashCode(lons)
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => java.util.Arrays.equals(lats, k.lats) &&
+        java.util.Arrays.equals(lons, k.lons)
+      case _ => false
+    }
+  }
+
+  private val MaxEntries = 64
+
+  private val cache = new ThreadLocal[java.util.LinkedHashMap[Key, graft.s2.S2Loop]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[Key, graft.s2.S2Loop](MaxEntries * 2, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Key, graft.s2.S2Loop]): Boolean = size > MaxEntries
+      }
+  }
+
+  def loopFor(lats: Array[Double], lons: Array[Double]): graft.s2.S2Loop = {
+    require(lats.length == lons.length,
+      s"loop vertex arrays differ in length: ${lats.length} vs ${lons.length}")
+    require(lats.length >= 3, s"a loop needs >= 3 vertices, got ${lats.length}")
+    val key = new Key(lats, lons)
+    val m = cache.get()
+    var loop = m.get(key)
+    if (loop == null) {
+      val verts = Array.tabulate(lats.length)(i =>
+        S2LatLng.fromDegrees(lats(i), lons(i)).toPoint)
+      loop = new graft.s2.S2Loop(verts.toIndexedSeq)
+      m.put(key, loop)
+    }
+    loop
+  }
+}
+
+/** `s2_polygon_covering(latsDeg: array<double>, lonsDeg: array<double>,
+  * level) -> array<struct<cell: long, interior: boolean>>` — the fixed-level
+  * covering cells of a single-loop polygon given as parallel vertex arrays,
+  * each cell flagged `interior` when the loop fully contains it (so a PIP
+  * join can skip exact refinement for points landing there). The loop must
+  * be simple (non-self-intersecting) with vertices listed so the enclosed
+  * region is on the LEFT (counter-clockwise for small loops).
+  *
+  * This is the polygon member of the vector->raster family
+  * ([[S2RectCovering]] / [[S2CapCovering]]): with column args the flood
+  * fill runs per row on the EXECUTORS, so a million-polygon catalog
+  * rasterizes as a distributed projection — the driver-side
+  * `SpatialJoin.coverRegions` Seq can never hold that. Flood-fill seed is
+  * vertex 0 (always on the boundary, so its level-L cell intersects the
+  * loop; `S2RegionCoverer.cs` GetSimpleCovering seeds the same way). */
+case class S2PolygonCovering(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false), IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("interior", BooleanType, nullable = false))), containsNull = false)
+
+  private val MaxCoveringCells = 1 << 17
+
+  override protected def nullSafeEval(latsAny: Any, lonsAny: Any, levelAny: Any): Any = {
+    val lats = latsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val lons = lonsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val level = levelAny.asInstanceOf[Int]
+    require(0 <= level && level <= 30, s"s2_polygon_covering level $level outside [0, 30]")
+    val loop = LoopCache.loopFor(lats, lons)
+    // fail fast on coverings too large to enumerate (rect-bound area over
+    // average cell area at the level, same guard as s2_rect_covering)
+    val b = loop.rectBound
+    val area = b.lng.length *
+      math.max(0.0, math.sin(b.lat.hi) - math.sin(b.lat.lo))
+    val avgCellArea = 4 * math.Pi / (6.0 * math.pow(4.0, level))
+    require(area / avgCellArea <= MaxCoveringCells,
+      f"s2_polygon_covering would produce ~${area / avgCellArea}%.0f level-$level cells " +
+        f"(> $MaxCoveringCells); use a coarser level for a polygon this large")
+    val cells = graft.s2.S2RegionCoverer.getSimpleCovering(loop, loop.vertex(0), level)
+    val rows = new Array[Any](cells.length)
+    var i = 0
+    while (i < cells.length) {
+      val interior = loop.containsCell(graft.s2.S2Cell(cells(i)))
+      rows(i) = InternalRow(cells(i), interior)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): S2PolygonCovering = copy(f, s, t)
+  override def prettyName: String = "s2_polygon_covering"
+}
+
+/** `s2_loop_contains(latsDeg: array<double>, lonsDeg: array<double>,
+  * latDeg, lonDeg) -> boolean` — exact single-loop containment
+  * (`S2Loop.cs:794-833` crossing-parity semantics) with the loop built from
+  * parallel vertex arrays. The refinement predicate of the polygon-TABLE
+  * PIP join: loops are constructed at most once per (task thread, polygon)
+  * via [[LoopCache]], not once per candidate pair. */
+case class S2LoopContainsPoint(first: Expression, second: Expression,
+                               third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false), DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(latsAny: Any, lonsAny: Any,
+                                      latAny: Any, lonAny: Any): Any = {
+    val lats = latsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val lons = lonsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val loop = LoopCache.loopFor(lats, lons)
+    loop.contains(S2LatLng.fromDegrees(latAny.asInstanceOf[Double],
+      lonAny.asInstanceOf[Double]).toPoint)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): S2LoopContainsPoint =
+    copy(f, s, t, q)
+  override def prettyName: String = "s2_loop_contains"
+}

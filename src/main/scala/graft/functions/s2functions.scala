@@ -59,6 +59,19 @@ object s2functions {
     expr(S2RectCovering(Seq(child(latLo), child(latHi), child(lonLo), child(lonHi),
       child(lit(level)))))
 
+  /** Fixed-level covering of a single-loop polygon given as parallel vertex
+    * arrays (degrees), each cell struct flagged `interior` when the loop
+    * fully contains it. With column args the flood fill runs per row on the
+    * executors — the polygon member of the vector->raster family. */
+  def s2_polygon_covering(latsDeg: Column, lonsDeg: Column, level: Int): Column =
+    expr(S2PolygonCovering(child(latsDeg), child(lonsDeg), child(lit(level))))
+
+  /** Exact single-loop containment of a point, loop built from parallel
+    * vertex arrays (degrees); per-thread loop construction cache. */
+  def s2_loop_contains(latsDeg: Column, lonsDeg: Column,
+                       latDeg: Column, lonDeg: Column): Column =
+    expr(S2LoopContainsPoint(child(latsDeg), child(lonsDeg), child(latDeg), child(lonDeg)))
+
   /** Register all s2_* functions for SQL use on the given session. */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -85,5 +98,7 @@ object s2functions {
     reg("s2_vertex_neighbors", { case Seq(a, b) => S2VertexNeighbors(a, b) })
     reg("s2_rect_covering", args => S2RectCovering(args))
     reg("s2_cap_covering", args => S2CapCovering(args))
+    reg("s2_polygon_covering", { case Seq(a, b, c) => S2PolygonCovering(a, b, c) })
+    reg("s2_loop_contains", { case Seq(a, b, c, d) => S2LoopContainsPoint(a, b, c, d) })
   }
 }

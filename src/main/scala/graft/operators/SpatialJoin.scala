@@ -286,4 +286,58 @@ object SpatialJoin {
         col("__blo"), col("__bhi"), col("__bglo"), col("__bghi")))
       .select("id_a", "id_b")
   }
+
+  /** PIP join against a TABLE of single-loop polygons — the many-polygon
+    * form of [[pipJoin]]. [[pipJoin]]'s driver-side `Seq[(id, S2Region)]`
+    * plan is right for a handful of broadcast query regions; a catalog of
+    * 10^5-10^6 admin/geofence polygons must stay distributed. Plan:
+    *
+    *  1. Rasterize the polygon table executor-side at one fixed `level`
+    *     ([[Vectorize.rasterizePolygons]] semantics, inlined slim): one
+    *     (region row) -> (cell, interior) per covering cell, with the
+    *     vertex arrays NULLED OUT on interior cells so the join below never
+    *     shuffles vertices for rows that skip refinement.
+    *  2. Equi-join points on their level-`level` tile. Same-level covering
+    *     cells are disjoint, so each (point, region) pair meets on at most
+    *     ONE cell — no pair dedup. Catalyst/AQE picks broadcast when the
+    *     raster side is small, shuffle-hash otherwise; either way the join
+    *     key is a plain long.
+    *  3. `interior` hits pass outright; boundary hits run the exact
+    *     `s2_loop_contains` refinement (loops built once per task thread
+    *     per polygon via the expression's LRU, not once per pair).
+    *
+    * Level picks the raster granularity: finer -> more raster rows but a
+    * higher interior fraction (less refinement); `s2_polygon_covering`
+    * fails fast if a polygon would explode into > 2^17 cells at `level`.
+    *
+    * @param polys one row per region: `idCol`, parallel vertex-array
+    *              columns `latsCol`/`lonsCol` (degrees, enclosed region on
+    *              the left / CCW)
+    * @return points columns + `region_id`, one row per (point, containing
+    *         region) */
+  def polygonPipJoin(points: DataFrame, latCol: String, lonCol: String,
+                     polys: DataFrame, idCol: String,
+                     latsCol: String, lonsCol: String,
+                     level: Int = 8): DataFrame = {
+    val reserved = Seq("__ptile", "__cell", "__interior", "__rlats", "__rlons", "__rc")
+    val collisions = (points.columns ++ polys.columns).filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"polygonPipJoin: reserved column name(s) in input: ${collisions.mkString(", ")}")
+
+    val raster = polys
+      .select(col(idCol).as("region_id"), col(latsCol).as("__rlats"),
+        col(lonsCol).as("__rlons"),
+        explode(s2_polygon_covering(col(latsCol), col(lonsCol), level)).as("__rc"))
+      .select(col("region_id"),
+        col("__rc.cell").as("__cell"), col("__rc.interior").as("__interior"),
+        when(!col("__rc.interior"), col("__rlats")).as("__rlats"),
+        when(!col("__rc.interior"), col("__rlons")).as("__rlons"))
+
+    points
+      .withColumn("__ptile", s2_tile(col(latCol), col(lonCol), level))
+      .join(raster, col("__ptile") === col("__cell"))
+      .where(col("__interior") ||
+        s2_loop_contains(col("__rlats"), col("__rlons"), col(latCol), col(lonCol)))
+      .drop("__ptile", "__cell", "__interior", "__rlats", "__rlons")
+  }
 }

@@ -63,6 +63,159 @@ object Tiling {
       .parquet(outDir)
   }
 
+  final case class MergeStats(touchedPartitions: Int, removedPartitions: Int,
+                              stagedRows: Long)
+  final case class CompactStats(compactedPartitions: Int, filesBefore: Int,
+                                filesAfter: Int)
+
+  /** MERGE (upsert) a batch into a [[clusteredWrite]] layout, rewriting ONLY
+    * the coarse-tile partitions the batch touches — the table-maintenance
+    * operation a mutable geo catalog runs on every ingest, shaped like an
+    * Iceberg MERGE commit: stage replacement files, then swap them in as a
+    * per-partition metadata move.
+    *
+    * Semantics: rows whose `keyCol` appears in `updates` are replaced (rows
+    * may MOVE to a different coarse tile — the old copy is found and
+    * removed wherever it lives); keys not present are inserted. Batches
+    * with duplicate keys have no defined winner and are rejected loudly.
+    *
+    * Scale shape: victim partitions are found by ONE key-semi-join scan
+    * that reads only (key, partition) columns; the rewrite reads and
+    * shuffles ONLY touched partitions; untouched partition directories are
+    * never opened for data. The staged-dir swap is local-fs rename here —
+    * on an object store this step is the atomic metadata commit a table
+    * format provides; pair with [[ResumableWrite]] manifests for lineage. */
+  /** Read a clustered layout with partition-column TYPE INFERENCE OFF:
+    * numeric-looking hex tokens ("04", "89") would otherwise be inferred as
+    * integers, corrupting the token ("04" -> 4 -> directory
+    * `coarse_tile=4`) exactly where the maintenance ops swap directories by
+    * token. Inference runs eagerly at relation resolution, so toggling the
+    * conf around the read is sufficient and thread-confined enough for
+    * these driver-side maintenance entry points. */
+  private def readLayoutStringParts(spark: SparkSession, dir: String): DataFrame = {
+    val k = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try spark.read.parquet(dir)
+    finally old match {
+      case Some(v) => spark.conf.set(k, v)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
+  def mergeClustered(spark: SparkSession, dir: String, updates: DataFrame,
+                     keyCol: String, latCol: String, lonCol: String,
+                     coarseLevel: Int = 5): MergeStats = {
+    val existing = readLayoutStringParts(spark, dir)
+    require(existing.columns.contains("coarse_tile") &&
+      existing.columns.contains("__leaf_ord"),
+      s"mergeClustered: $dir is not a clusteredWrite layout (coarse_tile/__leaf_ord missing)")
+    Seq(keyCol, latCol, lonCol).foreach(c => require(updates.columns.contains(c),
+      s"mergeClustered: updates missing column '$c'"))
+
+    val batchStats = updates
+      .agg(count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k")).head()
+    require(batchStats.getLong(0) == batchStats.getLong(1),
+      s"mergeClustered: batch has duplicate keys (${batchStats.getLong(0)} rows, " +
+        s"${batchStats.getLong(1)} distinct '$keyCol') — no defined winner, dedup first")
+
+    val keys = updates.select(col(keyCol))
+    // victim partitions: where updated keys currently live (keys may move
+    // tiles, so this CANNOT be derived from the batch's new coordinates)
+    val victimParts = existing.select(col(keyCol), col("coarse_tile"))
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select("coarse_tile").distinct().collect().map(_.getString(0))
+    val incoming = updates
+      .withColumn("__leaf", s2_cell_id(col(latCol), col(lonCol)))
+      .withColumn("coarse_tile", s2_token(s2_parent(col("__leaf"), coarseLevel)))
+      .withColumn("__leaf_ord", s2_ord(col("__leaf")))
+      .drop("__leaf")
+    val newParts = incoming.select("coarse_tile").distinct().collect().map(_.getString(0))
+    val touched = (victimParts ++ newParts).distinct
+
+    val survivors = existing.where(col("coarse_tile").isin(touched: _*))
+      .join(broadcast(keys), Seq(keyCol), "left_anti")
+    val merged = survivors.unionByName(incoming.select(survivors.columns.map(col): _*))
+    val (stagedRows, removed) = rewritePartitions(spark, dir, touched, merged)
+    MergeStats(touched.length, removed, stagedRows)
+  }
+
+  /** Compact multi-file partitions of a [[clusteredWrite]] layout back to
+    * one sorted file each — the small-file maintenance pass every
+    * long-lived ingest-heavy table needs ([[mergeClustered]] and streaming
+    * appends both fragment partitions over time). Partitions already at a
+    * single file are left untouched (their files are never read); the
+    * compacted rows are re-sorted by `__leaf_ord` so row-group pruning
+    * keeps working after the merge of independently-sorted files. */
+  def compactClustered(spark: SparkSession, dir: String,
+                       minFilesToCompact: Int = 2): CompactStats = {
+    require(minFilesToCompact >= 2,
+      s"compactClustered: minFilesToCompact must be >= 2, got $minFilesToCompact")
+    val inventory = partitionFileCounts(dir)
+    val toCompact = inventory.filter(_._2 >= minFilesToCompact)
+    if (toCompact.isEmpty)
+      return CompactStats(0, inventory.map(_._2).sum, inventory.map(_._2).sum)
+    val tokens = toCompact.map(_._1)
+    val rows = readLayoutStringParts(spark, dir)
+      .where(col("coarse_tile").isin(tokens: _*))
+    val (_, removed) = rewritePartitions(spark, dir, tokens, rows)
+    require(removed == 0,
+      s"compactClustered: $removed partitions vanished during compaction — " +
+        "layout mutated concurrently")
+    val after = partitionFileCounts(dir)
+    CompactStats(toCompact.length, inventory.map(_._2).sum, after.map(_._2).sum)
+  }
+
+  /** (token, parquet file count) per coarse-tile partition directory. */
+  private def partitionFileCounts(dir: String): Seq[(String, Int)] = {
+    val root = new java.io.File(dir)
+    require(root.isDirectory, s"not a directory: $dir")
+    root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("coarse_tile="))
+      .map { d =>
+        val token = d.getName.stripPrefix("coarse_tile=")
+        token -> d.listFiles().count(f => f.getName.endsWith(".parquet"))
+      }
+  }
+
+  /** Stage `rows` (repartitioned + sorted per the clustered layout) into a
+    * temp dir, then swap each touched partition's directory for its staged
+    * replacement (delete when nothing was staged — the partition lost all
+    * its rows). Returns (staged row count, partitions removed). */
+  private def rewritePartitions(spark: SparkSession, dir: String,
+                                touched: Seq[String], rows: DataFrame): (Long, Int) = {
+    import java.nio.file.{Files, Paths}
+    touched.foreach(t => require(t.matches("[0-9a-fX]+"),
+      s"rewritePartitions: unexpected coarse_tile token '$t'"))
+    val staging = Paths.get(dir + "_staging_" + java.util.UUID.randomUUID().toString.take(8))
+    val obs = org.apache.spark.sql.Observation()
+    rows.observe(obs, count(lit(1)).as("n"))
+      .repartition(col("coarse_tile"))
+      .sortWithinPartitions("coarse_tile", "__leaf_ord")
+      .write.mode("overwrite").partitionBy("coarse_tile").parquet(staging.toString)
+    val stagedRows = obs.get("n").asInstanceOf[Long]
+    var removed = 0
+    for (t <- touched) {
+      val dst = Paths.get(dir, s"coarse_tile=$t")
+      val src = staging.resolve(s"coarse_tile=$t")
+      deleteRecursively(dst)
+      if (Files.exists(src)) Files.move(src, dst) else removed += 1
+    }
+    deleteRecursively(staging)
+    (stagedRows, removed)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().forEachRemaining(deleteRecursively) finally s.close()
+      }
+      Files.delete(p)
+    }
+  }
+
   /** Read a clustered table restricted to the cells of a covering: the
     * coarse-tile IN-list prunes partition directories before any file is
     * opened; the `__leaf_ord` range conjuncts reach parquet row-group
@@ -87,7 +240,11 @@ object Tiling {
       col("__leaf_ord").between(
         S2CellId.rangeMin(c) ^ Long.MinValue, S2CellId.rangeMax(c) ^ Long.MinValue)
     }.reduce(_ || _)
-    spark.read.parquet(dir)
+    // inference-off read: an all-numeric-token directory set ("04", "11",
+    // ...) would otherwise infer coarse_tile as an integer and the string
+    // IN-list would silently prune EVERYTHING (leading zeros don't survive
+    // the int round-trip)
+    readLayoutStringParts(spark, dir)
       .where(col("coarse_tile").isin(coarse: _*))
       .where(rangePred)
   }

@@ -37,6 +37,28 @@ object Vectorize {
         col(latLoCol), col(latHiCol), col(lonLoCol), col(lonHiCol), level)).as("cell"))
   }
 
+  /** Vector -> raster for a TABLE of single-loop POLYGONS — one row per
+    * region with parallel vertex-array columns `(latsCol, lonsCol)` in
+    * degrees, enclosed region on the left (CCW) — into
+    * `(input cols..., cell, interior)` rows at a fixed level. Like
+    * [[rasterizeRects]] the covering flood fill runs EXECUTOR-side per row
+    * (the `s2_polygon_covering` expression), so a 10^6-polygon catalog
+    * rasterizes with no driver loop; `interior = true` cells are fully
+    * inside the loop, letting a downstream PIP join skip exact refinement
+    * for points landing there. */
+  def rasterizePolygons(polys: DataFrame, latsCol: String, lonsCol: String,
+                        level: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.s2functions._
+    require(!polys.columns.contains("cell") && !polys.columns.contains("interior"),
+      "rasterizePolygons: input already has a 'cell' or 'interior' column")
+    polys.select(col("*"),
+        explode(s2_polygon_covering(col(latsCol), col(lonsCol), level)).as("__rc"))
+      .withColumn("cell", col("__rc.cell"))
+      .withColumn("interior", col("__rc.interior"))
+      .drop("__rc")
+  }
+
   /** Outline polygon of a cell set (driver-side; tile sets per region are
     * small — for huge unions, pre-merge with [[graft.s2.S2CellUnion]]
     * normalization first). */

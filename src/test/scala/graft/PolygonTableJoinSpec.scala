@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SpatialJoin, Vectorize}
+import graft.s2.{S2Cell, S2LatLng, S2Loop, S2Predicates, S2RegionCoverer}
+
+/** The polygon-TABLE PIP join: oracle preconditions on the hexagon fixture
+  * (convexity, orientation, edge-plane margin), the executor-side covering
+  * vs the driver kernel, the interior fast path, and brute-force equality
+  * of the full composition. */
+class PolygonTableJoinSpec extends SparkTestBase {
+
+  private def loopOf(verts: Seq[(Double, Double)]): S2Loop =
+    new S2Loop(verts.map { case (la, lo) => S2LatLng.fromDegrees(la, lo).toPoint }.toIndexedSeq)
+
+  test("every fixture hexagon is spherically convex, CCW, and contains its center") {
+    for ((k, verts, (clat, clon)) <- SparkEntry.HexPolys) {
+      val pts = verts.map { case (la, lo) => S2LatLng.fromDegrees(la, lo).toPoint }
+      val n = pts.size
+      val turns = pts.indices.map(i =>
+        S2Predicates.robustCcw(pts(i), pts((i + 1) % n), pts((i + 2) % n)))
+      assert(turns.forall(_ == 1), s"hexagon $k is not convex-CCW: turns=$turns")
+      val loop = loopOf(verts)
+      assert(loop.contains(S2LatLng.fromDegrees(clat, clon).toPoint),
+        s"hexagon $k does not contain its center — orientation broken")
+      assert(verts.forall { case (la, lo) => math.abs(la) < 89.0 && math.abs(lo) < 179.0 },
+        s"hexagon $k vertices stray toward pole/antimeridian: $verts")
+    }
+  }
+
+  test("oracle margin: no sf0.01 point within 1e-9 of any hexagon edge plane") {
+    val normals = SparkEntry.HexPolys.flatMap { case (_, verts, _) =>
+      val pts = verts.map { case (la, lo) => S2LatLng.fromDegrees(la, lo).toPoint }
+      pts.indices.map(i => pts(i).cross(pts((i + 1) % pts.size)))
+    }
+    val latLons = SparkEntry.points(spark, sf("sf0.01")).select("lat", "lon").collect()
+    var minMargin = Double.MaxValue
+    for (r <- latLons) {
+      val p = S2LatLng.fromDegrees(r.getDouble(0), r.getDouble(1)).toPoint
+      for (nrm <- normals) {
+        val m = math.abs(p.dot(nrm)) / nrm.norm
+        if (m < minMargin) minMargin = m
+      }
+    }
+    info(f"min |p . n_hat| over ${latLons.length} points x ${normals.size} planes = $minMargin%.3e")
+    assert(minMargin > 1e-9)
+  }
+
+  test("rasterizePolygons == driver kernel covering + containsCell per row") {
+    import spark.implicits._
+    val hexes = SparkEntry.HexPolys.take(5)
+    val df = hexes.map { case (k, vs, _) => (k, vs.map(_._1).toArray, vs.map(_._2).toArray) }
+      .toDF("region_id", "lats", "lons").repartition(3)
+    val got = Vectorize.rasterizePolygons(df, "lats", "lons", level = 6)
+      .select("region_id", "cell", "interior").as[(Long, Long, Boolean)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    for ((k, verts, _) <- hexes) {
+      val loop = loopOf(verts)
+      val cells = S2RegionCoverer.getSimpleCovering(loop, loop.vertex(0), 6)
+      val expected = cells.map(c => c -> loop.containsCell(S2Cell(c))).toMap
+      assert(got(k) == expected, s"hexagon $k raster diverged from kernel")
+      assert(expected.valuesIterator.exists(identity),
+        s"hexagon $k has no interior cells at level 6 — fast path untested")
+      assert(expected.valuesIterator.exists(!_),
+        s"hexagon $k has no boundary cells at level 6 — refine path untested")
+    }
+  }
+
+  test("polygonPipJoin equals brute-force loop containment (sf0.001)") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val got = SpatialJoin.polygonPipJoin(SparkEntry.points(spark, dir), "lat", "lon",
+        SparkEntry.hexPolyTable(spark, dir), "region_id", "lats", "lons", level = 6)
+      .select("region_id", "o_orderkey").as[(Long, Long)].collect().toSet
+    val loops = SparkEntry.HexPolys.map { case (k, vs, _) => k -> loopOf(vs) }
+    val pts = SparkEntry.points(spark, dir)
+      .select(col("o_orderkey").cast("long"), col("lat"), col("lon"))
+      .as[(Long, Double, Double)].collect()
+    val want = (for {
+      (id, la, lo) <- pts.iterator
+      p = S2LatLng.fromDegrees(la, lo).toPoint
+      (k, loop) <- loops
+      if loop.contains(p)
+    } yield (k, id)).toSet
+    assert(want.nonEmpty, "fixture produced an empty join — hexagons miss every point")
+    assert(got == want,
+      s"join diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("reserved-name collision fails loudly") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val polysBad = SparkEntry.hexPolyTable(spark, dir).withColumn("__cell", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      SpatialJoin.polygonPipJoin(SparkEntry.points(spark, dir), "lat", "lon",
+        polysBad, "region_id", "lats", "lons")
+    }
+    assert(e.getMessage.contains("__cell"))
+  }
+}
