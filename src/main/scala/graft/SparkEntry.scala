@@ -143,6 +143,42 @@ object SparkEntry {
       .join(hexDf, "region_id")
   }
 
+  /** 25 deterministic diamond-with-hole polygons keyed by n_nationkey — the
+    * MULTI-LOOP polygon-table fixture of q_holed_table_join (same design
+    * rules as [[HexPolys]]: driver-exact doubles, mid-latitude, clear of
+    * the antimeridian; both loops convex so the oracle stays
+    * edge-plane-expressible). Each tuple is (regionId, loops (shell then
+    * hole, each CCW (lat,lon) verts), center(lat,lon) — inside the hole,
+    * usable as the orientation resolver for BOTH convex loops). */
+  private[graft] lazy val HoledPolys: Seq[(Long, Seq[Seq[(Double, Double)]], (Double, Double))] =
+    (0L until 25L).map { k =>
+      // centers sit 0.0037/0.0041 OFF the 0.01-degree derived-point grid:
+      // diamond vertices are axis-aligned with their center, so an
+      // on-grid center would put vertices exactly on reachable point
+      // coordinates and a vertex-coincident point has zero edge-plane
+      // margin (the hexagons are immune via their irrational sin/cos
+      // offsets; these need the nudge)
+      val clat = ((k * 6133 + 2718) % 11000) / 100.0 - 55.0037
+      val clon = ((k * 93911 + 3141) % 34000) / 100.0 - 170.0041
+      val r = 3.0 + (k % 2).toDouble
+      val w = 1.3 * r
+      def diamond(rr: Double, ww: Double) = Seq(
+        (clat, clon + ww), (clat + rr, clon), (clat, clon - ww), (clat - rr, clon))
+      (k, Seq(diamond(r, w), diamond(r / 3.0, w / 3.0)), (clat, clon))
+    }
+
+  /** The HoledPolys fixture as a multi-loop polygon-table DataFrame
+    * anchored on the nation parquet: (region_id, loop_lats, loop_lons)
+    * with nested vertex arrays (loop 0 shell, loop 1 hole). */
+  private[graft] def holedPolyTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = HoledPolys.map { case (k, loops, _) =>
+      (k, loops.map(_.map(_._1).toArray).toArray, loops.map(_.map(_._2).toArray).toArray)
+    }.toDF("region_id", "loop_lats", "loop_lons")
+    nation(s, dir).select(col("n_nationkey").cast("long").as("region_id"))
+      .join(df, "region_id")
+  }
+
   /** Exact spherical containment for a CONVEX loop as an ANSI-SQL predicate
     * over a unit vector (px, py, pz): strictly inside every edge plane
     * v_i x v_{i+1}. The plane normals are computed here with the very same
@@ -762,6 +798,14 @@ object SparkEntry {
           hexPolyTable(s, dir), "region_id", "lats", "lons", level = 6)
         .select("region_id", "o_orderkey")),
 
+    // the multi-loop (shell + hole) variant: XOR-parity containment at
+    // table granularity — covering cells inside the hole never exist, the
+    // refine is the exact S2Polygon parity test
+    "q_holed_table_join" -> ((s, dir) =>
+      SpatialJoin.multiPolygonPipJoin(points(s, dir), "lat", "lon",
+          holedPolyTable(s, dir), "region_id", "loop_lats", "loop_lons", level = 6)
+        .select("region_id", "o_orderkey")),
+
     // co-located bucketed join: both sides pre-hashed into 8 buckets on
     // the customer key, so the join itself plans with NO Exchange on
     // either side (asserted in BucketingSpec); only the tiny per-segment
@@ -1052,6 +1096,49 @@ object SparkEntry {
         q.processAllAvailable()
       } finally q.stop()
       acc.toSeq.toDF("id_a", "id_b")
+    }),
+
+    // streaming CDC upsert into the clustered store: batch 1 moves keys
+    // % 7 == 0, batch 2 moves them AGAIN (cross-batch last-wins) and
+    // carries an in-batch superseded event per key (within-batch
+    // last-wins by seq) plus fresh inserts for keys % 11 == 0; the final
+    // table must equal the one simulated merge in the oracle
+    "q_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val base = points(s, dir)
+        .select(col("o_orderkey").cast("long"), col("lat"), col("lon"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+      Tiling.clusteredWrite(base, "lat", "lon", tmp, coarseLevel = 2)
+      def rowsOf(df: DataFrame): Seq[(Long, Double, Double, Long)] =
+        df.as[(Long, Double, Double, Long)].collect().toSeq
+      val updKeys = orders(s, dir).where(col("o_orderkey") % 7 === 0)
+      val batch1 = rowsOf(updKeys.select(col("o_orderkey").cast("long"),
+        expr(latSqlFor("(o_orderkey * 3 + 1)")).as("lat"),
+        expr(lonSqlFor("(o_orderkey * 3 + 1)")).as("lon"), lit(1L).as("seq")))
+      // batch 2: a superseded event (seq 2) and the winner (seq 3) per key
+      val batch2 = rowsOf(updKeys.select(col("o_orderkey").cast("long"),
+        expr(latSqlFor("(o_orderkey * 9 + 4)")).as("lat"),
+        expr(lonSqlFor("(o_orderkey * 9 + 4)")).as("lon"), lit(2L).as("seq"))) ++
+        rowsOf(updKeys.select(col("o_orderkey").cast("long"),
+          expr(latSqlFor("(o_orderkey * 13 + 5)")).as("lat"),
+          expr(lonSqlFor("(o_orderkey * 13 + 5)")).as("lon"), lit(3L).as("seq"))) ++
+        rowsOf(orders(s, dir).where(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 1000000000L).cast("long").as("o_orderkey"),
+            expr(latSqlFor("(o_orderkey * 5 + 2)")).as("lat"),
+            expr(lonSqlFor("(o_orderkey * 5 + 2)")).as("lon"), lit(2L).as("seq")))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, Double, Double, Long)]
+      val q = graft.streaming.StreamingUpsert.upsertStream(
+        input.toDF().toDF("o_orderkey", "lat", "lon", "seq"),
+        tmp, "o_orderkey", "lat", "lon", "seq", coarseLevel = 2)
+      try {
+        input.addData(batch1)
+        q.processAllAvailable()
+        input.addData(batch2)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(tmp).select("o_orderkey", "lat", "lon")
     })
   )
 
@@ -1425,6 +1512,24 @@ object SparkEntry {
          |UNION ALL SELECT * FROM upd
          |UNION ALL SELECT * FROM ins""".stripMargin,
 
+    // the two streamed batches collapse to one simulated merge: updated
+    // keys end at their LAST event's coordinates (batch 2, seq 3), the
+    // batch-1 and seq-2 positions must be gone, inserts appear once
+    "q_stream_upsert" ->
+      s"""WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |    $LatSql AS lat, $LonSql AS lon FROM orders),
+         |upd AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |    ${latSqlFor("(o_orderkey * 13 + 5)")} AS lat,
+         |    ${lonSqlFor("(o_orderkey * 13 + 5)")} AS lon
+         |  FROM orders WHERE o_orderkey % 7 = 0),
+         |ins AS (SELECT CAST(o_orderkey + 1000000000 AS BIGINT) AS o_orderkey,
+         |    ${latSqlFor("(o_orderkey * 5 + 2)")} AS lat,
+         |    ${lonSqlFor("(o_orderkey * 5 + 2)")} AS lon
+         |  FROM orders WHERE o_orderkey % 11 = 0)
+         |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         |UNION ALL SELECT * FROM upd
+         |UNION ALL SELECT * FROM ins""".stripMargin,
+
     // compaction changes the file layout, never the rows
     "q_compact_scan" ->
       s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -1437,6 +1542,23 @@ object SparkEntry {
       val branches = HexPolys.map { case (k, verts, center) =>
         s"""SELECT CAST($k AS BIGINT) AS region_id, o_orderkey FROM xyz
            | WHERE ${convexLoopSql(verts, center)}""".stripMargin
+      }
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |xyz AS (SELECT o_orderkey,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts)
+         |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // shell-minus-hole edge-plane branches per region (both loops convex;
+    // same inlined-normal exactness argument as q_poly_table_join)
+    "q_holed_table_join" -> {
+      val branches = HoledPolys.map { case (k, loops, center) =>
+        val shell = convexLoopSql(loops(0), center)
+        val hole = convexLoopSql(loops(1), center)
+        s"""SELECT CAST($k AS BIGINT) AS region_id, o_orderkey FROM xyz
+           | WHERE $shell AND NOT $hole""".stripMargin
       }
       s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
          |xyz AS (SELECT o_orderkey,

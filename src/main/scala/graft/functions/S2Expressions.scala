@@ -457,3 +457,140 @@ case class S2LoopContainsPoint(first: Expression, second: Expression,
     copy(f, s, t, q)
   override def prettyName: String = "s2_loop_contains"
 }
+
+/** Per-thread LRU of constructed [[graft.s2.S2Polygon]]s (multi-loop, XOR
+  * parity) keyed by nested vertex content — the multi-loop sibling of
+  * [[LoopCache]], same rationale. */
+private[functions] object PolygonCache {
+  final class Key(val lats: Array[Array[Double]], val lons: Array[Array[Double]]) {
+    override val hashCode: Int =
+      31 * java.util.Arrays.deepHashCode(lats.asInstanceOf[Array[AnyRef]]) +
+        java.util.Arrays.deepHashCode(lons.asInstanceOf[Array[AnyRef]])
+    override def equals(o: Any): Boolean = o match {
+      case k: Key =>
+        java.util.Arrays.deepEquals(lats.asInstanceOf[Array[AnyRef]],
+          k.lats.asInstanceOf[Array[AnyRef]]) &&
+          java.util.Arrays.deepEquals(lons.asInstanceOf[Array[AnyRef]],
+            k.lons.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+  }
+
+  private val MaxEntries = 64
+
+  private val cache = new ThreadLocal[java.util.LinkedHashMap[Key, graft.s2.S2Polygon]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[Key, graft.s2.S2Polygon](MaxEntries * 2, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Key, graft.s2.S2Polygon]): Boolean = size > MaxEntries
+      }
+  }
+
+  def polygonFor(lats: Array[Array[Double]],
+                 lons: Array[Array[Double]]): graft.s2.S2Polygon = {
+    require(lats.length == lons.length && lats.length >= 1,
+      s"polygon needs >= 1 loop with matching lat/lon arrays, " +
+        s"got ${lats.length}/${lons.length}")
+    var i = 0
+    while (i < lats.length) {
+      require(lats(i).length == lons(i).length && lats(i).length >= 3,
+        s"loop $i: vertex arrays ${lats(i).length}/${lons(i).length} (need >= 3, equal)")
+      i += 1
+    }
+    val key = new Key(lats, lons)
+    val m = cache.get()
+    var poly = m.get(key)
+    if (poly == null) {
+      val loops = lats.indices.map { j =>
+        new graft.s2.S2Loop(Array.tabulate(lats(j).length)(v =>
+          S2LatLng.fromDegrees(lats(j)(v), lons(j)(v)).toPoint).toIndexedSeq)
+      }
+      poly = new graft.s2.S2Polygon(loops)
+      m.put(key, poly)
+    }
+    poly
+  }
+}
+
+/** `s2_multipolygon_covering(loopLatsDeg: array<array<double>>,
+  * loopLonsDeg: array<array<double>>, level) -> array<struct<cell: long,
+  * interior: boolean>>` — fixed-level covering of a MULTI-LOOP polygon
+  * (shells + holes, XOR-parity semantics, `S2Polygon.cs:944-964`). Cells
+  * fully inside a hole are absent from the covering (they don't intersect
+  * the region); `interior` cells are fully inside the polygon proper. The
+  * holed/multi-shell member of the vector->raster family. */
+case class S2MultiPolygonCovering(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false),
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false),
+      IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("interior", BooleanType, nullable = false))), containsNull = false)
+
+  private val MaxCoveringCells = 1 << 17
+
+  private def nested(a: Any): Array[Array[Double]] = {
+    val outer = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())
+  }
+
+  override protected def nullSafeEval(latsAny: Any, lonsAny: Any, levelAny: Any): Any = {
+    val level = levelAny.asInstanceOf[Int]
+    require(0 <= level && level <= 30, s"s2_multipolygon_covering level $level outside [0, 30]")
+    val poly = PolygonCache.polygonFor(nested(latsAny), nested(lonsAny))
+    val b = poly.rectBound
+    val area = b.lng.length *
+      math.max(0.0, math.sin(b.lat.hi) - math.sin(b.lat.lo))
+    val avgCellArea = 4 * math.Pi / (6.0 * math.pow(4.0, level))
+    require(area / avgCellArea <= MaxCoveringCells,
+      f"s2_multipolygon_covering would produce ~${area / avgCellArea}%.0f level-$level " +
+        f"cells (> $MaxCoveringCells); use a coarser level for a polygon this large")
+    // seed: any loop vertex lies on the region boundary, so its level-L
+    // cell intersects the region and the flood fill can start there
+    val seed = poly.loop(0).vertex(0)
+    val cells = graft.s2.S2RegionCoverer.getSimpleCovering(poly, seed, level)
+    val rows = new Array[Any](cells.length)
+    var i = 0
+    while (i < cells.length) {
+      rows(i) = InternalRow(cells(i), poly.containsCell(graft.s2.S2Cell(cells(i))))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): S2MultiPolygonCovering = copy(f, s, t)
+  override def prettyName: String = "s2_multipolygon_covering"
+}
+
+/** `s2_polygon_contains(loopLatsDeg, loopLonsDeg, latDeg, lonDeg) ->
+  * boolean` — exact multi-loop XOR-parity containment, polygons built at
+  * most once per (task thread, polygon) via [[PolygonCache]]. */
+case class S2PolygonContainsPoint(first: Expression, second: Expression,
+                                  third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false),
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false),
+      DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+
+  private def nested(a: Any): Array[Array[Double]] = {
+    val outer = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())
+  }
+
+  override protected def nullSafeEval(latsAny: Any, lonsAny: Any,
+                                      latAny: Any, lonAny: Any): Any = {
+    val poly = PolygonCache.polygonFor(nested(latsAny), nested(lonsAny))
+    poly.contains(S2LatLng.fromDegrees(latAny.asInstanceOf[Double],
+      lonAny.asInstanceOf[Double]).toPoint)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): S2PolygonContainsPoint =
+    copy(f, s, t, q)
+  override def prettyName: String = "s2_polygon_contains"
+}

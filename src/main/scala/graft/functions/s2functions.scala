@@ -72,6 +72,20 @@ object s2functions {
                        latDeg: Column, lonDeg: Column): Column =
     expr(S2LoopContainsPoint(child(latsDeg), child(lonsDeg), child(latDeg), child(lonDeg)))
 
+  /** Fixed-level covering of a MULTI-LOOP polygon (shells + holes, XOR
+    * parity) from nested vertex arrays (degrees); cells inside holes are
+    * absent, `interior` cells fully inside the polygon proper. */
+  def s2_multipolygon_covering(loopLatsDeg: Column, loopLonsDeg: Column,
+                               level: Int): Column =
+    expr(S2MultiPolygonCovering(child(loopLatsDeg), child(loopLonsDeg), child(lit(level))))
+
+  /** Exact multi-loop XOR-parity containment of a point; per-thread
+    * polygon construction cache. */
+  def s2_polygon_contains(loopLatsDeg: Column, loopLonsDeg: Column,
+                          latDeg: Column, lonDeg: Column): Column =
+    expr(S2PolygonContainsPoint(child(loopLatsDeg), child(loopLonsDeg),
+      child(latDeg), child(lonDeg)))
+
   /** Register all s2_* functions for SQL use on the given session. */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -100,5 +114,7 @@ object s2functions {
     reg("s2_cap_covering", args => S2CapCovering(args))
     reg("s2_polygon_covering", { case Seq(a, b, c) => S2PolygonCovering(a, b, c) })
     reg("s2_loop_contains", { case Seq(a, b, c, d) => S2LoopContainsPoint(a, b, c, d) })
+    reg("s2_multipolygon_covering", { case Seq(a, b, c) => S2MultiPolygonCovering(a, b, c) })
+    reg("s2_polygon_contains", { case Seq(a, b, c, d) => S2PolygonContainsPoint(a, b, c, d) })
   }
 }

@@ -340,4 +340,40 @@ object SpatialJoin {
         s2_loop_contains(col("__rlats"), col("__rlons"), col(latCol), col(lonCol)))
       .drop("__ptile", "__cell", "__interior", "__rlats", "__rlons")
   }
+
+  /** [[polygonPipJoin]] for MULTI-LOOP polygons (shells + holes, XOR
+    * parity — the reference's `S2Polygon.Contains` semantics,
+    * `S2Polygon.cs:944-964`, at table granularity). Identical plan shape;
+    * the covering simply never emits cells inside holes (they don't
+    * intersect the region) and the exact refinement is the parity test.
+    *
+    * @param polys one row per region: `idCol`, nested vertex-array columns
+    *              `loopLatsCol`/`loopLonsCol` (`array<array<double>>`,
+    *              degrees; loop nesting is inferred kernel-side) */
+  def multiPolygonPipJoin(points: DataFrame, latCol: String, lonCol: String,
+                          polys: DataFrame, idCol: String,
+                          loopLatsCol: String, loopLonsCol: String,
+                          level: Int = 8): DataFrame = {
+    val reserved = Seq("__ptile", "__cell", "__interior", "__rlats", "__rlons", "__rc")
+    val collisions = (points.columns ++ polys.columns).filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"multiPolygonPipJoin: reserved column name(s) in input: ${collisions.mkString(", ")}")
+
+    val raster = polys
+      .select(col(idCol).as("region_id"), col(loopLatsCol).as("__rlats"),
+        col(loopLonsCol).as("__rlons"),
+        explode(s2_multipolygon_covering(col(loopLatsCol), col(loopLonsCol), level))
+          .as("__rc"))
+      .select(col("region_id"),
+        col("__rc.cell").as("__cell"), col("__rc.interior").as("__interior"),
+        when(!col("__rc.interior"), col("__rlats")).as("__rlats"),
+        when(!col("__rc.interior"), col("__rlons")).as("__rlons"))
+
+    points
+      .withColumn("__ptile", s2_tile(col(latCol), col(lonCol), level))
+      .join(raster, col("__ptile") === col("__cell"))
+      .where(col("__interior") ||
+        s2_polygon_contains(col("__rlats"), col("__rlons"), col(latCol), col(lonCol)))
+      .drop("__ptile", "__cell", "__interior", "__rlats", "__rlons")
+  }
 }

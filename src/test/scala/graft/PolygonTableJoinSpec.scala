@@ -88,6 +88,93 @@ class PolygonTableJoinSpec extends SparkTestBase {
       s"join diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("every holed fixture polygon: convex loops, annulus in / hole out / outside out") {
+    import graft.s2.S2Polygon
+    for ((k, loops, (clat, clon)) <- SparkEntry.HoledPolys) {
+      for (loop <- loops) {
+        val pts = loop.map { case (la, lo) => S2LatLng.fromDegrees(la, lo).toPoint }
+        val n = pts.size
+        val turns = pts.indices.map(i =>
+          S2Predicates.robustCcw(pts(i), pts((i + 1) % n), pts((i + 2) % n)))
+        assert(turns.forall(_ == 1), s"region $k loop not convex-CCW: $turns")
+      }
+      val poly = new S2Polygon(loops.map(loopOf))
+      val r = loops(0)(1)._1 - clat // shell north radius
+      assert(poly.contains(S2LatLng.fromDegrees(clat + 2 * r / 3, clon).toPoint),
+        s"region $k: annulus point not contained")
+      assert(!poly.contains(S2LatLng.fromDegrees(clat, clon).toPoint),
+        s"region $k: hole center contained — parity broken")
+      assert(!poly.contains(S2LatLng.fromDegrees(clat + 2 * r, clon).toPoint),
+        s"region $k: far-outside point contained")
+    }
+  }
+
+  test("holed oracle margin: no sf0.01 point within 1e-9 of any diamond edge plane") {
+    val normals = SparkEntry.HoledPolys.flatMap { case (_, loops, _) =>
+      loops.flatMap { loop =>
+        val pts = loop.map { case (la, lo) => S2LatLng.fromDegrees(la, lo).toPoint }
+        pts.indices.map(i => pts(i).cross(pts((i + 1) % pts.size)))
+      }
+    }
+    val latLons = SparkEntry.points(spark, sf("sf0.01")).select("lat", "lon").collect()
+    var minMargin = Double.MaxValue
+    for (r <- latLons) {
+      val p = S2LatLng.fromDegrees(r.getDouble(0), r.getDouble(1)).toPoint
+      for (nrm <- normals) {
+        val m = math.abs(p.dot(nrm)) / nrm.norm
+        if (m < minMargin) minMargin = m
+      }
+    }
+    info(f"min |p . n_hat| over ${latLons.length} points x ${normals.size} planes = $minMargin%.3e")
+    assert(minMargin > 1e-9)
+  }
+
+  test("multipolygon covering at a fine level excludes hole-interior cells") {
+    import spark.implicits._
+    import graft.s2.{S2Cell, S2CellId, S2Polygon}
+    val (k, loops, (clat, clon)) = SparkEntry.HoledPolys.head
+    val df = Seq((k,
+      loops.map(_.map(_._1).toArray).toArray,
+      loops.map(_.map(_._2).toArray).toArray)).toDF("region_id", "loop_lats", "loop_lons")
+    val got = df.select(explode(graft.functions.s2functions.s2_multipolygon_covering(
+        col("loop_lats"), col("loop_lons"), 8)).as("rc"))
+      .select(col("rc.cell"), col("rc.interior")).as[(Long, Boolean)].collect().toMap
+    // kernel equality
+    val poly = new S2Polygon(loops.map(loopOf))
+    val cells = graft.s2.S2RegionCoverer.getSimpleCovering(poly, poly.loop(0).vertex(0), 8)
+    assert(got == cells.map(c => c -> poly.containsCell(S2Cell(c))).toMap,
+      s"region $k covering diverged from kernel")
+    // the hole-center cell is fully inside the hole at level 8 -> absent
+    val holeCell = S2CellId.parentForLevel(
+      S2CellId.fromLatLngDegrees(clat, clon), 8)
+    assert(!got.contains(holeCell), "hole-interior cell leaked into the covering")
+    assert(got.valuesIterator.exists(identity), "no interior cells — fast path untested")
+  }
+
+  test("multiPolygonPipJoin equals brute-force XOR-parity containment (sf0.001)") {
+    import spark.implicits._
+    import graft.s2.S2Polygon
+    val dir = sf("sf0.001")
+    val got = SpatialJoin.multiPolygonPipJoin(SparkEntry.points(spark, dir), "lat", "lon",
+        SparkEntry.holedPolyTable(spark, dir), "region_id", "loop_lats", "loop_lons",
+        level = 6)
+      .select("region_id", "o_orderkey").as[(Long, Long)].collect().toSet
+    val polys = SparkEntry.HoledPolys.map { case (k, loops, _) =>
+      k -> new S2Polygon(loops.map(loopOf)) }
+    val pts = SparkEntry.points(spark, dir)
+      .select(col("o_orderkey").cast("long"), col("lat"), col("lon"))
+      .as[(Long, Double, Double)].collect()
+    val want = (for {
+      (id, la, lo) <- pts.iterator
+      p = S2LatLng.fromDegrees(la, lo).toPoint
+      (k, poly) <- polys
+      if poly.contains(p)
+    } yield (k, id)).toSet
+    assert(want.nonEmpty, "fixture produced an empty join")
+    assert(got == want,
+      s"join diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("reserved-name collision fails loudly") {
     import spark.implicits._
     val dir = sf("sf0.001")
