@@ -179,6 +179,56 @@ object SparkEntry {
       .join(df, "region_id")
   }
 
+  /** 25 deterministic 3-vertex polylines keyed by n_nationkey — the
+    * polyline-table fixture of q_polyline_join (same design rules as
+    * [[HexPolys]]: driver-exact doubles, mid-latitude, clear of the
+    * antimeridian; the distance classification's exactness precondition —
+    * no point within fp distance of the radius boundary — is asserted in
+    * PolylineJoinSpec). */
+  private[graft] lazy val FixturePolylines: Seq[(Long, Seq[(Double, Double)])] =
+    (0L until 25L).map { k =>
+      val clat = ((k * 4733 + 911) % 10000) / 100.0 - 50.0
+      val clon = ((k * 88811 + 77) % 33000) / 100.0 - 165.0
+      (k, Seq((clat, clon), (clat + 2.2, clon + 3.1), (clat - 1.7, clon + 6.3)))
+    }
+
+  private[graft] val PolylineJoinRadiusM = 150000.0
+
+  /** The FixturePolylines fixture as a polyline-table DataFrame anchored on
+    * the nation parquet: (line_id, lats, lons). */
+  private[graft] def polylineTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = FixturePolylines
+      .map { case (k, vs) => (k, vs.map(_._1).toArray, vs.map(_._2).toArray) }
+      .toDF("line_id", "lats", "lons")
+    nation(s, dir).select(col("n_nationkey").cast("long").as("line_id"))
+      .join(df, "line_id")
+  }
+
+  /** Literal SQL transcription of the kernel's point-to-edge distance
+    * (`S2EdgeUtil.GetDistance`, S2EdgeUtil.scala:91-98) over a unit vector
+    * (px, py, pz), in RADIANS: interior case asin(|p.n|/|n|) guarded by the
+    * two simpleCcw sign tests ((n x a).p > 0 and (b x n).p > 0, the triple-
+    * product rewrites of simpleCcw(n,a,p) / simpleCcw(p,b,n)), endpoint
+    * case 2 asin(min-chord/2). All edge constants are kernel-computed
+    * doubles inlined as exact literals, so engine and oracle agree to fp
+    * rounding of the SAME formula — PolylineJoinSpec pins that no derived
+    * point sits within 1e-3 m of the radius boundary. */
+  private def edgeDistSql(aP: graft.s2.S2Point, bP: graft.s2.S2Point): String = {
+    import graft.s2.S2Predicates
+    val n = S2Predicates.robustCrossProd(aP, bP)
+    val m1 = n.cross(aP)
+    val m2 = bP.cross(n)
+    val nn = n.norm
+    s"""(CASE WHEN (px*(${m1.x}) + py*(${m1.y}) + pz*(${m1.z}) > 0)
+       |        AND (px*(${m2.x}) + py*(${m2.y}) + pz*(${m2.z}) > 0)
+       |  THEN asin(least(1.0, abs(px*(${n.x}) + py*(${n.y}) + pz*(${n.z})) / $nn))
+       |  ELSE 2 * asin(least(1.0, 0.5 * sqrt(least(
+       |    (px-(${aP.x}))*(px-(${aP.x})) + (py-(${aP.y}))*(py-(${aP.y})) + (pz-(${aP.z}))*(pz-(${aP.z})),
+       |    (px-(${bP.x}))*(px-(${bP.x})) + (py-(${bP.y}))*(py-(${bP.y})) + (pz-(${bP.z}))*(pz-(${bP.z}))))))
+       |  END)""".stripMargin
+  }
+
   /** Exact spherical containment for a CONVEX loop as an ANSI-SQL predicate
     * over a unit vector (px, py, pz): strictly inside every edge plane
     * v_i x v_{i+1}. The plane normals are computed here with the very same
@@ -798,6 +848,15 @@ object SparkEntry {
           hexPolyTable(s, dir), "region_id", "lats", "lons", level = 6)
         .select("region_id", "o_orderkey")),
 
+    // points within 150 km of any of a TABLE of polylines (map-matching
+    // prefilter): executor-side chain coverings + neighbor-ring buckets at
+    // the radius-derived level, single-cell point probe, exact
+    // min-over-edges refine
+    "q_polyline_join" -> ((s, dir) =>
+      SpatialJoin.polylineDistanceJoin(points(s, dir), "lat", "lon",
+          polylineTable(s, dir), "line_id", "lats", "lons", PolylineJoinRadiusM)
+        .select("line_id", "o_orderkey")),
+
     // the multi-loop (shell + hole) variant: XOR-parity containment at
     // table granularity — covering cells inside the hole never exist, the
     // refine is the exact S2Polygon parity test
@@ -1096,6 +1155,20 @@ object SparkEntry {
         q.processAllAvailable()
       } finally q.stop()
       acc.toSeq.toDF("id_a", "id_b")
+    }),
+
+    // time-travel read of the lineage-manifested store: two resumable runs
+    // commit the lang partitions (run 1 capped at the 2 lexicographically
+    // smallest — the write's documented sorted commit order), and the
+    // snapshot read at run 1 must see exactly those, with run 2's
+    // partitions invisible
+    "q_snapshot_read" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "lang")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapshot").toString + "/t"
+      ResumableWrite.write(docs, tmp, "lang", "run_1", input = dir,
+        maxPartitionsThisRun = 2)
+      ResumableWrite.write(docs, tmp, "lang", "run_2", input = dir)
+      ResumableWrite.readSnapshot(s, tmp, "lang", "run_1").select("doc_id", "lang")
     }),
 
     // streaming CDC upsert into the clustered store: batch 1 moves keys
@@ -1512,6 +1585,12 @@ object SparkEntry {
          |UNION ALL SELECT * FROM upd
          |UNION ALL SELECT * FROM ins""".stripMargin,
 
+    // run 1 committed the 2 lexicographically smallest lang partitions
+    "q_snapshot_read" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang IN (SELECT lang FROM (
+        |  SELECT DISTINCT lang FROM documents ORDER BY lang LIMIT 2))""".stripMargin,
+
     // the two streamed batches collapse to one simulated merge: updated
     // keys end at their LAST event's coordinates (batch 2, seq 3), the
     // batch-1 and seq-2 positions must be gone, inserts appear once
@@ -1542,6 +1621,23 @@ object SparkEntry {
       val branches = HexPolys.map { case (k, verts, center) =>
         s"""SELECT CAST($k AS BIGINT) AS region_id, o_orderkey FROM xyz
            | WHERE ${convexLoopSql(verts, center)}""".stripMargin
+      }
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |xyz AS (SELECT o_orderkey,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts)
+         |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // min over the chain's edges of the kernel-transcribed distance CASE,
+    // classified against the same radius
+    "q_polyline_join" -> {
+      val branches = FixturePolylines.map { case (k, verts) =>
+        val pts = verts.map { case (la, lo) => graft.s2.S2LatLng.fromDegrees(la, lo).toPoint }
+        val edges = pts.indices.dropRight(1).map(i => edgeDistSql(pts(i), pts(i + 1)))
+        s"""SELECT CAST($k AS BIGINT) AS line_id, o_orderkey FROM xyz
+           | WHERE least(${edges.mkString(",\n  ")}) * 6367000.0 <= $PolylineJoinRadiusM""".stripMargin
       }
       s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
          |xyz AS (SELECT o_orderkey,

@@ -594,3 +594,101 @@ case class S2PolygonContainsPoint(first: Expression, second: Expression,
     copy(f, s, t, q)
   override def prettyName: String = "s2_polygon_contains"
 }
+
+/** Per-thread LRU of constructed [[graft.s2.S2Polyline]]s keyed by vertex
+  * content — [[LoopCache]]'s polyline sibling, same rationale (chains are
+  * rebuilt at most once per (task thread, polyline), not per candidate
+  * pair). */
+private[functions] object PolylineCache {
+  private val MaxEntries = 64
+
+  private val cache =
+    new ThreadLocal[java.util.LinkedHashMap[LoopCache.Key, graft.s2.S2Polyline]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[LoopCache.Key, graft.s2.S2Polyline](
+          MaxEntries * 2, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[LoopCache.Key, graft.s2.S2Polyline]): Boolean =
+            size > MaxEntries
+        }
+    }
+
+  def polylineFor(lats: Array[Double], lons: Array[Double]): graft.s2.S2Polyline = {
+    require(lats.length == lons.length,
+      s"polyline vertex arrays differ in length: ${lats.length} vs ${lons.length}")
+    require(lats.length >= 2, s"a polyline needs >= 2 vertices, got ${lats.length}")
+    val key = new LoopCache.Key(lats, lons)
+    val m = cache.get()
+    var line = m.get(key)
+    if (line == null) {
+      line = new graft.s2.S2Polyline(Array.tabulate(lats.length)(i =>
+        S2LatLng.fromDegrees(lats(i), lons(i)).toPoint).toIndexedSeq)
+      m.put(key, line)
+    }
+    line
+  }
+}
+
+/** `s2_polyline_covering(latsDeg: array<double>, lonsDeg: array<double>,
+  * level) -> array<long>` — the fixed-level covering cells of a polyline
+  * (every level-`level` cell the chain passes through; flood fill seeded at
+  * vertex 0, edge-crossing test `S2Polyline.cs:123-159`). Runs per row on
+  * the executors: the candidate-generation step of the polyline distance
+  * join (roads/tracks catalogs). */
+case class S2PolylineCovering(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val MaxCoveringCells = 1 << 17
+
+  override protected def nullSafeEval(latsAny: Any, lonsAny: Any, levelAny: Any): Any = {
+    val lats = latsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val lons = lonsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val level = levelAny.asInstanceOf[Int]
+    require(0 <= level && level <= 30, s"s2_polyline_covering level $level outside [0, 30]")
+    val line = PolylineCache.polylineFor(lats, lons)
+    // a polyline's covering grows ~linearly with arc length / cell edge
+    val arc = line.arcLengthAngle
+    val minEdge = graft.s2.S2Projections.MinWidth.getValue(level)
+    require(arc / minEdge <= MaxCoveringCells,
+      f"s2_polyline_covering would walk ~${arc / minEdge}%.0f level-$level cells " +
+        f"(> $MaxCoveringCells); use a coarser level for a chain this long")
+    new GenericArrayData(
+      graft.s2.S2RegionCoverer.getSimpleCovering(line, line.vertex(0), level).toArray)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): S2PolylineCovering = copy(f, s, t)
+  override def prettyName: String = "s2_polyline_covering"
+}
+
+/** `s2_polyline_distance_m(latsDeg, lonsDeg, latDeg, lonDeg) -> double` —
+  * exact minimum distance in meters (angle x the engine's 6 367 000 m
+  * radius, G12) from a point to a polyline: min over edges of
+  * `S2EdgeUtil.GetDistance` (`S2EdgeUtil.cs:293-334`), chains cached per
+  * task thread. */
+case class S2PolylineDistance(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false), DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(latsAny: Any, lonsAny: Any,
+                                      latAny: Any, lonAny: Any): Any = {
+    val lats = latsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val lons = lonsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val line = PolylineCache.polylineFor(lats, lons)
+    line.distanceAngle(S2LatLng.fromDegrees(latAny.asInstanceOf[Double],
+      lonAny.asInstanceOf[Double]).toPoint) * S2LatLng.EarthRadiusMeters
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): S2PolylineDistance =
+    copy(f, s, t, q)
+  override def prettyName: String = "s2_polyline_distance_m"
+}

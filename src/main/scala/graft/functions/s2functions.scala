@@ -86,6 +86,17 @@ object s2functions {
     expr(S2PolygonContainsPoint(child(loopLatsDeg), child(loopLonsDeg),
       child(latDeg), child(lonDeg)))
 
+  /** Fixed-level covering cells of a polyline from parallel vertex arrays
+    * (degrees); executor-side per row. */
+  def s2_polyline_covering(latsDeg: Column, lonsDeg: Column, level: Int): Column =
+    expr(S2PolylineCovering(child(latsDeg), child(lonsDeg), child(lit(level))))
+
+  /** Exact min distance (meters) from a point to a polyline; per-thread
+    * chain construction cache. */
+  def s2_polyline_distance_m(latsDeg: Column, lonsDeg: Column,
+                             latDeg: Column, lonDeg: Column): Column =
+    expr(S2PolylineDistance(child(latsDeg), child(lonsDeg), child(latDeg), child(lonDeg)))
+
   /** Register all s2_* functions for SQL use on the given session. */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -116,5 +127,7 @@ object s2functions {
     reg("s2_loop_contains", { case Seq(a, b, c, d) => S2LoopContainsPoint(a, b, c, d) })
     reg("s2_multipolygon_covering", { case Seq(a, b, c) => S2MultiPolygonCovering(a, b, c) })
     reg("s2_polygon_contains", { case Seq(a, b, c, d) => S2PolygonContainsPoint(a, b, c, d) })
+    reg("s2_polyline_covering", { case Seq(a, b, c) => S2PolylineCovering(a, b, c) })
+    reg("s2_polyline_distance_m", { case Seq(a, b, c, d) => S2PolylineDistance(a, b, c, d) })
   }
 }

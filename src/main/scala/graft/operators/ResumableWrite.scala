@@ -214,8 +214,34 @@ object ResumableWrite {
     * was deleted or lost) fails loudly rather than silently returning fewer
     * rows — the manifest is the source of truth for what a reader may rely
     * on. */
-  def readCommitted(spark: SparkSession, outDir: String, partitionCol: String): DataFrame = {
-    val committed = committedPartitions(outDir)
+  def readCommitted(spark: SparkSession, outDir: String, partitionCol: String): DataFrame =
+    readPartitionSet(spark, outDir, partitionCol, committedPartitions(outDir))
+
+  /** Snapshot ids (run ids) in commit order. Every run that committed at
+    * least one partition is a snapshot of the table — the manifest is
+    * append-only and partitions are never rewritten, so the table "as of
+    * run R" is exactly the manifest prefix through R's last record. */
+  def snapshots(outDir: String): Seq[String] =
+    readManifest(outDir).map(_.runId).distinct
+
+  /** Time-travel read: the table as of the completion of `runId`'s commits
+    * — partitions from manifest lines up to and including that run's last
+    * record; later runs' partitions are invisible. The miniature of an
+    * Iceberg snapshot read (snapshot id = run id, manifest prefix =
+    * snapshot manifest list). Same loud manifest/disk-divergence contract
+    * as [[readCommitted]]. */
+  def readSnapshot(spark: SparkSession, outDir: String, partitionCol: String,
+                   runId: String): DataFrame = {
+    val recs = readManifest(outDir)
+    val idx = recs.lastIndexWhere(_.runId == runId)
+    require(idx >= 0,
+      s"readSnapshot: unknown snapshot '$runId' in $outDir; known snapshots in order: " +
+        snapshots(outDir).mkString(", "))
+    readPartitionSet(spark, outDir, partitionCol, recs.take(idx + 1).map(_.partition).toSet)
+  }
+
+  private def readPartitionSet(spark: SparkSession, outDir: String,
+                               partitionCol: String, wanted: Set[String]): DataFrame = {
     val prefix = s"$partitionCol="
     val s = Files.list(Paths.get(outDir))
     val onDisk = try {
@@ -225,11 +251,11 @@ object ResumableWrite {
         .map(p => unescapePathName(p.getFileName.toString.stripPrefix(prefix)) -> p.toString)
         .toMap
     } finally s.close()
-    val missing = committed -- onDisk.keySet
+    val missing = wanted -- onDisk.keySet
     require(missing.isEmpty,
       s"manifest/disk divergence in $outDir: committed partitions with no directory: " +
         missing.toSeq.sorted.mkString(", "))
-    val paths = onDisk.filter { case (v, _) => committed(v) }.values.toList.sorted
+    val paths = onDisk.filter { case (v, _) => wanted(v) }.values.toList.sorted
     if (paths.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(paths: _*)
   }

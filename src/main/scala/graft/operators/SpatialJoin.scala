@@ -341,6 +341,54 @@ object SpatialJoin {
       .drop("__ptile", "__cell", "__interior", "__rlats", "__rlons")
   }
 
+  /** Points within `radiusM` of any polyline in a TABLE of polylines — the
+    * map-matching prefilter (events near roads/tracks/routes). Candidate
+    * generation follows [[distanceJoin]]'s adjacency argument: at the level
+    * where the MINIMUM cell width is >= the radius angle, a point within
+    * the radius of some chain point q lies in q's cell or one of its 8
+    * neighbors; q's cell is in the chain's covering, so bucketing each
+    * line under (covering cells UNION their neighbors, deduped per line
+    * BEFORE the explode) and each point under its own single cell makes
+    * the equi-join complete — and ONE row per candidate (point, line) pair
+    * (the point has one cell, line buckets are distinct), so no pair
+    * dedup. Refinement is the exact kernel min-over-edges distance
+    * (`S2EdgeUtil.cs:293-334`), chains built once per (task thread, line).
+    *
+    * Shuffle carries (line id, vertex arrays, bucket) on the (small) line
+    * side only; the points side joins on its scan-computed cell.
+    *
+    * @param lines one row per polyline: `idCol` + parallel vertex-array
+    *              columns (degrees, >= 2 vertices)
+    * @return points columns + `line_id` + `distance_m` */
+  def polylineDistanceJoin(points: DataFrame, latCol: String, lonCol: String,
+                           lines: DataFrame, idCol: String,
+                           latsCol: String, lonsCol: String,
+                           radiusM: Double): DataFrame = {
+    val angle = radiusM / S2LatLng.EarthRadiusMeters
+    require(angle > 0 && angle <= S2Projections.MinWidth.getValue(0),
+      s"polylineDistanceJoin radius $radiusM m exceeds the level-0 adjacency guarantee")
+    val level = S2Projections.MinWidth.getMaxLevel(angle)
+    val reserved = Seq("__pcell", "__bucket", "__llats", "__llons")
+    val collisions = (points.columns ++ lines.columns).filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"polylineDistanceJoin: reserved column name(s) in input: ${collisions.mkString(", ")}")
+
+    val raster = lines
+      .select(col(idCol).as("line_id"), col(latsCol).as("__llats"),
+        col(lonsCol).as("__llons"),
+        explode(array_distinct(flatten(transform(
+          s2_polyline_covering(col(latsCol), col(lonsCol), level),
+          c => array_union(array(c), s2_all_neighbors(c, level)))))).as("__bucket"))
+
+    points
+      .withColumn("__pcell", s2_tile(col(latCol), col(lonCol), level))
+      .join(raster, col("__pcell") === col("__bucket"))
+      .withColumn("distance_m",
+        s2_polyline_distance_m(col("__llats"), col("__llons"), col(latCol), col(lonCol)))
+      .where(col("distance_m") <= radiusM)
+      .drop("__pcell", "__bucket", "__llats", "__llons")
+  }
+
   /** [[polygonPipJoin]] for MULTI-LOOP polygons (shells + holes, XOR
     * parity — the reference's `S2Polygon.Contains` semantics,
     * `S2Polygon.cs:944-964`, at table granularity). Identical plan shape;

@@ -70,6 +70,22 @@ final class S2Polyline(vertexSeq: IndexedSeq[S2Point]) extends S2Region with Ser
     vertex(numVertices - 1)
   }
 
+  /** Minimum angle from `point` to any point of the chain: the min over
+    * edges of `S2EdgeUtil.getDistance` (the same per-edge formula a SQL
+    * transcription can inline, unlike the project-then-measure route which
+    * rounds differently). */
+  def distanceAngle(point: S2Point): Double = {
+    require(numVertices >= 2, "distanceAngle needs a polyline with >= 2 vertices")
+    var best = Double.MaxValue
+    var i = 0
+    while (i < numVertices - 1) {
+      val d = S2EdgeUtil.getDistance(point, vertices(i), vertices(i + 1))
+      if (d < best) best = d
+      i += 1
+    }
+    best
+  }
+
   def getNearestEdgeIndex(point: S2Point): Int = {
     require(numVertices > 0, "Empty polyline")
     if (numVertices == 1) return 0

@@ -112,6 +112,32 @@ class ResumableWriteSpec extends SparkTestBase {
     assert(ResumableWrite.readCommitted(spark, outDir, "p").count() == 3)
   }
 
+  test("snapshot reads: each run is a readable point-in-time version") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("resumable_snap").toString
+    val df = tiledPoints
+    val run1 = ResumableWrite.write(df, outDir, "tile_token", runId = "run1",
+      input = "sf0.001/orders", maxPartitionsThisRun = 3)
+    ResumableWrite.write(df, outDir, "tile_token", runId = "run2")
+    assert(ResumableWrite.snapshots(outDir) == Seq("run1", "run2"))
+
+    // snapshot at run1: exactly run1's partitions, none of run2's
+    val snap1 = ResumableWrite.readSnapshot(spark, outDir, "tile_token", "run1")
+    assert(snap1.select("tile_token").distinct().as[String].collect().toSet ==
+      run1.map(_.partition).toSet)
+    assert(snap1.count() == run1.map(_.rows).sum)
+
+    // snapshot at the latest run == the committed read
+    val snap2 = ResumableWrite.readSnapshot(spark, outDir, "tile_token", "run2")
+    assert(snap2.count() ==
+      ResumableWrite.readCommitted(spark, outDir, "tile_token").count())
+
+    val e = intercept[IllegalArgumentException] {
+      ResumableWrite.readSnapshot(spark, outDir, "tile_token", "no_such_run")
+    }
+    assert(e.getMessage.contains("unknown snapshot"))
+  }
+
   test("manifest/disk divergence fails loudly instead of silently reading fewer rows") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("resumable6").toString
