@@ -114,7 +114,15 @@ object Tiling {
       s"mergeClustered: updates missing column '$c'"))
 
     val batchStats = updates
-      .agg(count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k")).head()
+      .agg(count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k"),
+        count(when(col(keyCol).isNull || col(latCol).isNull || col(lonCol).isNull, 1))
+          .as("nulls")).head()
+    // null keys can't be matched and null coordinates can't be placed — a
+    // null coarse tile would otherwise land in __HIVE_DEFAULT_PARTITION__
+    // and corrupt the token-addressed directory swap
+    require(batchStats.getLong(2) == 0,
+      s"mergeClustered: batch has ${batchStats.getLong(2)} rows with null " +
+        s"'$keyCol'/'$latCol'/'$lonCol' — filter or default them first")
     require(batchStats.getLong(0) == batchStats.getLong(1),
       s"mergeClustered: batch has duplicate keys (${batchStats.getLong(0)} rows, " +
         s"${batchStats.getLong(1)} distinct '$keyCol') — no defined winner, dedup first")

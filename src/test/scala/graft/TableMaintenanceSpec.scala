@@ -111,6 +111,18 @@ class TableMaintenanceSpec extends SparkTestBase {
     assert(e.getMessage.contains("duplicate keys"))
   }
 
+  test("merge: null keys or coordinates in a batch fail loudly") {
+    import spark.implicits._
+    val dir = tmpDir("merge_null")
+    Tiling.clusteredWrite(baseDf, "lat", "lon", dir, coarseLevel = 2)
+    val nullLat = Seq((7L, Option(1.0), Option(1.0)), (8L, Option.empty[Double], Option(2.0)))
+      .toDF("id", "lat", "lon")
+    val e = intercept[IllegalArgumentException] {
+      Tiling.mergeClustered(spark, dir, nullLat, "id", "lat", "lon", coarseLevel = 2)
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("compact: rows invariant, one sorted file per partition, compact partitions untouched") {
     import spark.implicits._
     val dir = tmpDir("compact")
