@@ -179,6 +179,31 @@ object SparkEntry {
       .join(df, "region_id")
   }
 
+  /** 25 deterministic convex hexagons with DELIBERATELY heterogeneous radii
+    * (0.45..7.05 degrees, ~250x area spread) — the fixture of
+    * q_poly_adaptive_join, where each row must pick its own covering level.
+    * Same design rules as [[HexPolys]]. */
+  private[graft] lazy val HexPolysVar: Seq[(Long, Seq[(Double, Double)], (Double, Double))] =
+    (0L until 25L).map { k =>
+      val clat = ((k * 8377 + 401) % 11000) / 100.0 - 55.0
+      val clon = ((k * 99371 + 6029) % 34000) / 100.0 - 170.0
+      val r = 0.45 + (k % 12).toDouble * 0.6
+      val verts = (0 until 6).map { i =>
+        val th = 2.0 * math.Pi * i.toDouble / 6.0 + 0.7
+        (clat + r * math.sin(th), clon + 1.35 * r * math.cos(th))
+      }
+      (k, verts.toSeq, (clat, clon))
+    }
+
+  private[graft] def hexPolyVarTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hexDf = HexPolysVar
+      .map { case (k, vs, _) => (k, vs.map(_._1).toArray, vs.map(_._2).toArray) }
+      .toDF("region_id", "lats", "lons")
+    nation(s, dir).select(col("n_nationkey").cast("long").as("region_id"))
+      .join(hexDf, "region_id")
+  }
+
   /** 25 deterministic 3-vertex polylines keyed by n_nationkey — the
     * polyline-table fixture of q_polyline_join (same design rules as
     * [[HexPolys]]: driver-exact doubles, mid-latitude, clear of the
@@ -846,6 +871,15 @@ object SparkEntry {
     "q_poly_table_join" -> ((s, dir) =>
       SpatialJoin.polygonPipJoin(points(s, dir), "lat", "lon",
           hexPolyTable(s, dir), "region_id", "lats", "lons", level = 6)
+        .select("region_id", "o_orderkey")),
+
+    // the size-ADAPTIVE polygon-table join: radii span ~250x in area, so
+    // each row picks its own covering level from the quantized menu —
+    // results are level-independent, only the plan changes
+    "q_poly_adaptive_join" -> ((s, dir) =>
+      SpatialJoin.polygonPipJoinAdaptive(points(s, dir), "lat", "lon",
+          hexPolyVarTable(s, dir), "region_id", "lats", "lons",
+          targetCells = 32, quantizeLevels = Seq(4, 6, 8))
         .select("region_id", "o_orderkey")),
 
     // points within 150 km of any of a TABLE of polylines (map-matching
@@ -1619,6 +1653,21 @@ object SparkEntry {
     // literals; PolygonTableJoinSpec pins the margin precondition)
     "q_poly_table_join" -> {
       val branches = HexPolys.map { case (k, verts, center) =>
+        s"""SELECT CAST($k AS BIGINT) AS region_id, o_orderkey FROM xyz
+           | WHERE ${convexLoopSql(verts, center)}""".stripMargin
+      }
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |xyz AS (SELECT o_orderkey,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts)
+         |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // identical machinery to q_poly_table_join's oracle — the adaptive
+    // level menu changes the PLAN, never the contained set
+    "q_poly_adaptive_join" -> {
+      val branches = HexPolysVar.map { case (k, verts, center) =>
         s"""SELECT CAST($k AS BIGINT) AS region_id, o_orderkey FROM xyz
            | WHERE ${convexLoopSql(verts, center)}""".stripMargin
       }

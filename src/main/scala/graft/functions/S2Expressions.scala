@@ -692,3 +692,59 @@ case class S2PolylineDistance(first: Expression, second: Expression,
     copy(f, s, t, q)
   override def prettyName: String = "s2_polyline_distance_m"
 }
+
+/** `S2PolygonCoveringAdaptive(latsDeg, lonsDeg, targetCells)` with a
+  * quantized level menu — the heterogeneous-catalog form of
+  * [[S2PolygonCovering]]: each ROW picks its own covering level from its
+  * rect-bound area so a continent-sized region and a parking lot both
+  * produce ~`targetCells` cells, while quantizing to `quantizeLevels`
+  * keeps the probe side's ancestor explode bounded by the MENU size (a
+  * per-row free level would force the points side to explode once per
+  * DISTINCT level in the data — unknowable at plan time). Picks the
+  * FINEST allowed level whose estimated covering stays within
+  * `targetCells` (finer = more selective buckets); regions smaller than
+  * the finest allowed level just use it. */
+case class S2PolygonCoveringAdaptive(first: Expression, second: Expression,
+                                     third: Expression, quantizeLevels: Seq[Int])
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  require(quantizeLevels.nonEmpty && quantizeLevels == quantizeLevels.sorted &&
+    quantizeLevels.forall(l => 0 <= l && l <= 30),
+    s"quantizeLevels must be sorted levels in [0, 30], got $quantizeLevels")
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false), IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("interior", BooleanType, nullable = false))), containsNull = false)
+
+  override protected def nullSafeEval(latsAny: Any, lonsAny: Any, targetAny: Any): Any = {
+    val lats = latsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val lons = lonsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val target = targetAny.asInstanceOf[Int]
+    require(target >= 4, s"targetCells must be >= 4, got $target")
+    val loop = LoopCache.loopFor(lats, lons)
+    val b = loop.rectBound
+    val area = b.lng.length *
+      math.max(0.0, math.sin(b.lat.hi) - math.sin(b.lat.lo))
+    // the min level whose AVG cell area is <= area/target covers the region
+    // in >= ~target cells; quantizing DOWN (coarser) keeps the count <= that
+    val ideal =
+      if (area <= 0) quantizeLevels.last
+      else graft.s2.S2Projections.AvgArea.getMinLevel(area / target)
+    val level = quantizeLevels.reverseIterator.find(_ <= ideal)
+      .getOrElse(quantizeLevels.head)
+    val cells = graft.s2.S2RegionCoverer.getSimpleCovering(loop, loop.vertex(0), level)
+    val rows = new Array[Any](cells.length)
+    var i = 0
+    while (i < cells.length) {
+      rows(i) = InternalRow(cells(i), loop.containsCell(graft.s2.S2Cell(cells(i))))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): S2PolygonCoveringAdaptive =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "s2_polygon_covering_adaptive"
+}

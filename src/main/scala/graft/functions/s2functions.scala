@@ -79,6 +79,14 @@ object s2functions {
                                level: Int): Column =
     expr(S2MultiPolygonCovering(child(loopLatsDeg), child(loopLonsDeg), child(lit(level))))
 
+  /** Size-adaptive covering of a single-loop polygon: each row picks its
+    * own level (finest in `quantizeLevels` whose estimated covering fits
+    * `targetCells`), so heterogeneous catalogs rasterize evenly. */
+  def s2_polygon_covering_adaptive(latsDeg: Column, lonsDeg: Column,
+                                   targetCells: Int, quantizeLevels: Seq[Int]): Column =
+    expr(S2PolygonCoveringAdaptive(child(latsDeg), child(lonsDeg),
+      child(lit(targetCells)), quantizeLevels))
+
   /** Exact multi-loop XOR-parity containment of a point; per-thread
     * polygon construction cache. */
   def s2_polygon_contains(loopLatsDeg: Column, loopLonsDeg: Column,

@@ -341,6 +341,47 @@ object SpatialJoin {
       .drop("__ptile", "__cell", "__interior", "__rlats", "__rlons")
   }
 
+  /** [[polygonPipJoin]] for HETEROGENEOUS polygon catalogs: each polygon
+    * row picks its own covering level (the finest of `quantizeLevels`
+    * whose estimated covering fits `targetCells`), so a continent and a
+    * parking lot both rasterize to ~targetCells cells instead of one
+    * exploding and the other degenerating to a single unselective bucket.
+    * The points side explodes ONE ancestor per menu level (|menu| rows, a
+    * plan-time constant — this is why the levels are quantized) and the
+    * equi-join meets each (point, polygon) pair on at most one cell
+    * (every polygon is covered at a single level with disjoint cells).
+    * Same interior fast path / vertex-array nulling / refine as the
+    * fixed-level join. */
+  def polygonPipJoinAdaptive(points: DataFrame, latCol: String, lonCol: String,
+                             polys: DataFrame, idCol: String,
+                             latsCol: String, lonsCol: String,
+                             targetCells: Int = 32,
+                             quantizeLevels: Seq[Int] = Seq(2, 4, 6, 8)): DataFrame = {
+    val reserved = Seq("__pleaf", "__probe", "__cell", "__interior", "__rlats", "__rlons", "__rc")
+    val collisions = (points.columns ++ polys.columns).filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"polygonPipJoinAdaptive: reserved column name(s) in input: ${collisions.mkString(", ")}")
+
+    val raster = polys
+      .select(col(idCol).as("region_id"), col(latsCol).as("__rlats"),
+        col(lonsCol).as("__rlons"),
+        explode(s2_polygon_covering_adaptive(col(latsCol), col(lonsCol),
+          targetCells, quantizeLevels)).as("__rc"))
+      .select(col("region_id"),
+        col("__rc.cell").as("__cell"), col("__rc.interior").as("__interior"),
+        when(!col("__rc.interior"), col("__rlats")).as("__rlats"),
+        when(!col("__rc.interior"), col("__rlons")).as("__rlons"))
+
+    points
+      .withColumn("__pleaf", s2_cell_id(col(latCol), col(lonCol)))
+      .withColumn("__probe",
+        explode(array(quantizeLevels.map(l => s2_parent(col("__pleaf"), l)): _*)))
+      .join(raster, col("__probe") === col("__cell"))
+      .where(col("__interior") ||
+        s2_loop_contains(col("__rlats"), col("__rlons"), col(latCol), col(lonCol)))
+      .drop("__pleaf", "__probe", "__cell", "__interior", "__rlats", "__rlons")
+  }
+
   /** Points within `radiusM` of any polyline in a TABLE of polylines — the
     * map-matching prefilter (events near roads/tracks/routes). Candidate
     * generation follows [[distanceJoin]]'s adjacency argument: at the level

@@ -175,6 +175,77 @@ class PolygonTableJoinSpec extends SparkTestBase {
       s"join diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("variable-size fixture: convex, CCW, contains center; margin holds") {
+    for ((k, verts, (clat, clon)) <- SparkEntry.HexPolysVar) {
+      val pts = verts.map { case (la, lo) => S2LatLng.fromDegrees(la, lo).toPoint }
+      val n = pts.size
+      val turns = pts.indices.map(i =>
+        S2Predicates.robustCcw(pts(i), pts((i + 1) % n), pts((i + 2) % n)))
+      assert(turns.forall(_ == 1), s"var-hexagon $k not convex-CCW: $turns")
+      assert(loopOf(verts).contains(S2LatLng.fromDegrees(clat, clon).toPoint))
+    }
+    val normals = SparkEntry.HexPolysVar.flatMap { case (_, verts, _) =>
+      val pts = verts.map { case (la, lo) => S2LatLng.fromDegrees(la, lo).toPoint }
+      pts.indices.map(i => pts(i).cross(pts((i + 1) % pts.size)))
+    }
+    val latLons = SparkEntry.points(spark, sf("sf0.01")).select("lat", "lon").collect()
+    var minMargin = Double.MaxValue
+    for (r <- latLons) {
+      val p = S2LatLng.fromDegrees(r.getDouble(0), r.getDouble(1)).toPoint
+      for (nrm <- normals) {
+        val m = math.abs(p.dot(nrm)) / nrm.norm
+        if (m < minMargin) minMargin = m
+      }
+    }
+    info(f"min margin over ${latLons.length} points x ${normals.size} planes = $minMargin%.3e")
+    assert(minMargin > 1e-9)
+  }
+
+  test("adaptive covering: per-row level varies with size and respects the target") {
+    import spark.implicits._
+    import graft.functions.s2functions._
+    import graft.s2.S2CellId
+    val df = SparkEntry.HexPolysVar
+      .map { case (k, vs, _) => (k, vs.map(_._1).toArray, vs.map(_._2).toArray) }
+      .toDF("region_id", "lats", "lons")
+    val rows = df.select(col("region_id"),
+        explode(s2_polygon_covering_adaptive(col("lats"), col("lons"), 32, Seq(4, 6, 8)))
+          .as("rc"))
+      .select(col("region_id"), col("rc.cell")).as[(Long, Long)].collect()
+    val byRegion = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val levelsUsed = byRegion.map { case (k, cells) =>
+      val ls = cells.map(S2CellId.level).distinct
+      assert(ls.size == 1, s"region $k mixes covering levels: $ls")
+      assert(cells.length <= 4 * 32,
+        s"region $k covering blew past the target: ${cells.length} cells")
+      ls.head
+    }.toSet
+    assert(levelsUsed.size > 1,
+      s"fixture failed to exercise adaptivity — every region chose $levelsUsed")
+  }
+
+  test("polygonPipJoinAdaptive equals brute-force loop containment (sf0.001)") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val got = SpatialJoin.polygonPipJoinAdaptive(SparkEntry.points(spark, dir), "lat", "lon",
+        SparkEntry.hexPolyVarTable(spark, dir), "region_id", "lats", "lons",
+        targetCells = 32, quantizeLevels = Seq(4, 6, 8))
+      .select("region_id", "o_orderkey").as[(Long, Long)].collect().toSet
+    val loops = SparkEntry.HexPolysVar.map { case (k, vs, _) => k -> loopOf(vs) }
+    val pts = SparkEntry.points(spark, dir)
+      .select(col("o_orderkey").cast("long"), col("lat"), col("lon"))
+      .as[(Long, Double, Double)].collect()
+    val want = (for {
+      (id, la, lo) <- pts.iterator
+      p = S2LatLng.fromDegrees(la, lo).toPoint
+      (k, loop) <- loops
+      if loop.contains(p)
+    } yield (k, id)).toSet
+    assert(want.nonEmpty, "fixture produced an empty join")
+    assert(got == want,
+      s"adaptive join diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("reserved-name collision fails loudly") {
     import spark.implicits._
     val dir = sf("sf0.001")
