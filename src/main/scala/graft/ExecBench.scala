@@ -20,6 +20,32 @@ object ExecBench {
     }
     t("declarative pipJoin ") { SpatialJoin.pipJoin(pts.toDF(), "lat", "lon", SparkEntryRegions.rects).count() }
     t("custom S2PipJoinExec") { S2PipJoin.pipJoinExec(pts.toDF(), "lat", "lon", SparkEntryRegions.rects).count() }
+    // the table-driven region joins at the same 100M-point scale: region
+    // TABLES (not driver Seqs) rasterized executor-side, points probing on
+    // scan-computed cells
+    import spark.implicits._
+    val hexDf = SparkEntry.HexPolys
+      .map { case (k, vs, _) => (k, vs.map(_._1).toArray, vs.map(_._2).toArray) }
+      .toDF("region_id", "lats", "lons")
+    t("polygonPipJoin 25  ") {
+      SpatialJoin.polygonPipJoin(pts.toDF(), "lat", "lon",
+        hexDf, "region_id", "lats", "lons", level = 6).count()
+    }
+    val hexVarDf = SparkEntry.HexPolysVar
+      .map { case (k, vs, _) => (k, vs.map(_._1).toArray, vs.map(_._2).toArray) }
+      .toDF("region_id", "lats", "lons")
+    t("adaptive (menu 4/6/8)") {
+      SpatialJoin.polygonPipJoinAdaptive(pts.toDF(), "lat", "lon",
+        hexVarDf, "region_id", "lats", "lons",
+        targetCells = 32, quantizeLevels = Seq(4, 6, 8)).count()
+    }
+    val lineDf = SparkEntry.FixturePolylines
+      .map { case (k, vs) => (k, vs.map(_._1).toArray, vs.map(_._2).toArray) }
+      .toDF("line_id", "lats", "lons")
+    t("polylineDistJoin 25") {
+      SpatialJoin.polylineDistanceJoin(pts.toDF(), "lat", "lon",
+        lineDf, "line_id", "lats", "lons", SparkEntry.PolylineJoinRadiusM).count()
+    }
     spark.stop()
   }
 }
