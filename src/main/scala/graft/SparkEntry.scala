@@ -873,6 +873,44 @@ object SparkEntry {
           hexPolyTable(s, dir), "region_id", "lats", "lons", level = 6)
         .select("region_id", "o_orderkey")),
 
+    // distributed raster->vector: level-4 tiles grouped under their level-2
+    // ancestor are assembled into outline polygons ON THE EXECUTORS
+    // (mapGroups — no driver geometry), then gated executor-side: every
+    // member tile's center must fall INSIDE its group's polygon and every
+    // non-member edge-neighbor's center OUTSIDE (vector output reproduces
+    // raster membership exactly, over- and under-coverage both fatal);
+    // only points of fully-passing groups count, so the single-row total
+    // equals the plain point count — the q_tile_counts derived-oracle
+    // pattern
+    "q_vectorize_dist" -> ((s, dir) => {
+      val members = points(s, dir).select(
+          s2_token(s2_parent(s2_cell_id(col("lat"), col("lon")), 2)).as("grp"),
+          s2_tile(col("lat"), col("lon"), 4).as("tile"))
+        .groupBy("grp", "tile").agg(count(lit(1)).as("pts"))
+      // materialize: two gates consume the polygons; without this the
+      // mapGroups assembly would run once per gate
+      val polys = Vectorize.vectorizeGroupsDistributed(members, "grp", "tile")
+        .localCheckpoint()
+      val memberGate = members.join(polys, "grp")
+        .groupBy("grp").agg(sum("pts").as("pts"), count(lit(1)).as("n"),
+          sum(when(s2_polygon_contains(col("loop_lats"), col("loop_lons"),
+            s2_cell_lat(col("tile")), s2_cell_lon(col("tile"))), 1L).otherwise(0L))
+            .as("n_inside"))
+      val nbrGate = members
+        .select(col("grp"), explode(s2_edge_neighbors(col("tile"))).as("nbr"))
+        .join(members.select(col("grp"), col("tile").as("nbr")), Seq("grp", "nbr"),
+          "left_anti")
+        .join(polys, "grp")
+        .groupBy("grp").agg(count(lit(1)).as("m"),
+          sum(when(!s2_polygon_contains(col("loop_lats"), col("loop_lons"),
+            s2_cell_lat(col("nbr")), s2_cell_lon(col("nbr"))), 1L).otherwise(0L))
+            .as("m_outside"))
+      memberGate.join(nbrGate, Seq("grp"), "left")
+        .where(col("n") === col("n_inside") &&
+          (col("m").isNull || col("m") === col("m_outside")))
+        .agg(sum("pts").cast("long").as("total_points"))
+    }),
+
     // the size-ADAPTIVE polygon-table join: radii span ~250x in area, so
     // each row picks its own covering level from the quantized menu —
     // results are level-independent, only the plan changes
@@ -1663,6 +1701,11 @@ object SparkEntry {
          |  sin(radians(lat)) AS pz FROM pts)
          |${branches.mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    // every point lands in exactly one (group, tile); the engine-side
+    // geometric gates pass for every group iff the vectorized outlines are
+    // exact, so the surviving total is the plain point count
+    "q_vectorize_dist" -> "SELECT count(*) AS total_points FROM orders",
 
     // identical machinery to q_poly_table_join's oracle — the adaptive
     // level menu changes the PLAN, never the contained set

@@ -139,3 +139,12 @@ object s2functions {
     reg("s2_polyline_distance_m", { case Seq(a, b, c, d) => S2PolylineDistance(a, b, c, d) })
   }
 }
+
+/** Test access to the package-private kernel caches (specs live in package
+  * `graft`, the caches in `graft.functions`). */
+object PolygonCacheTestAccess {
+  def contains(lats: Array[Array[Double]], lons: Array[Array[Double]],
+               latDeg: Double, lonDeg: Double): Boolean =
+    PolygonCache.polygonFor(lats, lons)
+      .contains(graft.s2.S2LatLng.fromDegrees(latDeg, lonDeg).toPoint)
+}

@@ -76,6 +76,45 @@ object Vectorize {
     builder.assemblePolygon()._1
   }
 
+  /** [[vectorizeGroups]] with the polygon assembly on the EXECUTORS: each
+    * group's (small — it's a covering) tile set is gathered by a
+    * `groupByKey.mapGroups` and assembled into its outline polygon inside
+    * the task, so a million-group raster->vector pass never routes
+    * geometry through the driver (the Map-returning variant stays for
+    * driver-side callers that want [[graft.s2.S2Polygon]] objects).
+    * Oversized groups fail their task loudly instead of silently OOM-ing.
+    *
+    * @return one row per group: (groupCol, loop_lats, loop_lons) with the
+    *         outline's loops as nested vertex arrays (degrees) — the same
+    *         encoding [[SpatialJoin.multiPolygonPipJoin]] consumes, so a
+    *         vectorized layer can be joined right back. */
+  def vectorizeGroupsDistributed(df: DataFrame, groupCol: String, tileCol: String,
+                                 maxTilesPerGroup: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(groupCol).cast("string"),
+        org.apache.spark.sql.functions.col(tileCol).cast("long")).distinct()
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val tiles = it.map(_._2).toArray
+        require(tiles.length <= maxTilesPerGroup,
+          s"vectorizeGroupsDistributed: group '$g' has ${tiles.length} tiles " +
+            s"(> $maxTilesPerGroup) — coarsen the tiling or raise the cap explicitly")
+        val poly = cellsToPolygon(tiles)
+        val lats = Array.tabulate(poly.numLoops) { i =>
+          val lp = poly.loop(i)
+          Array.tabulate(lp.numVertices)(j => S2LatLng.fromPoint(lp.vertex(j)).latDegrees)
+        }
+        val lons = Array.tabulate(poly.numLoops) { i =>
+          val lp = poly.loop(i)
+          Array.tabulate(lp.numVertices)(j => S2LatLng.fromPoint(lp.vertex(j)).lngDegrees)
+        }
+        (g, lats, lons)
+      }
+      .toDF(groupCol, "loop_lats", "loop_lons")
+  }
+
   /** Vectorize each group's tiles: collects (group, tile) pairs — tile sets
     * per group are coverings, i.e. tiny — and assembles one polygon per
     * group on the driver.

@@ -73,6 +73,53 @@ class VectorizeSpec extends SparkTestBase {
     assert(!polys("a").contains(S2LatLng.fromDegrees(-40, 100).toPoint))
   }
 
+  test("vectorizeGroupsDistributed == driver vectorizeGroups, loop for loop") {
+    val spark0 = spark
+    import spark0.implicits._
+    val capA = new S2RegionCoverer().setMaxCells(20).getCovering(
+      S2Cap.fromAxisAngle(S2LatLng.fromDegrees(10, 10).toPoint, 0.03))
+    val capB = new S2RegionCoverer().setMaxCells(20).getCovering(
+      S2Cap.fromAxisAngle(S2LatLng.fromDegrees(-40, 100).toPoint, 0.03))
+    val df = (capA.map(("a", _)) ++ capB.map(("b", _))).toDF("region", "tile")
+      .repartition(4)
+    val driver = Vectorize.vectorizeGroups(df, "region", "tile")
+    val dist = Vectorize.vectorizeGroupsDistributed(df, "region", "tile")
+      .as[(String, Array[Array[Double]], Array[Array[Double]])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(dist.keySet == driver.keySet)
+    for ((g, poly) <- driver) {
+      val (lats, lons) = dist(g)
+      assert(lats.length == poly.numLoops, s"group $g loop count diverged")
+      for (i <- 0 until poly.numLoops) {
+        val lp = poly.loop(i)
+        val want = (0 until lp.numVertices).map(j => S2LatLng.fromPoint(lp.vertex(j)))
+        assert(lats(i).toSeq == want.map(_.latDegrees) &&
+          lons(i).toSeq == want.map(_.lngDegrees),
+          s"group $g loop $i vertices diverged from the driver assembly")
+      }
+    }
+    // the nested-array encoding feeds straight back into the polygon ops:
+    // each cap center is inside its own group's polygon, not the other's
+    val polyContains = dist.map { case (g, (lats, lons)) =>
+      g -> ((la: Double, lo: Double) =>
+        graft.functions.PolygonCacheTestAccess.contains(lats, lons, la, lo))
+    }
+    assert(polyContains("a")(10, 10) && !polyContains("a")(-40, 100))
+    assert(polyContains("b")(-40, 100) && !polyContains("b")(10, 10))
+  }
+
+  test("vectorizeGroupsDistributed fails loudly on a runaway group (executor-side)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val big = (0L until 500L).map(i => ("huge", i)).toDF("region", "tile")
+    val e = intercept[org.apache.spark.SparkException] {
+      Vectorize.vectorizeGroupsDistributed(big, "region", "tile",
+        maxTilesPerGroup = 100).collect()
+    }
+    assert(e.getMessage.contains("huge") ||
+      Option(e.getCause).exists(_.getMessage.contains("huge")))
+  }
+
   test("vectorizeGroups refuses a runaway tile set before collecting it") {
     val spark0 = spark
     import spark0.implicits._
