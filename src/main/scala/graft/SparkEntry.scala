@@ -873,6 +873,18 @@ object SparkEntry {
           hexPolyTable(s, dir), "region_id", "lats", "lons", level = 6)
         .select("region_id", "o_orderkey")),
 
+    // region-region intersection over a TABLE of arbitrary convex loops
+    // (the polygon generalization of q_rect_join): both hexagon fixtures
+    // as one 50-region catalog, candidates share a level-5 covering cell,
+    // pair-id dedup, exact loop-interior refine
+    "q_loop_intersect_join" -> ((s, dir) => {
+      val a = hexPolyTable(s, dir)
+      val b = hexPolyVarTable(s, dir)
+        .withColumn("region_id", col("region_id") + 100L)
+      SpatialJoin.loopIntersectJoin(a.unionByName(b), "region_id", "lats", "lons",
+        level = 5)
+    }),
+
     // distributed raster->vector: level-4 tiles grouped under their level-2
     // ancestor are assembled into outline polygons ON THE EXECUTORS
     // (mapGroups — no driver geometry), then gated executor-side: every
@@ -1700,6 +1712,48 @@ object SparkEntry {
          |  cos(radians(lat))*sin(radians(lon)) AS py,
          |  sin(radians(lat)) AS pz FROM pts)
          |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // convex-loop intersection from first principles, set-based: loops
+    // intersect iff a vertex of one is strictly inside the other (all six
+    // edge planes positive) or some edge pair properly crosses (the
+    // SimpleCrossing sign-product test, S2.cs:180-197). Vertex unit
+    // vectors are kernel-computed doubles inlined as literals and every
+    // predicate below is pure +/*/- on them, so DuckDB's IEEE arithmetic
+    // reproduces the engine's classification bit-for-bit — no trig, no
+    // margin argument needed (LoopIntersectSpec additionally pins the SQL
+    // logic against the kernel over all 1225 pairs)
+    "q_loop_intersect_join" -> {
+      val all = HexPolys.map(t => (t._1, t._2)) ++
+        HexPolysVar.map(t => (t._1 + 100L, t._2))
+      val values = all.flatMap { case (id, vs) =>
+        vs.zipWithIndex.map { case ((la, lo), k) =>
+          val p = graft.s2.S2LatLng.fromDegrees(la, lo).toPoint
+          s"($id, $k, ${p.x}, ${p.y}, ${p.z})"
+        }
+      }.mkString(",\n")
+      s"""WITH v(rid, k, x, y, z) AS (VALUES
+         |$values),
+         |e AS (SELECT a.rid, a.k,
+         |  a.x AS ax, a.y AS ay, a.z AS az, b.x AS bx, b.y AS by, b.z AS bz,
+         |  a.y*b.z - a.z*b.y AS nx, a.z*b.x - a.x*b.z AS ny, a.x*b.y - a.y*b.x AS nz
+         |  FROM v a JOIN v b ON a.rid = b.rid AND b.k = (a.k + 1) % 6),
+         |vin AS (SELECT DISTINCT ra, rb FROM (
+         |  SELECT va.rid AS ra, va.k AS ka, eb.rid AS rb,
+         |    min(eb.nx*va.x + eb.ny*va.y + eb.nz*va.z) AS mn
+         |  FROM v va JOIN e eb ON va.rid <> eb.rid
+         |  GROUP BY va.rid, va.k, eb.rid) t WHERE mn > 0),
+         |xing AS (SELECT DISTINCT ea.rid AS ra, eb.rid AS rb
+         |  FROM e ea JOIN e eb ON ea.rid <> eb.rid
+         |  WHERE ((-(ea.nx*eb.ax + ea.ny*eb.ay + ea.nz*eb.az))
+         |          * (-(eb.nx*ea.bx + eb.ny*ea.by + eb.nz*ea.bz)) > 0)
+         |    AND ((-(eb.nx*ea.bx + eb.ny*ea.by + eb.nz*ea.bz))
+         |          * (ea.nx*eb.bx + ea.ny*eb.by + ea.nz*eb.bz) > 0)
+         |    AND ((ea.nx*eb.bx + ea.ny*eb.by + ea.nz*eb.bz)
+         |          * (eb.nx*ea.ax + eb.ny*ea.ay + eb.nz*ea.az) > 0)),
+         |cand AS (SELECT * FROM vin UNION SELECT * FROM xing)
+         |SELECT DISTINCT CAST(least(ra, rb) AS BIGINT) AS id_a,
+         |  CAST(greatest(ra, rb) AS BIGINT) AS id_b FROM cand""".stripMargin
     },
 
     // every point lands in exactly one (group, tile); the engine-side

@@ -748,3 +748,33 @@ case class S2PolygonCoveringAdaptive(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
   override def prettyName: String = "s2_polygon_covering_adaptive"
 }
+
+/** `s2_loops_intersect(latsA, lonsA, latsB, lonsB) -> boolean` — exact
+  * loop-interior intersection (`S2Loop.cs` Intersects semantics), both
+  * loops built at most once per task thread via [[LoopCache]]. The
+  * refinement predicate of the polygon-catalog region-region join. */
+case class S2LoopsIntersect(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = BooleanType
+
+  private def arr(a: Any): Array[Double] =
+    a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+
+  override protected def nullSafeEval(latsA: Any, lonsA: Any,
+                                      latsB: Any, lonsB: Any): Any = {
+    val a = LoopCache.loopFor(arr(latsA), arr(lonsA))
+    val b = LoopCache.loopFor(arr(latsB), arr(lonsB))
+    a.intersects(b)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): S2LoopsIntersect =
+    copy(f, s, t, q)
+  override def prettyName: String = "s2_loops_intersect"
+}

@@ -94,6 +94,12 @@ object s2functions {
     expr(S2PolygonContainsPoint(child(loopLatsDeg), child(loopLonsDeg),
       child(latDeg), child(lonDeg)))
 
+  /** Exact loop-interior intersection of two single-loop polygons from
+    * parallel vertex arrays (degrees); per-thread loop caches. */
+  def s2_loops_intersect(latsA: Column, lonsA: Column,
+                         latsB: Column, lonsB: Column): Column =
+    expr(S2LoopsIntersect(child(latsA), child(lonsA), child(latsB), child(lonsB)))
+
   /** Fixed-level covering cells of a polyline from parallel vertex arrays
     * (degrees); executor-side per row. */
   def s2_polyline_covering(latsDeg: Column, lonsDeg: Column, level: Int): Column =
@@ -137,6 +143,7 @@ object s2functions {
     reg("s2_polygon_contains", { case Seq(a, b, c, d) => S2PolygonContainsPoint(a, b, c, d) })
     reg("s2_polyline_covering", { case Seq(a, b, c) => S2PolylineCovering(a, b, c) })
     reg("s2_polyline_distance_m", { case Seq(a, b, c, d) => S2PolylineDistance(a, b, c, d) })
+    reg("s2_loops_intersect", { case Seq(a, b, c, d) => S2LoopsIntersect(a, b, c, d) })
   }
 }
 

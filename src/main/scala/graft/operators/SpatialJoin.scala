@@ -287,6 +287,40 @@ object SpatialJoin {
       .select("id_a", "id_b")
   }
 
+  /** Region-region intersection SELF-join over a TABLE of single-loop
+    * polygons — [[rectIntersectJoin]] generalized from lat/lng rects to
+    * arbitrary loops. Same candidate argument: any point of A ∩ B lies in
+    * exactly one level-`level` cell, which then intersects both loops and
+    * appears in both fixed-level coverings, so candidates sharing a
+    * covering cell are complete. Pairs can share several cells, so the
+    * (id_a, id_b) dedup shuffles ONLY pair ids (vertex arrays ride along
+    * for the post-dedup exact `s2_loops_intersect` refinement; at very
+    * high vertex counts, project them out before the dedup and join them
+    * back by id). */
+  def loopIntersectJoin(polys: DataFrame, idCol: String,
+                        latsCol: String, lonsCol: String,
+                        level: Int = 5): DataFrame = {
+    val reserved = Seq("__cell", "__rc", "__alats", "__alons", "__blats", "__blons")
+    val collisions = polys.columns.filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"loopIntersectJoin: reserved column name(s) in input: ${collisions.mkString(", ")}")
+    val withCells = polys
+      .select(col(idCol), col(latsCol).as("__vlats"), col(lonsCol).as("__vlons"),
+        explode(s2_polygon_covering(col(latsCol), col(lonsCol), level)).as("__rc"))
+      .select(col(idCol), col("__vlats"), col("__vlons"), col("__rc.cell").as("__cell"))
+    val a = withCells.select(col(idCol).as("id_a"), col("__cell"),
+      col("__vlats").as("__alats"), col("__vlons").as("__alons"))
+    val b = withCells.select(col(idCol).as("id_b"), col("__cell"),
+      col("__vlats").as("__blats"), col("__vlons").as("__blons"))
+    a.join(b, "__cell")
+      .where(col("id_a") < col("id_b"))
+      .drop("__cell")
+      .dropDuplicates("id_a", "id_b")
+      .where(s2_loops_intersect(col("__alats"), col("__alons"),
+        col("__blats"), col("__blons")))
+      .select("id_a", "id_b")
+  }
+
   /** PIP join against a TABLE of single-loop polygons — the many-polygon
     * form of [[pipJoin]]. [[pipJoin]]'s driver-side `Seq[(id, S2Region)]`
     * plan is right for a handful of broadcast query regions; a catalog of
