@@ -218,6 +218,7 @@ object SparkEntry {
     }
 
   private[graft] val PolylineJoinRadiusM = 150000.0
+  private[graft] val KnnRegionsRadiusM = 500000.0
 
   /** The FixturePolylines fixture as a polyline-table DataFrame anchored on
     * the nation parquet: (line_id, lats, lons). */
@@ -872,6 +873,18 @@ object SparkEntry {
       SpatialJoin.polygonPipJoin(points(s, dir), "lat", "lon",
           hexPolyTable(s, dir), "region_id", "lats", "lons", level = 6)
         .select("region_id", "o_orderkey")),
+
+    // k nearest REGIONS within 500 km of each point (0 inside, boundary
+    // distance outside): the region form of kNN, ranked per point by
+    // (distance, region_id)
+    "q_knn_regions" -> ((s, dir) => {
+      val catalog = hexPolyTable(s, dir).unionByName(
+        hexPolyVarTable(s, dir).withColumn("region_id", col("region_id") + 100L))
+      SpatialJoin.nearestRegionsJoin(points(s, dir), "o_orderkey", "lat", "lon",
+          catalog, "region_id", "lats", "lons",
+          radiusM = KnnRegionsRadiusM, k = 3)
+        .select(col("region_id"), col("o_orderkey"), col("rank"))
+    }),
 
     // region-region intersection over a TABLE of arbitrary convex loops
     // (the polygon generalization of q_rect_join): both hexagon fixtures
@@ -1712,6 +1725,35 @@ object SparkEntry {
          |  cos(radians(lat))*sin(radians(lon)) AS py,
          |  sin(radians(lat)) AS pz FROM pts)
          |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // per-region distance = 0 inside the convex loop (edge-plane test),
+    // else the min over its edges of the kernel-transcribed distance CASE
+    // (same machinery as q_polyline_join); rank per point by (dist,
+    // region_id) — KnnRegionsMarginSpec pins radius-boundary and pairwise
+    // rank-separation margins
+    "q_knn_regions" -> {
+      val regions = HexPolys.map(t => (t._1, t._2, t._3)) ++
+        HexPolysVar.map(t => (t._1 + 100L, t._2, t._3))
+      val branches = regions.map { case (k, verts, center) =>
+        val pts = verts.map { case (la, lo) => graft.s2.S2LatLng.fromDegrees(la, lo).toPoint }
+        val edges = pts.indices.map(i => edgeDistSql(pts(i), pts((i + 1) % pts.size)))
+        s"""SELECT o_orderkey, CAST($k AS BIGINT) AS region_id,
+           | CASE WHEN ${convexLoopSql(verts, center)} THEN 0.0
+           |   ELSE least(${edges.mkString(",\n  ")}) * 6367000.0 END AS dist
+           |FROM xyz""".stripMargin
+      }
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |xyz AS (SELECT o_orderkey,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts),
+         |d AS (${branches.mkString("\nUNION ALL\n")})
+         |SELECT region_id, o_orderkey, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT region_id, o_orderkey,
+         |    row_number() OVER (PARTITION BY o_orderkey ORDER BY dist, region_id) AS rnk
+         |  FROM d WHERE dist <= $KnnRegionsRadiusM) t
+         |WHERE rnk <= 3""".stripMargin
     },
 
     // convex-loop intersection from first principles, set-based: loops

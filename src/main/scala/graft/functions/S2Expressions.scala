@@ -778,3 +778,34 @@ case class S2LoopsIntersect(first: Expression, second: Expression,
     copy(f, s, t, q)
   override def prettyName: String = "s2_loops_intersect"
 }
+
+/** `s2_loop_region_distance_m(latsDeg, lonsDeg, latDeg, lonDeg) -> double`
+  * — distance in meters from a point to a single-loop REGION: 0 inside
+  * (`S2Loop.Contains` parity), else the boundary distance (min over edges
+  * of `S2EdgeUtil.GetDistance` x the engine's 6 367 000 m radius). Loops
+  * cached per task thread. The scoring function of the k-nearest-regions
+  * join. */
+case class S2LoopRegionDistance(first: Expression, second: Expression,
+                                third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false), DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(latsAny: Any, lonsAny: Any,
+                                      latAny: Any, lonAny: Any): Any = {
+    val lats = latsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val lons = lonsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val loop = LoopCache.loopFor(lats, lons)
+    val p = S2LatLng.fromDegrees(latAny.asInstanceOf[Double],
+      lonAny.asInstanceOf[Double]).toPoint
+    if (loop.contains(p)) 0.0
+    else loop.getDistance(p) * S2LatLng.EarthRadiusMeters
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): S2LoopRegionDistance =
+    copy(f, s, t, q)
+  override def prettyName: String = "s2_loop_region_distance_m"
+}

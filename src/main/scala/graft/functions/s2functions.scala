@@ -94,6 +94,12 @@ object s2functions {
     expr(S2PolygonContainsPoint(child(loopLatsDeg), child(loopLonsDeg),
       child(latDeg), child(lonDeg)))
 
+  /** Distance (meters) from a point to a single-loop REGION: 0 inside,
+    * else boundary distance; per-thread loop cache. */
+  def s2_loop_region_distance_m(latsDeg: Column, lonsDeg: Column,
+                                latDeg: Column, lonDeg: Column): Column =
+    expr(S2LoopRegionDistance(child(latsDeg), child(lonsDeg), child(latDeg), child(lonDeg)))
+
   /** Exact loop-interior intersection of two single-loop polygons from
     * parallel vertex arrays (degrees); per-thread loop caches. */
   def s2_loops_intersect(latsA: Column, lonsA: Column,
@@ -144,6 +150,7 @@ object s2functions {
     reg("s2_polyline_covering", { case Seq(a, b, c) => S2PolylineCovering(a, b, c) })
     reg("s2_polyline_distance_m", { case Seq(a, b, c, d) => S2PolylineDistance(a, b, c, d) })
     reg("s2_loops_intersect", { case Seq(a, b, c, d) => S2LoopsIntersect(a, b, c, d) })
+    reg("s2_loop_region_distance_m", { case Seq(a, b, c, d) => S2LoopRegionDistance(a, b, c, d) })
   }
 }
 

@@ -287,6 +287,59 @@ object SpatialJoin {
       .select("id_a", "id_b")
   }
 
+  /** k nearest REGIONS within `radiusM` of each point, from a TABLE of
+    * single-loop polygons — "which admin areas is this image in or near",
+    * the region form of kNN. Distance is 0 inside a region, else the exact
+    * boundary distance. Candidates follow the polyline join's adjacency
+    * argument extended to areas: at the level where the minimum cell width
+    * is >= the radius angle, a point INSIDE a region sits in one of its
+    * covering cells, and a point within the radius of its boundary sits in
+    * a covering cell or one of its 8 neighbors — so bucketing regions
+    * under (covering ∪ neighbors, deduped per region before the explode)
+    * and points under their single cell is complete, with one candidate
+    * row per (point, region) pair. Ranking is a per-point window over the
+    * (bounded: regions within the radius) candidate set, ordered
+    * (distance, region id) for determinism.
+    *
+    * @return point columns + `region_id`, `distance_m`, `rank` (1-based,
+    *         <= k), only for regions within `radiusM` */
+  def nearestRegionsJoin(points: DataFrame, pointIdCol: String,
+                         latCol: String, lonCol: String,
+                         polys: DataFrame, idCol: String,
+                         latsCol: String, lonsCol: String,
+                         radiusM: Double, k: Int): DataFrame = {
+    require(k >= 1, s"nearestRegionsJoin: k must be >= 1, got $k")
+    val angle = radiusM / S2LatLng.EarthRadiusMeters
+    require(angle > 0 && angle <= S2Projections.MinWidth.getValue(0),
+      s"nearestRegionsJoin radius $radiusM m exceeds the level-0 adjacency guarantee")
+    val level = S2Projections.MinWidth.getMaxLevel(angle)
+    val reserved = Seq("__pcell", "__bucket", "__rlats", "__rlons", "__rank")
+    val collisions = (points.columns ++ polys.columns).filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"nearestRegionsJoin: reserved column name(s) in input: ${collisions.mkString(", ")}")
+
+    val raster = polys
+      .select(col(idCol).as("region_id"), col(latsCol).as("__rlats"),
+        col(lonsCol).as("__rlons"),
+        explode(array_distinct(flatten(transform(
+          s2_polygon_covering(col(latsCol), col(lonsCol), level),
+          c => array_union(array(c.getField("cell")),
+            s2_all_neighbors(c.getField("cell"), level)))))).as("__bucket"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pointIdCol)).orderBy(col("distance_m"), col("region_id"))
+    points
+      .withColumn("__pcell", s2_tile(col(latCol), col(lonCol), level))
+      .join(raster, col("__pcell") === col("__bucket"))
+      .withColumn("distance_m",
+        s2_loop_region_distance_m(col("__rlats"), col("__rlons"), col(latCol), col(lonCol)))
+      .where(col("distance_m") <= radiusM)
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .withColumn("rank", col("__rank"))
+      .drop("__pcell", "__bucket", "__rlats", "__rlons", "__rank")
+  }
+
   /** Region-region intersection SELF-join over a TABLE of single-loop
     * polygons — [[rectIntersectJoin]] generalized from lat/lng rects to
     * arbitrary loops. Same candidate argument: any point of A ∩ B lies in
