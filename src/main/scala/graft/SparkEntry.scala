@@ -219,6 +219,8 @@ object SparkEntry {
 
   private[graft] val PolylineJoinRadiusM = 150000.0
   private[graft] val KnnRegionsRadiusM = 500000.0
+  private[graft] val DbscanEpsM = 300000.0
+  private[graft] val DbscanMinPts = 3
 
   /** The FixturePolylines fixture as a polyline-table DataFrame anchored on
     * the nation parquet: (line_id, lats, lons). */
@@ -747,6 +749,19 @@ object SparkEntry {
         .withColumn("lon", expr(CustLonSql))
       SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
         .select("id_a", "id_b")
+    }),
+
+    // density clustering (DBSCAN, exact): eps-graph from the bucketed
+    // distance self-join, cores by degree, clusters = min-label connected
+    // components of the core-core graph, borders -> min core-neighbor
+    // cluster; noise rows absent
+    "q_dbscan" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      Clustering.dbscan(pts, "c_custkey", "lat", "lon",
+          epsM = DbscanEpsM, minPts = DbscanMinPts)
+        .select("id", "cluster_id", "is_core")
     }),
 
     // --- dedup family over documents (augmented with planted duplicates) ---
@@ -1552,6 +1567,32 @@ object SparkEntry {
          |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
          |WHERE $d <= 500000.0""".stripMargin
+    },
+
+    // brute-force DBSCAN from first principles: all-pairs eps-graph, degree
+    // cores (count includes the point itself), recursive-CTE components of
+    // the core-core graph seeded (id, id) so singleton cores label
+    // themselves, borders = non-core with a core neighbor -> min cluster
+    "q_dbscan" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH RECURSIVE
+         |pts AS (SELECT c_custkey AS id, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM pts a JOIN pts b ON a.id < b.id WHERE $d <= $DbscanEpsM),
+         |edges AS (SELECT id_a AS s, id_b AS dd FROM p UNION SELECT id_b, id_a FROM p),
+         |core AS (SELECT s AS id FROM edges GROUP BY s HAVING count(*) + 1 >= $DbscanMinPts),
+         |ce AS (SELECT e.s, e.dd FROM edges e
+         |  JOIN core c1 ON e.s = c1.id JOIN core c2 ON e.dd = c2.id),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM core
+         |  UNION
+         |  SELECT r.src, e.dd FROM reach r JOIN ce e ON e.s = r.dst),
+         |cc AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |border AS (SELECT e.s AS id, min(cc.cluster_id) AS cluster_id
+         |  FROM edges e JOIN cc ON e.dd = cc.id
+         |  WHERE e.s NOT IN (SELECT id FROM core) GROUP BY e.s)
+         |SELECT id, cluster_id, TRUE AS is_core FROM cc
+         |UNION ALL SELECT id, cluster_id, FALSE AS is_core FROM border""".stripMargin
     },
 
     "q_exact_dedup" ->
