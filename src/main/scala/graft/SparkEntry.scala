@@ -221,6 +221,8 @@ object SparkEntry {
   private[graft] val KnnRegionsRadiusM = 500000.0
   private[graft] val DbscanEpsM = 300000.0
   private[graft] val DbscanMinPts = 3
+  private[graft] val StJoinRadiusM = 1000000.0
+  private[graft] val StJoinWindowSec = 14400L
 
   /** The FixturePolylines fixture as a polyline-table DataFrame anchored on
     * the nation parquet: (line_id, lats, lons). */
@@ -748,6 +750,17 @@ object SparkEntry {
         .withColumn("lat", expr(CustLatSql))
         .withColumn("lon", expr(CustLonSql))
       SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+    }),
+
+    // spatio-temporal co-occurrence: event pairs within 1000 km AND 4 h,
+    // one composite (cell, time-bucket) equi-join, each pair matched once
+    "q_st_join" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      SpatialJoin.spatioTemporalJoin(pts, "event_id", "ts", "lat", "lon",
+          radiusM = StJoinRadiusM, windowSec = StJoinWindowSec)
         .select("id_a", "id_b")
     }),
 
@@ -1567,6 +1580,18 @@ object SparkEntry {
          |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
          |WHERE $d <= 500000.0""".stripMargin
+    },
+
+    // brute-force spatio-temporal pairs: all-pairs haversine + exact
+    // integer-microsecond time-window predicate
+    "q_st_join" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT event_id AS id, epoch_us(ts) AS tus,
+         |  ${latSqlFor("event_id")} AS lat, ${lonSqlFor("event_id")} AS lon FROM events)
+         |SELECT a.id AS id_a, b.id AS id_b
+         |FROM pts a JOIN pts b ON a.id < b.id
+         |WHERE abs(a.tus - b.tus) <= ${StJoinWindowSec * 1000000L}
+         |  AND $d <= $StJoinRadiusM""".stripMargin
     },
 
     // brute-force DBSCAN from first principles: all-pairs eps-graph, degree

@@ -287,6 +287,53 @@ object SpatialJoin {
       .select("id_a", "id_b")
   }
 
+  /** Spatio-temporal pair SELF-join: event pairs within `radiusM` meters
+    * AND `windowSec` seconds of each other — co-occurrence detection
+    * ("which images were taken near each other around the same time").
+    *
+    * One composite equi-join on (cell-bucket, time-bucket): the a-side
+    * explodes its cell ∪ 8 neighbors at the radius-derived level (the
+    * [[distanceJoin]] adjacency argument), the b-side explodes its time
+    * bucket ±1 (|Δt| <= W implies the buckets of width W differ by at most
+    * one). Each qualifying pair matches EXACTLY once — b's cell and a's
+    * bucket are single values joined against deduped explode sets — so no
+    * pair-dedup pass is needed. Row cost is 9|E| + 3|E| bucket rows and the
+    * only shuffle is the composite-key hash join; a hot (cell, bucket) is
+    * bounded by physical co-occurrence density, same as [[distanceJoin]].
+    * Time buckets come from exact integer division of `unix_micros` (no fp
+    * boundary wobble at 1e15-microsecond magnitudes).
+    *
+    * @return (id_a, id_b, distance_m) with id_a < id_b */
+  def spatioTemporalJoin(events: DataFrame, idCol: String, tsCol: String,
+                         latCol: String, lonCol: String,
+                         radiusM: Double, windowSec: Long): DataFrame = {
+    val angle = radiusM / S2LatLng.EarthRadiusMeters
+    require(angle > 0 && angle <= S2Projections.MinWidth.getValue(0),
+      s"spatioTemporalJoin radius $radiusM m exceeds the level-0 adjacency guarantee")
+    require(windowSec >= 1, s"spatioTemporalJoin: windowSec must be >= 1, got $windowSec")
+    val level = S2Projections.MinWidth.getMaxLevel(angle)
+    val winUs = math.multiplyExact(windowSec, 1000000L)
+    val base = events.select(col(idCol), col(tsCol), col(latCol), col(lonCol))
+      .withColumn("__cell", s2_tile(col(latCol), col(lonCol), level))
+      .withColumn("__tus", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__tb", expr(s"__tus div ${winUs}L"))
+    val a = base.select(col(idCol).as("id_a"), col("__tus").as("__tusa"),
+      col(latCol).as("__lata"), col(lonCol).as("__lona"), col("__tb"),
+      explode(array_union(array(col("__cell")),
+        s2_all_neighbors(col("__cell"), level))).as("__bcell"))
+    val b = base.select(col(idCol).as("id_b"), col("__tus").as("__tusb"),
+      col(latCol).as("__latb"), col(lonCol).as("__lonb"),
+      col("__cell").as("__bcell"),
+      explode(array(col("__tb") - 1, col("__tb"), col("__tb") + 1)).as("__tb"))
+    a.join(b, Seq("__bcell", "__tb"))
+      .where(col("id_a") < col("id_b"))
+      .where(abs(col("__tusa") - col("__tusb")) <= winUs)
+      .withColumn("distance_m",
+        s2_distance_m(col("__lata"), col("__lona"), col("__latb"), col("__lonb")))
+      .where(col("distance_m") <= radiusM)
+      .select("id_a", "id_b", "distance_m")
+  }
+
   /** k nearest REGIONS within `radiusM` of each point, from a TABLE of
     * single-loop polygons — "which admin areas is this image in or near",
     * the region form of kNN. Distance is 0 inside a region, else the exact
