@@ -217,6 +217,35 @@ object SparkEntry {
       (k, Seq((clat, clon), (clat + 2.2, clon + 3.1), (clat - 1.7, clon + 6.3)))
     }
 
+  /** Dense deterministic route fixture for the polyline CROSSING join:
+    * 25 three-vertex chains, centers confined to a 12x16 degree box with
+    * varied headings so pairs genuinely cross (18 of 300 do; minimum
+    * |triple-product| over every edge-pair sign decision is 4.7e-6 — eleven
+    * orders above fp noise, so engine and oracle decide identically). */
+  private[graft] lazy val FixtureRoutes: Seq[(Long, Seq[(Double, Double)])] =
+    (0L until 25L).map { k =>
+      val clat = ((k * 3571 + 101) % 1200) / 100.0 - 6.0
+      val clon = ((k * 9241 + 53) % 1600) / 100.0 - 8.0
+      val ang = ((k * 47) % 360) * math.Pi / 180.0
+      val (d1, d2) = (3.0, 2.5)
+      (k, Seq(
+        (clat, clon),
+        (clat + d1 * math.cos(ang), clon + d1 * math.sin(ang)),
+        (clat + d1 * math.cos(ang) + d2 * math.cos(ang + 0.7),
+          clon + d1 * math.sin(ang) + d2 * math.sin(ang + 0.7))))
+    }
+
+  /** FixtureRoutes as a chain-table DataFrame anchored on the nation
+    * parquet: (line_id, lats, lons). */
+  private[graft] def routeTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = FixtureRoutes
+      .map { case (k, vs) => (k, vs.map(_._1).toArray, vs.map(_._2).toArray) }
+      .toDF("line_id", "lats", "lons")
+    nation(s, dir).select(col("n_nationkey").cast("long").as("line_id"))
+      .join(df, "line_id")
+  }
+
   private[graft] val PolylineJoinRadiusM = 150000.0
   private[graft] val KnnRegionsRadiusM = 500000.0
   private[graft] val DbscanEpsM = 300000.0
@@ -752,6 +781,13 @@ object SparkEntry {
       SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
         .select("id_a", "id_b")
     }),
+
+    // which routes properly cross: shared-covering-cell candidates at
+    // level 5, pair dedup, exact robust-crossing refine over edge pairs
+    "q_polyline_cross_join" -> ((s, dir) =>
+      SpatialJoin.polylineCrossJoin(routeTable(s, dir), "line_id",
+          "lats", "lons", level = 5)
+        .select("id_a", "id_b")),
 
     // spatio-temporal co-occurrence: event pairs within 1000 km AND 4 h,
     // one composite (cell, time-bucket) equi-join, each pair matched once
@@ -1580,6 +1616,34 @@ object SparkEntry {
          |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
          |WHERE $d <= 500000.0""".stripMargin
+    },
+
+    // proper spherical crossing from first principles: the kernel's
+    // RobustCrossing sign conditions as four inlined-unit-vector triple
+    // products per edge pair (general-position fixture: min |sign| 4.7e-6,
+    // so the robust fallback never fires and plain IEEE signs decide)
+    "q_polyline_cross_join" -> {
+      val edges = FixtureRoutes.flatMap { case (k, vs) =>
+        val pts = vs.map { case (la, lo) => graft.s2.S2LatLng.fromDegrees(la, lo).toPoint }
+        pts.indices.dropRight(1).map { i =>
+          val (a, b) = (pts(i), pts(i + 1))
+          s"(CAST($k AS BIGINT), ${a.x}, ${a.y}, ${a.z}, ${b.x}, ${b.y}, ${b.z})"
+        }
+      }
+      s"""WITH e(lid, ax, ay, az, bx, by, bz) AS (VALUES
+         |${edges.mkString(",\n")}),
+         |s AS (SELECT a.lid AS id_a, b.lid AS id_b,
+         |  a.ay*a.bz - a.az*a.by AS abx, a.az*a.bx - a.ax*a.bz AS aby,
+         |  a.ax*a.by - a.ay*a.bx AS abz,
+         |  b.ay*b.bz - b.az*b.by AS cdx, b.az*b.bx - b.ax*b.bz AS cdy,
+         |  b.ax*b.by - b.ay*b.bx AS cdz,
+         |  -(abx*b.ax + aby*b.ay + abz*b.az) AS acb,
+         |   (abx*b.bx + aby*b.by + abz*b.bz) AS bda,
+         |  -(cdx*a.bx + cdy*a.by + cdz*a.bz) AS cbd,
+         |   (cdx*a.ax + cdy*a.ay + cdz*a.az) AS dac
+         | FROM e a JOIN e b ON a.lid < b.lid)
+         |SELECT DISTINCT id_a, id_b FROM s
+         |WHERE acb * bda > 0 AND acb * cbd > 0 AND acb * dac > 0""".stripMargin
     },
 
     // brute-force spatio-temporal pairs: all-pairs haversine + exact

@@ -809,3 +809,46 @@ case class S2LoopRegionDistance(first: Expression, second: Expression,
     copy(f, s, t, q)
   override def prettyName: String = "s2_loop_region_distance_m"
 }
+
+/** `s2_polylines_cross(latsA, lonsA, latsB, lonsB) -> boolean` — true iff
+  * some edge of chain A PROPERLY crosses some edge of chain B
+  * (`S2EdgeUtil.RobustCrossing > 0`, S2EdgeUtil.cs:81-119; shared vertices
+  * and mere touches are NOT crossings). Chains cached per task thread. The
+  * refinement predicate of the polyline crossing join. */
+case class S2PolylinesCross(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(latsAAny: Any, lonsAAny: Any,
+                                      latsBAny: Any, lonsBAny: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val la = PolylineCache.polylineFor(
+      latsAAny.asInstanceOf[ArrayData].toDoubleArray(),
+      lonsAAny.asInstanceOf[ArrayData].toDoubleArray())
+    val lb = PolylineCache.polylineFor(
+      latsBAny.asInstanceOf[ArrayData].toDoubleArray(),
+      lonsBAny.asInstanceOf[ArrayData].toDoubleArray())
+    var i = 0
+    while (i < la.numVertices - 1) {
+      var j = 0
+      while (j < lb.numVertices - 1) {
+        if (graft.s2.S2EdgeUtil.robustCrossing(la.vertex(i), la.vertex(i + 1),
+          lb.vertex(j), lb.vertex(j + 1)) > 0) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): S2PolylinesCross =
+    copy(f, s, t, q)
+  override def prettyName: String = "s2_polylines_cross"
+}

@@ -100,6 +100,12 @@ object s2functions {
                                 latDeg: Column, lonDeg: Column): Column =
     expr(S2LoopRegionDistance(child(latsDeg), child(lonsDeg), child(latDeg), child(lonDeg)))
 
+  /** True iff some edge of chain A properly crosses some edge of chain B
+    * (robust crossing trichotomy; shared vertices/touches excluded). */
+  def s2_polylines_cross(latsA: Column, lonsA: Column,
+                         latsB: Column, lonsB: Column): Column =
+    expr(S2PolylinesCross(child(latsA), child(lonsA), child(latsB), child(lonsB)))
+
   /** Exact loop-interior intersection of two single-loop polygons from
     * parallel vertex arrays (degrees); per-thread loop caches. */
   def s2_loops_intersect(latsA: Column, lonsA: Column,
@@ -151,6 +157,7 @@ object s2functions {
     reg("s2_polyline_distance_m", { case Seq(a, b, c, d) => S2PolylineDistance(a, b, c, d) })
     reg("s2_loops_intersect", { case Seq(a, b, c, d) => S2LoopsIntersect(a, b, c, d) })
     reg("s2_loop_region_distance_m", { case Seq(a, b, c, d) => S2LoopRegionDistance(a, b, c, d) })
+    reg("s2_polylines_cross", { case Seq(a, b, c, d) => S2PolylinesCross(a, b, c, d) })
   }
 }
 

@@ -287,6 +287,38 @@ object SpatialJoin {
       .select("id_a", "id_b")
   }
 
+  /** Polyline crossing SELF-join over a TABLE of chains — "which routes
+    * cross each other", the polyline row of the geometry-join matrix.
+    * Candidates follow [[loopIntersectJoin]]'s argument specialized to
+    * chains: a proper crossing point lies ON both chains, hence in one
+    * level-`level` cell that both fixed-level chain coverings contain
+    * (`s2_polyline_covering` = every cell the chain passes through), so
+    * pairs sharing a covering cell are complete. Pair-id dedup before the
+    * exact refine; refinement is the robust crossing trichotomy over edge
+    * pairs (> 0 only — shared vertices and touches are NOT crossings). */
+  def polylineCrossJoin(lines: DataFrame, idCol: String,
+                        latsCol: String, lonsCol: String,
+                        level: Int = 5): DataFrame = {
+    val reserved = Seq("__cell", "__alats", "__alons", "__blats", "__blons")
+    val collisions = lines.columns.filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"polylineCrossJoin: reserved column name(s) in input: ${collisions.mkString(", ")}")
+    val withCells = lines
+      .select(col(idCol), col(latsCol).as("__vlats"), col(lonsCol).as("__vlons"),
+        explode(s2_polyline_covering(col(latsCol), col(lonsCol), level)).as("__cell"))
+    val a = withCells.select(col(idCol).as("id_a"), col("__cell"),
+      col("__vlats").as("__alats"), col("__vlons").as("__alons"))
+    val b = withCells.select(col(idCol).as("id_b"), col("__cell"),
+      col("__vlats").as("__blats"), col("__vlons").as("__blons"))
+    a.join(b, "__cell")
+      .where(col("id_a") < col("id_b"))
+      .drop("__cell")
+      .dropDuplicates("id_a", "id_b")
+      .where(s2_polylines_cross(col("__alats"), col("__alons"),
+        col("__blats"), col("__blons")))
+      .select("id_a", "id_b")
+  }
+
   /** Spatio-temporal pair SELF-join: event pairs within `radiusM` meters
     * AND `windowSec` seconds of each other — co-occurrence detection
     * ("which images were taken near each other around the same time").
