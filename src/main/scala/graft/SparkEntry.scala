@@ -252,6 +252,7 @@ object SparkEntry {
   private[graft] val DbscanMinPts = 3
   private[graft] val StJoinRadiusM = 1000000.0
   private[graft] val StJoinWindowSec = 14400L
+  private[graft] val KnnPolylinesRadiusM = 800000.0
 
   /** The FixturePolylines fixture as a polyline-table DataFrame anchored on
     * the nation parquet: (line_id, lats, lons). */
@@ -781,6 +782,14 @@ object SparkEntry {
       SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
         .select("id_a", "id_b")
     }),
+
+    // map matching: k nearest polylines within 800 km of each point,
+    // ranked per point by (distance, line_id)
+    "q_knn_polylines" -> ((s, dir) =>
+      SpatialJoin.nearestPolylinesJoin(points(s, dir), "o_orderkey", "lat", "lon",
+          polylineTable(s, dir), "line_id", "lats", "lons",
+          radiusM = KnnPolylinesRadiusM, k = 2)
+        .select(col("line_id"), col("o_orderkey"), col("rank"))),
 
     // which routes properly cross: shared-covering-cell candidates at
     // level 5, pair dedup, exact robust-crossing refine over edge pairs
@@ -1616,6 +1625,30 @@ object SparkEntry {
          |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
          |WHERE $d <= 500000.0""".stripMargin
+    },
+
+    // per-line distance = min over the chain's edges of the kernel-
+    // transcribed distance CASE; rank per point by (dist, line_id) —
+    // KnnPolylinesSpec pins radius-boundary and pairwise rank margins
+    "q_knn_polylines" -> {
+      val branches = FixturePolylines.map { case (k, verts) =>
+        val pts = verts.map { case (la, lo) => graft.s2.S2LatLng.fromDegrees(la, lo).toPoint }
+        val edges = pts.indices.dropRight(1).map(i => edgeDistSql(pts(i), pts(i + 1)))
+        s"""SELECT o_orderkey, CAST($k AS BIGINT) AS line_id,
+           | least(${edges.mkString(",\n  ")}) * 6367000.0 AS dist
+           |FROM xyz""".stripMargin
+      }
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |xyz AS (SELECT o_orderkey,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts),
+         |d AS (${branches.mkString("\nUNION ALL\n")})
+         |SELECT line_id, o_orderkey, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT line_id, o_orderkey,
+         |    row_number() OVER (PARTITION BY o_orderkey ORDER BY dist, line_id) AS rnk
+         |  FROM d WHERE dist <= $KnnPolylinesRadiusM) t
+         |WHERE rnk <= 2""".stripMargin
     },
 
     // proper spherical crossing from first principles: the kernel's

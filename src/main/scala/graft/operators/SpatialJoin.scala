@@ -287,6 +287,36 @@ object SpatialJoin {
       .select("id_a", "id_b")
   }
 
+  /** k nearest POLYLINES within `radiusM` of each point — map matching:
+    * "which roads could this image have been taken from". Candidate
+    * generation is [[polylineDistanceJoin]]'s (chain covering ∪ neighbor
+    * rings at the radius-derived level vs the point's single cell, complete
+    * by the min-width adjacency argument); ranking is a per-point window
+    * over the radius-bounded candidate set, ordered (distance, line id)
+    * for determinism.
+    *
+    * @return point columns + `line_id`, `distance_m`, `rank` (1-based,
+    *         <= k), only for chains within `radiusM` */
+  def nearestPolylinesJoin(points: DataFrame, pointIdCol: String,
+                           latCol: String, lonCol: String,
+                           lines: DataFrame, idCol: String,
+                           latsCol: String, lonsCol: String,
+                           radiusM: Double, k: Int): DataFrame = {
+    require(k >= 1, s"nearestPolylinesJoin: k must be >= 1, got $k")
+    val reserved = Seq("__rank")
+    val collisions = (points.columns ++ lines.columns).filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"nearestPolylinesJoin: reserved column name(s) in input: ${collisions.mkString(", ")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pointIdCol)).orderBy(col("distance_m"), col("line_id"))
+    polylineDistanceJoin(points, latCol, lonCol,
+        lines, idCol, latsCol, lonsCol, radiusM)
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .withColumn("rank", col("__rank"))
+      .drop("__rank")
+  }
+
   /** Polyline crossing SELF-join over a TABLE of chains — "which routes
     * cross each other", the polyline row of the geometry-join matrix.
     * Candidates follow [[loopIntersectJoin]]'s argument specialized to
