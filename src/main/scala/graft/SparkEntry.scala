@@ -809,6 +809,18 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    // the stream-stream join twin over the SAME batch input (the watermark
+    // node is eliminated on batch; the event-time range condition replaces
+    // the ±1 time-bucket explode) — identical semantics, identical oracle
+    "q_st_join_stream" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      graft.streaming.EventStreams.spatioTemporalPairs(pts, "event_id", "ts",
+          "lat", "lon", radiusM = StJoinRadiusM, windowSec = StJoinWindowSec)
+        .select("id_a", "id_b")
+    }),
+
     // density clustering (DBSCAN, exact): eps-graph from the bucketed
     // distance self-join, cores by degree, clusters = min-label connected
     // components of the core-core graph, borders -> min core-neighbor
@@ -1421,6 +1433,19 @@ object SparkEntry {
 
   /** Recursive-CTE connected components over the >= `minJ` trigram-jaccard
     * pair graph, ending in a `cc(doc_id, cluster_id)` CTE. */
+  /** Brute-force spatio-temporal pairs: all-pairs haversine + exact
+    * integer-microsecond time-window predicate. Shared by q_st_join and
+    * its stream-stream twin q_st_join_stream. */
+  private lazy val StJoinOracleSql: String = {
+    val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+    s"""WITH pts AS (SELECT event_id AS id, epoch_us(ts) AS tus,
+       |  ${latSqlFor("event_id")} AS lat, ${lonSqlFor("event_id")} AS lon FROM events)
+       |SELECT a.id AS id_a, b.id AS id_b
+       |FROM pts a JOIN pts b ON a.id < b.id
+       |WHERE abs(a.tus - b.tus) <= ${StJoinWindowSec * 1000000L}
+       |  AND $d <= $StJoinRadiusM""".stripMargin
+  }
+
   private def ccCte(minJ: Double): String =
     s"""p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM tri a JOIN tri b ON a.doc_id < b.doc_id
@@ -1681,15 +1706,10 @@ object SparkEntry {
 
     // brute-force spatio-temporal pairs: all-pairs haversine + exact
     // integer-microsecond time-window predicate
-    "q_st_join" -> {
-      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
-      s"""WITH pts AS (SELECT event_id AS id, epoch_us(ts) AS tus,
-         |  ${latSqlFor("event_id")} AS lat, ${lonSqlFor("event_id")} AS lon FROM events)
-         |SELECT a.id AS id_a, b.id AS id_b
-         |FROM pts a JOIN pts b ON a.id < b.id
-         |WHERE abs(a.tus - b.tus) <= ${StJoinWindowSec * 1000000L}
-         |  AND $d <= $StJoinRadiusM""".stripMargin
-    },
+    "q_st_join" -> StJoinOracleSql,
+
+    // the streaming twin has identical semantics, so the identical oracle
+    "q_st_join_stream" -> StJoinOracleSql,
 
     // brute-force DBSCAN from first principles: all-pairs eps-graph, degree
     // cores (count includes the point itself), recursive-CTE components of

@@ -49,6 +49,53 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("tile_token"), col("n"))
   }
 
+  /** Streaming spatio-temporal co-occurrence: the stream-stream SELF-join
+    * twin of [[graft.operators.SpatialJoin.spatioTemporalJoin]] — pairs of
+    * events within `radiusM` meters AND `windowSec` seconds, discovered
+    * across micro-batches. The spatial dimension is the same cell∪neighbor
+    * explode-vs-single-cell equi-key (each qualifying pair matches exactly
+    * once); the temporal dimension is a native event-time RANGE condition,
+    * which is exactly what Structured Streaming needs to bound join state:
+    * with both sides watermarked, rows older than watermark + window are
+    * evicted. Works identically on a batch DataFrame (the watermark node is
+    * eliminated, the range becomes a plain theta conjunct on the
+    * cell-bucket hash join).
+    *
+    * @return (id_a, id_b, distance_m) with id_a < id_b */
+  def spatioTemporalPairs(events: DataFrame, idCol: String, tsCol: String,
+                          latCol: String, lonCol: String,
+                          radiusM: Double, windowSec: Long,
+                          watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.functions.s2functions._
+    import graft.s2.{S2LatLng, S2Projections}
+    val angle = radiusM / S2LatLng.EarthRadiusMeters
+    require(angle > 0 && angle <= S2Projections.MinWidth.getValue(0),
+      s"spatioTemporalPairs radius $radiusM m exceeds the level-0 adjacency guarantee")
+    require(windowSec >= 1, s"spatioTemporalPairs: windowSec must be >= 1, got $windowSec")
+    val level = S2Projections.MinWidth.getMaxLevel(angle)
+    val marked = events
+      .select(col(idCol), col(tsCol).cast("timestamp").as("__ts"),
+        col(latCol), col(lonCol))
+      .withColumn("__cell", s2_tile(col(latCol), col(lonCol), level))
+      .withWatermark("__ts", watermarkDelay)
+    val a = marked.select(col(idCol).as("id_a"), col("__ts").as("__tsa"),
+      col(latCol).as("__lata"), col(lonCol).as("__lona"),
+      explode(array_union(array(col("__cell")),
+        s2_all_neighbors(col("__cell"), level))).as("__bcella"))
+    val b = marked.select(col(idCol).as("id_b"), col("__ts").as("__tsb"),
+      col(latCol).as("__latb"), col(lonCol).as("__lonb"),
+      col("__cell").as("__bcellb"))
+    a.join(b,
+        col("__bcella") === col("__bcellb") &&
+          col("__tsb") >= col("__tsa") - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("__tsb") <= col("__tsa") + expr(s"INTERVAL $windowSec SECONDS"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("distance_m",
+        s2_distance_m(col("__lata"), col("__lona"), col("__latb"), col("__lonb")))
+      .where(col("distance_m") <= radiusM)
+      .select("id_a", "id_b", "distance_m")
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
