@@ -885,6 +885,21 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    // decontamination: corpus docs sharing any verbatim >= 4-token span
+    // with the eval set (doc_id % 25 == 0 plays the benchmark suite);
+    // asymmetric fingerprint probe — the corpus is never self-paired.
+    // n = 4 (not the production-default 8) because the synthetic corpus
+    // draws from a ~40-word vocabulary, where 4-gram overlap plays the
+    // role 8-13-gram overlap plays on real text
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 25 =!= 0),
+        docs.where(col("doc_id") % 25 === 0),
+        "doc_id", "text", n = 4)
+        .select("doc_id", "eval_id")
+    }),
+
     // duplicate clusters: connected components over the verified near-dup
     // pair graph; cluster_id = canonical (minimum) doc id per component
     "q_dup_clusters" -> ((s, dir) =>
@@ -1170,6 +1185,12 @@ object SparkEntry {
         .select(col("doc_id"),
           length(col("text")).as("n_chars_m"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    // within-doc repetition signals (Gopher-rules family): integer
+    // token/bigram multiplicity counts — pure per-row expressions, no
+    // shuffle; the repetitive-doc ratios derive from these exactly
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(documents(s, dir), "doc_id", "text")),
 
     "q_lang_agg" -> ((s, dir) =>
       documents(s, dir).groupBy("lang").agg(count(lit(1)).as("cnt")).orderBy("lang")),
@@ -1776,6 +1797,19 @@ object SparkEntry {
          |WHERE $TriJaccard >= 0.9
          |  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)""".stripMargin,
 
+    // decontamination == the substring-overlap pair set restricted to
+    // (corpus doc, eval doc) pairs; same null-filtered token-window gram
+    // construction as q_substring_dups
+    "q_decontaminate" -> {
+      val win = (0 until 4).map(j => s"toks[i+$j]").mkString("[", ", ", "]")
+      s"""WITH docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+         |og AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+         |  i -> array_to_string(list_filter($win, t -> t IS NOT NULL), ' '))) AS g FROM docs)
+         |SELECT d.doc_id, e.doc_id AS eval_id
+         |FROM og d JOIN og e ON d.doc_id % 25 <> 0 AND e.doc_id % 25 = 0
+         |WHERE len(list_intersect(d.g, e.g)) > 0""".stripMargin
+    },
+
     // connected components in SQL: reachability closure via a recursive CTE
     // over the symmetrized true-trigram-jaccard pair graph, then min
     // reachable id per source — exactly the engine's min-label fixpoint
@@ -2141,6 +2175,22 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,
         | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+
+    // repetition signals mirrored with DuckDB list functions; the engine's
+    // "one short gram for sub-2-token docs" rule does NOT apply to bigrams
+    // here (n_bigrams is 0 for 0/1-token docs on both sides)
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2
+        |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |  ELSE CAST([] AS VARCHAR[]) END AS big FROM t)
+        |SELECT doc_id,
+        | CAST(len(toks) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+        | CAST(len(big) AS INTEGER) AS n_bigrams,
+        | CAST(len(list_distinct(big)) AS INTEGER) AS n_distinct_bigrams,
+        | CAST(coalesce(list_max(list_transform(list_distinct(big), x -> len(list_filter(big, y -> y = x)))), 0) AS INTEGER) AS top_bigram_count
+        |FROM b""".stripMargin,
 
     "q_lang_agg" -> "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
 

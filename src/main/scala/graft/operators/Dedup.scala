@@ -399,6 +399,55 @@ object Dedup {
     expandPairs(verified, members, Seq.empty)
   }
 
+  /** Decontamination: corpus documents sharing any verbatim >= n-token
+    * span with ANY document of an evaluation set — the test-set-overlap
+    * removal step a training pipeline runs before training (C4/GPT-3
+    * style n-gram overlap). Asymmetric [[substringDups]]: the eval side
+    * is tiny relative to the corpus (thousands of benchmark docs vs
+    * billions of pages), so its fingerprint set BROADCASTS and the corpus
+    * is never self-paired — candidate generation is one equi-join of
+    * corpus n-gram fingerprints (8-byte xxhash64 rows, never gram text)
+    * against the broadcast eval fingerprints, and exact verification
+    * (n-gram set intersection on the true grams, killing the ~2^-64
+    * fingerprint collisions) touches only candidate (doc, eval) pairs.
+    * Exact-dup collapse applies to the corpus first, so a million
+    * identical pages probe once; the bucket cap (stage "decontaminate" in
+    * [[droppedBucketRows]]) guards against boilerplate spans shared by
+    * everything. Output: (idCol, eval_id) — one row per contaminated
+    * (corpus doc, eval doc) pair, expanded back to all exact-dup members.
+    * Both inputs use `idCol`/`textCol`; eval ids surface as `eval_id`. */
+  def decontaminate(docs: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
+    val (reps, members) = collapseExact(docs, idCol, textCol)
+    val docGrams = shingles(reps, idCol, textCol, n)
+    val evalGrams = shingles(evalSet, idCol, textCol, n)
+      .select(col(idCol).as("eval_id"), col("shingle"))
+    val banded = docGrams.select(col(idCol), lit(0).as("band"),
+      xxhash64(col("shingle")).as("bucket"))
+    val capped = capBuckets(banded, maxBucketSize, "decontaminate", idCol)
+    val evalFp = evalGrams.select(col("eval_id"), lit(0).as("band"),
+      xxhash64(col("shingle")).as("bucket")).distinct()
+    val cand = capped.select(col(idCol), col("band"), col("bucket"))
+      .join(broadcast(evalFp), Seq("band", "bucket"))
+      .select(col(idCol), col("eval_id")).distinct()
+    // exact verification on candidates only: corpus gram sets are built
+    // just for docs that hit an eval fingerprint (semi-join), eval gram
+    // sets are small by assumption
+    val docSets = docGrams
+      .join(cand.select(idCol).distinct(), Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__gd"))
+    val evalSets = evalGrams.groupBy(col("eval_id"))
+      .agg(collect_set(col("shingle")).as("__ge"))
+    val verified = cand
+      .join(docSets, Seq(idCol))
+      .join(broadcast(evalSets), Seq("eval_id"))
+      .where(size(array_intersect(col("__gd"), col("__ge"))) > 0)
+      .select(col(idCol), col("eval_id"))
+    verified
+      .join(members.select(col("__rep").as(idCol), col("__id")), Seq(idCol))
+      .select(col("__id").as(idCol), col("eval_id"))
+  }
+
   // --- incremental (batch-vs-corpus) dedup --------------------------------
 
   /** Banded MinHash signature layout (id, signature, band, bucket) in the

@@ -72,6 +72,38 @@ object TextAnalysis {
       round(meanWordLen, 6).as("mean_word_len"), round(score, 6).as("quality"))
   }
 
+  /** Within-document repetition signals (the Gopher-rules family): token
+    * and word-bigram multiplicity counts that catch degenerate generative
+    * loops and boilerplate ("batch batch batch ..."), emitted as INTEGERS
+    * so downstream thresholds — and the DuckDB oracle — are exact, with no
+    * float fraction to disagree on rounding. `top_bigram_count` is the
+    * multiplicity of the most frequent bigram (the Gopher "top-2-gram
+    * fraction" numerator); a doc is repetitive when
+    * `top_bigram_count / n_bigrams` or `1 - n_distinct_tokens / n_tokens`
+    * is high, and both ratios derive from these integers.
+    *
+    * Shape at scale: pure per-row column expressions over the scan — zero
+    * shuffles, embarrassingly parallel. The top-bigram fold is
+    * O(distinct-bigrams × bigrams) per row; post-curation documents are
+    * length-bounded, so the quadratic term is a constant, and a
+    * pathological single row costs only its own task time. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val nTok = size(toks)
+    val big = when(nTok >= 2,
+      transform(sequence(lit(1), nTok - 1), i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val topBigram = coalesce(
+      array_max(transform(array_distinct(big), x => size(filter(big, y => y === x)))),
+      lit(0))
+    df.select(col(idCol),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(big).as("n_bigrams"),
+      size(array_distinct(big)).as("n_distinct_bigrams"),
+      topBigram.as("top_bigram_count"))
+  }
+
   /** Document fingerprint: a stable 64-bit hash of the
     * whitespace-normalized lowercased text (rolling-hash analogue). */
   def fingerprint(text: Column): Column =
