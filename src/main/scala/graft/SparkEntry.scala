@@ -337,6 +337,42 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** First-match region label in rectBounds order, else 'none' — the SQL
+    * twin of Trajectories.regionLabel (same order rule, same wrap-aware
+    * rect predicate). */
+  private lazy val RegionLabelCaseSql = {
+    val whens = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
+      s"WHEN ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)} THEN '$rid'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'none' END"
+  }
+
+  private lazy val OdFlowsOracleSql = {
+    val evLat = latSqlFor("event_id")
+    val evLon = lonSqlFor("event_id")
+    s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events),
+       |lab AS (SELECT user_id, ts, event_id, $RegionLabelCaseSql AS region FROM p),
+       |f AS (SELECT region, lag(region) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM lab)
+       |SELECT prev AS from_region, region AS to_region, count(*) AS n_trips
+       |FROM f WHERE prev IS NOT NULL AND prev <> region
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  private lazy val DwellOracleSql = {
+    val evLat = latSqlFor("event_id")
+    val evLon = lonSqlFor("event_id")
+    s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events),
+       |lab AS (SELECT user_id, ts, event_id, $RegionLabelCaseSql AS region FROM p),
+       |d AS (SELECT *, CASE WHEN region IS DISTINCT FROM lag(region)
+       |  OVER (PARTITION BY user_id ORDER BY ts, event_id) THEN 1 ELSE 0 END AS chg FROM lab),
+       |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |  ROWS UNBOUNDED PRECEDING) AS island FROM d)
+       |SELECT user_id, min(region) AS region_id, min(event_id) AS enter_order,
+       | count(*) AS n_points, epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_micros
+       |FROM i GROUP BY user_id, island
+       |HAVING min(region) <> 'none'""".stripMargin
+  }
+
   /** Shared oracle of q_pip_circle and q_pip_circle_sql: exact haversine
     * radius test with the 50 m exclusion band both engine paths apply. */
   private lazy val CircleOracleSql = {
@@ -459,6 +495,27 @@ object SparkEntry {
         .withColumn("lon", expr(lonSqlFor("event_id")))
       Geofence.transitions(pts, "user_id", "ts", "event_id", "lat", "lon", rectRegions)
         .select("user_id", "event_id", "region_id", "transition")
+    }),
+
+    // origin-destination flow matrix: consecutive-observation region
+    // transitions (incl. to/from the implicit 'none' region), counted —
+    // label per row against broadcast regions, one lag window, tiny agg
+    "q_od_flows" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.odFlows(pts, "user_id", "ts", "event_id", "lat", "lon", rectRegions)
+        .select("from_region", "to_region", "n_trips")
+    }),
+
+    // visit episodes (gaps-and-islands): maximal same-region runs per
+    // entity with first event id, point count, and exact integer-µs dwell
+    "q_dwell" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.visitEpisodes(pts, "user_id", "ts", "event_id", "lat", "lon", rectRegions)
+        .select("user_id", "region_id", "enter_order", "n_points", "dwell_micros")
     }),
 
     // the stateful streaming geofence run over the SAME batch input (like
@@ -1528,6 +1585,11 @@ object SparkEntry {
     // per-region lag SQL over (user, ts, event_id) order — boundary-safe
     // because the rect bounds sit on .005 offsets no derived point hits
     "q_geofence" -> GeofenceOracleSql,
+
+    // OD flows / dwell episodes: first-match label CASE + lag windows in
+    // SQL, integer-exact counts and µs dwell on both sides
+    "q_od_flows" -> OdFlowsOracleSql,
+    "q_dwell" -> DwellOracleSql,
 
     // same answer through the stateful streaming operator's batch mode
     "q_geofence_stream" -> GeofenceOracleSql,

@@ -54,6 +54,88 @@ object Trajectories {
       .select(col("region_id"), col(idCol))
       .distinct()
 
+  /** Single region label per point: the FIRST region (in `regions` order)
+    * containing it, else "none" — exact kernel membership against the
+    * broadcast region list, one closure call per row (same shape as
+    * [[Geofence.transitions]]; regions are assumed ~disjoint, the order
+    * rule makes overlaps deterministic). */
+  private def regionLabel(latCol: String, lonCol: String,
+                          regions: Seq[(String, S2Region)]): Column = {
+    val regs = regions
+    val labelUdf = udf { (lat: Double, lon: Double) =>
+      regs.collectFirst {
+        case (rid, r) if SpatialJoin.regionContains(r, lat, lon) => rid
+      }.getOrElse("none")
+    }
+    labelUdf(col(latCol), col(lonCol))
+  }
+
+  /** Origin-destination flow matrix: how many consecutive-observation
+    * transitions moved entities from one region to another (including to
+    * and from the implicit "none" outside-everything region). The mobility
+    * aggregate behind flow maps and demand matrices. Distributed shape:
+    * per-row broadcast region labeling (no join), ONE shuffle by entity
+    * for the lag window, then a partially-aggregated groupBy over at most
+    * (|regions|+1)^2 keys — the final exchange moves a handful of rows. */
+  def odFlows(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
+              latCol: String, lonCol: String,
+              regions: Seq[(String, S2Region)]): DataFrame = {
+    require(regions.nonEmpty)
+    val reserved = Seq("__region", "__prev", "from_region", "to_region", "n_trips")
+    val clash = points.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"odFlows reserves ${reserved.mkString(", ")}; rename: " +
+      clash.mkString(", "))
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(orderCol))
+    points
+      .withColumn("__region", regionLabel(latCol, lonCol, regions))
+      .withColumn("__prev", lag(col("__region"), 1).over(w))
+      .where(col("__prev").isNotNull && col("__prev") =!= col("__region"))
+      .groupBy(col("__prev").as("from_region"), col("__region").as("to_region"))
+      .agg(count(lit(1)).as("n_trips"))
+  }
+
+  /** Contiguous same-region visit episodes per entity (gaps-and-islands):
+    * one row per maximal run of consecutive observations labeled with the
+    * same named region, with the run's first order value, point count and
+    * dwell time in INTEGER microseconds (exact on both engine and oracle
+    * sides; a 1-point episode dwells 0). "none" runs are dropped after the
+    * window pass — outside-time never surfaces as an episode. Distributed
+    * shape: ONE shuffle by entity shared by both window passes (lag flag +
+    * running island sum over the same (entity, ts, order) sort), then a
+    * partially-aggregated groupBy on (entity, island) — episode rows, not
+    * point rows, cross the second exchange. */
+  def visitEpisodes(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                    latCol: String, lonCol: String,
+                    regions: Seq[(String, S2Region)],
+                    minPoints: Int = 1, minDwellMicros: Long = 0L): DataFrame = {
+    require(regions.nonEmpty)
+    val reserved = Seq("__region", "__chg", "__island", "region_id", "enter_order",
+      "n_points", "dwell_micros")
+    val clash = points.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"visitEpisodes reserves ${reserved.mkString(", ")}; rename: " +
+      clash.mkString(", "))
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(orderCol))
+    points
+      .withColumn("__region", regionLabel(latCol, lonCol, regions))
+      .withColumn("__chg",
+        when(lag(col("__region"), 1).over(w).isNull ||
+          lag(col("__region"), 1).over(w) =!= col("__region"), 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(
+        min(col("__region")).as("region_id"), // constant within an island
+        min(col(orderCol)).as("enter_order"),
+        count(lit(1)).as("n_points"),
+        // cast: NTZ-typed inputs; dwell is a difference, so the zone
+        // attached by the cast cancels exactly
+        (max(unix_micros(col(tsCol).cast("timestamp"))) -
+          min(unix_micros(col(tsCol).cast("timestamp")))).as("dwell_micros"))
+      .where(col("region_id") =!= "none" &&
+        col("n_points") >= minPoints && col("dwell_micros") >= minDwellMicros)
+      .drop("__island")
+  }
+
   /** Earth radius used by s2_distance_m (G12) — tolerances in meters
     * convert to radians against the same sphere. */
   private val EarthRadiusM = 6367000.0

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Trajectories
+import graft.s2.{R1Interval, S1Interval, S2LatLngRect, S2Region}
+
+/** OD flows + visit episodes: brute-force equivalence on hand-built tracks
+  * (region hops, none-gaps, 1-point episodes, first-match overlap rule). */
+class MobilitySpec extends SparkTestBase {
+
+  private def rect(latLo: Double, latHi: Double, lonLo: Double, lonHi: Double): S2Region =
+    S2LatLngRect(
+      R1Interval(math.toRadians(latLo), math.toRadians(latHi)),
+      S1Interval(math.toRadians(lonLo), math.toRadians(lonHi)))
+
+  // a and b overlap on lat 8-12 / lon 8-12: the first-match rule must pick a
+  private val regions: Seq[(String, S2Region)] = Seq(
+    "a" -> rect(0, 12, 0, 12),
+    "b" -> rect(8, 20, 8, 20))
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  // (user, minute, order, lat, lon) -> label by brute force
+  private val track = Seq(
+    (1L, 0, 10L, 5.0, 5.0),    // a
+    (1L, 1, 11L, 6.0, 6.0),    // a   (same island)
+    (1L, 2, 12L, 10.0, 10.0),  // a   (overlap zone: first match wins)
+    (1L, 3, 13L, 15.0, 15.0),  // b
+    (1L, 4, 14L, 50.0, 50.0),  // none
+    (1L, 5, 15L, 16.0, 16.0),  // b   (1-point episode after a none gap)
+    (2L, 0, 20L, 55.0, 55.0),  // none (entity entirely outside)
+    (2L, 1, 21L, 56.0, 56.0),  // none
+    (3L, 0, 30L, 1.0, 1.0)     // a   (single-observation entity)
+  )
+
+  private def df = {
+    import spark.implicits._
+    track.map { case (u, m, o, la, lo) => (u, ts(m), o, la, lo) }
+      .toDF("user_id", "ts", "event_id", "lat", "lon")
+  }
+
+  test("odFlows == brute-force consecutive-label transitions") {
+    val got = Trajectories.odFlows(df, "user_id", "ts", "event_id", "lat", "lon", regions)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // user 1: a->b, b->none, none->b; users 2 and 3 contribute nothing
+    assert(got === Map(("a", "b") -> 1L, ("b", "none") -> 1L, ("none", "b") -> 1L))
+  }
+
+  test("visitEpisodes == brute-force islands with exact integer-µs dwell") {
+    val got = Trajectories.visitEpisodes(df, "user_id", "ts", "event_id", "lat", "lon", regions)
+      .select("user_id", "region_id", "enter_order", "n_points", "dwell_micros")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set(
+      (1L, "a", 10L, 3L, 120000000L), // minutes 0-2 incl. the overlap point
+      (1L, "b", 13L, 1L, 0L),
+      (1L, "b", 15L, 1L, 0L),         // separate episode: a none row splits the runs
+      (3L, "a", 30L, 1L, 0L)))        // user 2 (all none) absent entirely
+  }
+
+  test("minPoints / minDwellMicros filters") {
+    val episodes = Trajectories.visitEpisodes(
+      df, "user_id", "ts", "event_id", "lat", "lon", regions, minPoints = 2)
+      .collect()
+    assert(episodes.length === 1 && episodes.head.getAs[Long]("n_points") === 3L)
+    val dwellFiltered = Trajectories.visitEpisodes(
+      df, "user_id", "ts", "event_id", "lat", "lon", regions, minDwellMicros = 1L)
+      .collect()
+    assert(dwellFiltered.length === 1)
+  }
+
+  test("reserved-name collision is rejected loudly") {
+    val bad = df.withColumnRenamed("lat", "region_id")
+    intercept[IllegalArgumentException] {
+      Trajectories.visitEpisodes(bad, "user_id", "ts", "event_id", "region_id", "lon", regions)
+    }
+  }
+}
