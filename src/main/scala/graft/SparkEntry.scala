@@ -1297,6 +1297,30 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    // cross-modal caption consistency: among caption-sharing images, split
+    // true re-posts (near-identical pixels) from caption collisions with
+    // divergent pixels. Planted structure: every 30th image gets a
+    // byte-identical re-post (same caption, id + 2*10^8); every 45th gets
+    // a FRESH unrelated raster wearing its caption (id + 3*10^8) — exact
+    // oracle because captions embed the unique image id (no natural
+    // caption groups) and unrelated 16x16 renders sit ~32 dhash bits
+    // apart (CaptionConsistencySpec asserts the planted rasters clear the
+    // <= 3-bit line with margin)
+    "q_caption_consistency" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val key = col("p_partkey")
+      val reposts = images.where(key % 30 === 0)
+        .withColumn("p_partkey", key + 200000000L)
+      val base = images.where(key % 45 === 0)
+      val mislabeled = ImagePayload.synthesize(
+          base.select((key + 300000000L).as("p_partkey")), "p_partkey")
+        .drop("caption")
+        .join(base.select((key + 300000000L).as("p_partkey"), col("caption")), "p_partkey")
+      ImagePayload.captionConsistency(
+        images.unionByName(reposts).unionByName(mislabeled), "p_partkey")
+        .select("id_a", "id_b", "same_image")
+    }),
+
     // real WAV decode (javax.sound, zero external codecs): container parse,
     // PCM decode, exact-sample equality and feature sanity must hold for
     // every row — any failure drops rows vs the all-parts oracle
@@ -2301,6 +2325,17 @@ object SparkEntry {
     "q_image_neardup" ->
       """SELECT p_partkey AS id_a, p_partkey + 100000000 AS id_b
         |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
+
+    // planted caption groups: {orig, re-post} pairs are same_image, any
+    // pair involving the fresh-raster mislabel is not; keys % 90 carry
+    // all three members, hence the third branch
+    "q_caption_consistency" ->
+      """SELECT p_partkey AS id_a, p_partkey + 200000000 AS id_b, TRUE AS same_image
+        |FROM part WHERE p_partkey % 30 = 0
+        |UNION ALL
+        |SELECT p_partkey, p_partkey + 300000000, FALSE FROM part WHERE p_partkey % 45 = 0
+        |UNION ALL
+        |SELECT p_partkey + 200000000, p_partkey + 300000000, FALSE FROM part WHERE p_partkey % 90 = 0""".stripMargin,
 
     "q_image_tile_join" -> {
       val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>

@@ -131,8 +131,8 @@ object Dedup {
     * the residual-skew guard behind the exact-dup collapse. Dropped-row
     * counts surface through [[droppedBucketRows]] (and the Spark UI, via
     * the named accumulator) so caps never silence data loss. */
-  private def capBuckets(banded: DataFrame, maxBucketSize: Int, stage: String,
-                         idCol: String): DataFrame =
+  private[operators] def capBuckets(banded: DataFrame, maxBucketSize: Int, stage: String,
+                                    idCol: String): DataFrame =
     if (maxBucketSize == Int.MaxValue) banded
     else {
       val acc = banded.sparkSession.sparkContext

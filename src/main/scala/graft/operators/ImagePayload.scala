@@ -266,6 +266,35 @@ object ImagePayload {
   def featureGate(images: DataFrame): DataFrame =
     images.withColumn("features_ok", featureGateUdf(col("bytes")))
 
+  /** Cross-modal caption-consistency join: among images sharing a caption,
+    * split true RE-POSTS (near-identical pixels, dhash hamming <=
+    * maxHamming) from caption collisions with DIVERGENT pixels (stale or
+    * stolen captions — the rows a caption-supervised training set must
+    * drop or re-caption). Output: (id_a, id_b, same_image) for every pair
+    * within a caption group, id_a < id_b.
+    *
+    * Shape at scale: one decode pass for the dhash, then only
+    * (id, caption-hash, dhash) rows shuffle — bytes never move; the
+    * within-caption pair expansion is guarded by the same capped-bucket
+    * discipline as the text LSH joins (stage "caption" in
+    * [[Dedup.droppedBucketRows]] — a viral caption shared by 10^6 posts
+    * is dropped loudly, not exploded quadratically). Undecodable images
+    * (null dhash) are excluded. */
+  def captionConsistency(images: DataFrame, idCol: String,
+                         maxHamming: Int = 3, maxGroupSize: Int = 10000): DataFrame = {
+    val keyed = withPerceptualHash(images)
+      .select(col(idCol), lit(0).as("band"), xxhash64(col("caption")).as("bucket"),
+        col("dhash"))
+      .where(col("dhash").isNotNull)
+    val capped = Dedup.capBuckets(keyed, maxGroupSize, "caption", idCol)
+    capped.select(col(idCol).as("id_a"), col("band"), col("bucket"), col("dhash").as("__da"))
+      .join(capped.select(col(idCol).as("id_b"), col("band"), col("bucket"),
+        col("dhash").as("__db")), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(__da ^ __db)") <= maxHamming).as("same_image"))
+  }
+
   /** Per-row payload verification: decoded-pixel PSNR >= 40 dB and caption
     * equality vs the synthesis rule (`BASELINE.json.input_hint`). */
   def verifyPayload(images: DataFrame, keyCol: String): DataFrame = {
