@@ -531,6 +531,19 @@ object SparkEntry {
           col("region_id"), col("transition"))
     }),
 
+    // the stateful streaming region-hop feed aggregated into the SAME OD
+    // flow matrix (batch-mode run of the flatMapGroupsWithState operator,
+    // like q_geofence_stream) — identical semantics, identical oracle
+    "q_od_flows_stream" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      graft.streaming.EventStreams
+        .regionHops(pts, "user_id", "ts", "event_id", "lat", "lon", rectRegions)
+        .groupBy("from_region", "to_region")
+        .agg(count(lit(1)).as("n_trips"))
+    }),
+
     // multi-level tile pyramid in ONE pass (ancestor-chain explode + one
     // partial-combined aggregation); derived oracle exactly like
     // q_tile_counts, per level: every point lands in exactly one valid
@@ -1613,6 +1626,7 @@ object SparkEntry {
     // OD flows / dwell episodes: first-match label CASE + lag windows in
     // SQL, integer-exact counts and µs dwell on both sides
     "q_od_flows" -> OdFlowsOracleSql,
+    "q_od_flows_stream" -> OdFlowsOracleSql,
     "q_dwell" -> DwellOracleSql,
 
     // same answer through the stateful streaming operator's batch mode

@@ -175,6 +175,77 @@ object EventStreams {
 
   final case class TrackPoint(entity_id: Long, ts: Timestamp, order: Long, flags: Seq[Boolean])
 
+  final case class LabelPoint(entity_id: Long, ts: Timestamp, order: Long, region: String)
+
+  final case class HopState(lastTs: Long, lastOrder: Long, region: String)
+
+  final case class RegionHop(entity_id: Long, order: Long,
+                             from_region: String, to_region: String)
+
+  /** Streaming region hops — the per-transition feed the OD flow matrix
+    * aggregates: one row per consecutive-observation region change
+    * (including to/from the implicit "none" label), with per-entity
+    * last-region state carried ACROSS micro-batches (the batch twin is
+    * [[graft.operators.Trajectories.odFlows]] before its final groupBy).
+    * Same state discipline as [[geofenceTransitions]]: event-time TTL
+    * eviction bounds state by active entities, stale arrivals behind the
+    * emitted frontier are dropped, first sighting emits nothing (prior
+    * region unknown). Works identically on a finite batch input. */
+  def regionHops(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                 latCol: String, lonCol: String,
+                 regions: Seq[(String, graft.s2.S2Region)],
+                 watermarkDelay: String = "10 minutes",
+                 idleTtlMillis: Long = 24 * 3600 * 1000L): Dataset[RegionHop] = {
+    require(regions.nonEmpty)
+    val spark0 = points.sparkSession
+    import spark0.implicits._
+
+    val regs = regions
+    val labelUdf = udf { (lat: Double, lon: Double) =>
+      regs.collectFirst {
+        case (rid, r) if graft.operators.SpatialJoin.regionContains(r, lat, lon) => rid
+      }.getOrElse("none")
+    }
+    val isStream = points.isStreaming
+    val src0 = points.select(
+      col(idCol).cast("long").as("entity_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(orderCol).cast("long").as("order"),
+      labelUdf(col(latCol), col(lonCol)).as("region"))
+    val src = (if (isStream) src0.withWatermark("ts", watermarkDelay) else src0).as[LabelPoint]
+
+    src
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[HopState, RegionHop](
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()) {
+        case (entityId, rows, state: GroupState[HopState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.order))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[RegionHop]
+            for (p <- sorted) {
+              val t = p.ts.getTime
+              val fresh = st == null || t > st.lastTs ||
+                (t == st.lastTs && p.order > st.lastOrder)
+              if (fresh) {
+                if (st != null && st.region != p.region)
+                  out += RegionHop(entityId, p.order, st.region, p.region)
+                st = HopState(t, p.order, p.region)
+              } // else: stale arrival behind the emitted frontier — dropped
+            }
+            if (isStream) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + idleTtlMillis)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
   final case class GeofenceState(lastTs: Long, lastOrder: Long, flags: Seq[Boolean])
 
   final case class GeofenceTransition(entity_id: Long, order: Long,

@@ -229,6 +229,77 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming regionHops aggregate to the batch OD flow matrix on an in-order feed") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def geo(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
+
+    val events = (0 until 300).map(i => Event(i.toLong, ts(i), i % 5, "move", 0.0))
+    val input = MemoryStream[Event]
+    input.addData(events.take(110): _*)
+    input.addData(events.slice(110, 220): _*)
+    input.addData(events.drop(220): _*)
+
+    val query = graft.streaming.EventStreams
+      .regionHops(geo(input.toDF()), "user_id", "ts", "event_id", "lat", "lon",
+        SparkEntryRegions.rects)
+      .writeStream.format("memory").queryName("region_hops")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT from_region, to_region, count(*) FROM region_hops GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val expected = graft.operators.Trajectories
+        .odFlows(geo(events.toDF()), "user_id", "ts", "event_id", "lat", "lon",
+          SparkEntryRegions.rects)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === expected)
+      assert(got.nonEmpty, "test data must actually hop between regions")
+    } finally query.stop()
+  }
+
+  test("regionHops state survives batch boundaries: the hop is discovered across the split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    import graft.s2.{R1Interval, S1Interval, S2LatLngRect}
+    def rect(latLo: Double, latHi: Double, lonLo: Double, lonHi: Double): graft.s2.S2Region =
+      S2LatLngRect(
+        R1Interval(math.toRadians(latLo), math.toRadians(latHi)),
+        S1Interval(math.toRadians(lonLo), math.toRadians(lonHi)))
+    val regions = Seq("a" -> rect(0, 10, 0, 10), "b" -> rect(40, 50, 40, 50))
+
+    import StreamingSpec.P
+    val input = MemoryStream[P]
+    val query = graft.streaming.EventStreams
+      .regionHops(input.toDF(), "user_id", "ts", "event_id", "lat", "lon", regions)
+      .writeStream.format("memory").queryName("hops_xbatch")
+      .outputMode("append").start()
+    try {
+      // batch 1 ends inside a; first sighting emits nothing
+      input.addData(P(1, ts(0), 1, 5.0, 5.0))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM hops_xbatch").count() == 0)
+      // batch 2 opens inside b: the a->b hop exists only across the boundary;
+      // a stale same-ts lower-order row outside everything must be dropped
+      input.addData(P(1, ts(1), 3, 45.0, 45.0), P(1, ts(0), 0, 80.0, 80.0))
+      query.processAllAvailable()
+      // batch 3: b -> none
+      input.addData(P(1, ts(2), 4, 80.0, 80.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT entity_id, order, from_region, to_region FROM hops_xbatch ORDER BY order")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+      assert(rows == Seq((1L, 3L, "a", "b"), (1L, 4L, "b", "none")), s"got $rows")
+    } finally query.stop()
+  }
+
   test("sessionizeBatch on the events table produces plausible sessions") {
     val df = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
     val sessions = EventStreams.sessionizeBatch(df)
