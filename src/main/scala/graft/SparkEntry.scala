@@ -1210,6 +1210,14 @@ object SparkEntry {
     // trains and assigns once (fixture); the measured query is the
     // partition-pruned probe (approximate by design -> rows-only here;
     // recall >= 0.9 vs brute force is pinned by EmbeddingRecallSpec)
+    // PQ ANN: asymmetric-distance shortlist over m-byte codes + exact
+    // re-rank — the compressed-scan member of the ANN family (rows-only
+    // here; recall >= 0.9 is EmbeddingRecallSpec-pinned like the others)
+    "q_ann_pq" -> ((s, dir) =>
+      Similarity.pqAnn(embeddings(s, dir), "vec_id", "embedding",
+        queryIds = 0L until 10L, k = 5)
+        .select("query_id", "neighbor_id", "rank")),
+
     "q_ann_ivf" -> ((s, dir) => {
       val idx = fixture(dir, "ivf_index") { p =>
         Similarity.buildIvfIndex(embeddings(s, dir), "vec_id", "embedding", p)

@@ -381,6 +381,145 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  // --- product quantization: m-subspace codes, ADC shortlist + exact re-rank ---
+
+  /** PQ codebook — `m` per-subspace k-means codebooks of `kc` centroids
+    * each (codebook(sub)(code) is a subDim-length centroid). Trained
+    * driver-side on a bounded sample (`trainLimit` rows collected once —
+    * ~5 MB at 20k rows × 64 floats), so training cost is independent of
+    * table size, the same bounded-sample contract as
+    * [[trainIvfCentroids]]. Deterministic: seeds are the first `kc`
+    * sample slices; empty cells keep their previous centroid. Requires
+    * dim % m == 0. */
+  def trainPqCodebook(embeddings: DataFrame, idCol: String, vecCol: String,
+                      m: Int = 8, kc: Int = 256, iters: Int = 5,
+                      trainLimit: Int = 20000): Array[Array[Array[Double]]] = {
+    val sample = embeddings.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(trainLimit)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "trainPqCodebook: empty input")
+    val dim = sample(0).length
+    require(dim % m == 0, s"trainPqCodebook: dim $dim not divisible by m $m")
+    val subDim = dim / m
+    Array.tabulate(m) { sub =>
+      val slices = sample.map(v => v.slice(sub * subDim, (sub + 1) * subDim))
+      var cents = slices.take(kc).map(_.clone())
+      require(cents.length == kc, s"trainPqCodebook: need >= $kc training rows")
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(kc)(Array.fill(subDim)(0.0))
+        val counts = Array.fill(kc)(0L)
+        for (s <- slices) {
+          val c = nearestSq(cents, s)
+          counts(c) += 1
+          var j = 0; while (j < subDim) { sums(c)(j) += s(j); j += 1 }
+        }
+        cents = Array.tabulate(kc) { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** Index of the nearest centroid by squared L2 distance. */
+  private def nearestSq(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val p = cents(c); var d = 0.0; var j = 0
+      while (j < p.length) { val t = v(j) - p(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ-encode every row: (idCol, codes array<int> of length m) — the
+    * m-bytes-per-row layout a 100-TB shortlist scan reads instead of the
+    * full float vectors (codebook broadcast in the closure). */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(codebook)
+    val enc = udf { v: Seq[Float] =>
+      val cb = bc.value
+      val subDim = cb(0)(0).length
+      Array.tabulate(cb.length) { sub =>
+        val s = Array.tabulate(subDim)(j => v(sub * subDim + j).toDouble)
+        nearestSq(cb(sub), s)
+      }
+    }
+    embeddings.select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /** PQ ANN with asymmetric-distance shortlist + exact re-rank: each query
+    * precomputes its per-subspace lookup table against the codebook
+    * DRIVER-side (m × kc dot products), so scoring a row during the
+    * shortlist scan is m table lookups over the row's codes — the scan
+    * never touches a float vector. The top `shortlistFactor × k` rows per
+    * query by ADC dot then join their true vectors back by id for the
+    * exact cosine re-rank (the standard IVF-PQ probe shape, minus the
+    * coarse quantizer [[ivfAnn]]/[[queryIvf]] already provide). Output:
+    * (query_id, neighbor_id, cosine, rank) like every ANN path here.
+    *
+    * Shape at scale: the shortlist scan reads (id, m small ints) only;
+    * LUTs broadcast with the query set; exactly shortlistFactor × k rows
+    * per query re-read vectors via an id equi-join. Recall is governed by
+    * shortlistFactor (EmbeddingRecallSpec pins >= 0.9 on the harness
+    * embeddings). */
+  def pqAnn(embeddings: DataFrame, idCol: String, vecCol: String,
+            queryIds: Seq[Long], k: Int,
+            m: Int = 8, kc: Int = 256, shortlistFactor: Int = 10,
+            codebookOpt: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val codebook = codebookOpt.getOrElse(
+      trainPqCodebook(embeddings, idCol, vecCol, m, kc))
+    val subDim = codebook(0)(0).length
+    val codes = pqEncode(embeddings, idCol, vecCol, codebook)
+    // per-query LUT: lut(sub)(code) = dot(query slice, centroid)
+    val qRows = embeddings.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { case (qid, v) =>
+      qid -> Array.tabulate(codebook.length) { sub =>
+        codebook(sub).map { cent =>
+          var d = 0.0; var j = 0
+          while (j < subDim) { d += v(sub * subDim + j) * cent(j); j += 1 }
+          d
+        }
+      }
+    }.toMap
+    val bcLut = spark.sparkContext.broadcast(luts)
+    val adc = udf { (codes: Seq[Int], qid: Long) =>
+      val lut = bcLut.value(qid)
+      var s = 0.0; var sub = 0
+      while (sub < lut.length) { s += lut(sub)(codes(sub)); sub += 1 }
+      s
+    }
+    val spark0 = spark
+    import spark0.implicits._
+    val qids = queryIds.toDF("query_id")
+    val wAdc = Window.partitionBy("query_id").orderBy(col("__adc").desc, col("neighbor_id"))
+    val shortlist = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(qids))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adc(col("codes"), col("query_id")))
+      .withColumn("__r", row_number().over(wAdc))
+      .where(col("__r") <= shortlistFactor * k)
+      .select("query_id", "neighbor_id")
+    val vecs = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec"),
+      norm(col(vecCol)).as("__vnorm"))
+    val queries = embeddings.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        norm(col(vecCol)).as("__qnorm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist
+      .join(vecs, "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cosine", cosineFast(col("__vec"), col("__qvec"), col("__vnorm"), col("__qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket in any
     * table: (id_a, id_b, cosine) with cosine >= minCosine.
     *

@@ -87,6 +87,25 @@ class EmbeddingRecallSpec extends SparkTestBase {
     assert(approx.exists(_._2 % 2 == 1), "appended (odd) rows must be retrievable")
   }
 
+  test("pqAnn recall@5 >= 0.9 vs brute force; shortlist never reads vectors") {
+    val queries = 0L until 20L
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqAnn(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"pqAnn recall@5 = $recall%.3f (m=8, kc=256, shortlist 10k)")
+    assert(recall >= 0.9, f"PQ recall $recall%.3f below 0.9")
+    // codes are genuinely compressed: m small ints per row
+    val codebook = Similarity.trainPqCodebook(emb, "vec_id", "embedding")
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebook)
+    val row = codes.head()
+    assert(row.getSeq[Int](1).length === 8)
+    assert(codes.count() === emb.count())
+  }
+
   test("bucketedAnn recall@5 >= 0.9 vs brute force") {
     val queries = 0L until 20L
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
