@@ -1264,6 +1264,22 @@ object SparkEntry {
           length(col("text")).as("n_chars_m"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
 
+    // PII scrub: plant emails/phones/URLs/IPs deterministically (the
+    // synthetic corpus has none), then count + replace with typed tags;
+    // clean_text string-equality and integer counts are both oracle-exact
+    "q_pii_scrub" -> ((s, dir) => {
+      val planted = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 20 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com or +1 555 123 4567 see https://ex.com/p"), col("doc_id")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 30 === 0,
+            concat(lit(" node 10.0."), col("doc_id") % 256, lit(".7")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.scrubPii(planted, "doc_id", "text")
+    }),
+
     // within-doc repetition signals (Gopher-rules family): integer
     // token/bigram multiplicity counts — pure per-row expressions, no
     // shuffle; the repetitive-doc ratios derive from these exactly
@@ -2283,6 +2299,28 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,
         | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+
+    // PII scrub mirrored with RE2: same planted suffixes, same patterns in
+    // the same replacement order ('g' flag: DuckDB replaces first-only by
+    // default, Spark replaces all)
+    "q_pii_scrub" -> {
+      val patterns = graft.operators.TextAnalysis.PiiPatterns
+      val cleanSql = patterns.foldLeft("text") { case (c, (_, pat, rep)) =>
+        s"regexp_replace($c, '$pat', '$rep', 'g')"
+      }
+      val countSql = patterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS INTEGER) AS n_$name"
+      }.mkString(",\n ")
+      s"""WITH p AS (SELECT doc_id, text ||
+         | CASE WHEN doc_id % 20 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |   || '@example.com or +1 555 123 4567 see https://ex.com/p' || CAST(doc_id AS VARCHAR)
+         |   ELSE '' END ||
+         | CASE WHEN doc_id % 30 = 0 THEN ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         |   ELSE '' END AS text FROM documents)
+         |SELECT doc_id, $cleanSql AS clean_text,
+         | $countSql
+         |FROM p""".stripMargin
+    },
 
     // repetition signals mirrored with DuckDB list functions; the engine's
     // "one short gram for sub-2-token docs" rule does NOT apply to bigrams

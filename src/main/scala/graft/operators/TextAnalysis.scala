@@ -104,6 +104,37 @@ object TextAnalysis {
       topBigram.as("top_bigram_count"))
   }
 
+  /** PII patterns, ordered: replacement applies in THIS order — URL before
+    * email/phone so a URL's innards are never half-scrubbed, and the
+    * precise IP pattern before the greedy phone pattern (whose space-
+    * tolerant digit run would otherwise bridge into an adjacent number).
+    * Patterns stay inside the Java-regex / RE2 common subset (no
+    * lookaround, no backrefs) so the DuckDB oracle replays them
+    * verbatim. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("url",   "https?://[^\\s]+",                              "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip",    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b",                 "<IP>"),
+    ("phone", "\\+?\\d[\\d -]{7,}\\d",                          "<PHONE>")
+  )
+
+  /** PII scrub for training corpora: emails / URLs / phone numbers / IPv4
+    * literals are counted (on the ORIGINAL text) and replaced with typed
+    * placeholder tags, in [[PiiPatterns]] order. Output: (idCol,
+    * clean_text, n_url, n_email, n_phone, n_ip). Pure per-row regexp
+    * expressions — zero shuffles; patterns are deliberately conservative
+    * (they flag, they don't adjudicate — precision tuning belongs to the
+    * caller's pattern set, the operator is the scaffold). */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clean = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("int").as(s"n_$name")
+    }
+    df.select(Seq(col(idCol), clean.as("clean_text")) ++ counts: _*)
+  }
+
   /** Document fingerprint: a stable 64-bit hash of the
     * whitespace-normalized lowercased text (rolling-hash analogue). */
   def fingerprint(text: Column): Column =
