@@ -508,6 +508,17 @@ object SparkEntry {
         .select("from_region", "to_region", "n_trips")
     }),
 
+    // per-entity minimal wrap-aware bounding rect: lat min/max + the
+    // largest-circular-gap lon interval (a ±180°-straddling track gets a
+    // narrow wrapping interval, not the naive [-180, 180])
+    "q_track_bounds" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.trackBounds(pts, "user_id", "lat", "lon")
+        .select("user_id", "lat_lo", "lat_hi", "lon_lo", "lon_hi")
+    }),
+
     // visit episodes (gaps-and-islands): maximal same-region runs per
     // entity with first event id, point count, and exact integer-µs dwell
     "q_dwell" -> ((s, dir) => {
@@ -1652,6 +1663,27 @@ object SparkEntry {
     "q_od_flows" -> OdFlowsOracleSql,
     "q_od_flows_stream" -> OdFlowsOracleSql,
     "q_dwell" -> DwellOracleSql,
+
+    // wrap-aware bounds: identical largest-circular-gap rule in window SQL
+    // (identical doubles in, identical IEEE subtractions, identical
+    // tie-break, and the output values are copies of input coordinates)
+    "q_track_bounds" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      s"""WITH p AS (SELECT user_id, $evLat AS lat, $evLon AS lon FROM events),
+         |lons AS (SELECT DISTINCT user_id, lon FROM p),
+         |g AS (SELECT user_id, lon, lead(lon) OVER w AS nxt,
+         |  min(lon) OVER (PARTITION BY user_id) AS mn
+         |  FROM lons WINDOW w AS (PARTITION BY user_id ORDER BY lon)),
+         |g2 AS (SELECT user_id, lon,
+         |  CASE WHEN nxt IS NOT NULL THEN nxt - lon ELSE mn + 360 - lon END AS gap,
+         |  CASE WHEN nxt IS NOT NULL THEN nxt ELSE mn END AS gend FROM g),
+         |r AS (SELECT user_id, gend AS lon_lo, lon AS lon_hi,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY gap DESC, lon ASC) AS rn FROM g2),
+         |lt AS (SELECT user_id, min(lat) AS lat_lo, max(lat) AS lat_hi FROM p GROUP BY user_id)
+         |SELECT lt.user_id, lat_lo, lat_hi, lon_lo, lon_hi
+         |FROM lt JOIN r ON lt.user_id = r.user_id AND r.rn = 1""".stripMargin
+    },
 
     // same answer through the stateful streaming operator's batch mode
     "q_geofence_stream" -> GeofenceOracleSql,

@@ -54,6 +54,46 @@ object Trajectories {
       .select(col("region_id"), col(idCol))
       .distinct()
 
+  /** Per-entity minimal WRAP-AWARE bounding rect (degrees): lat bounds are
+    * plain min/max; the lon interval is the complement of the largest
+    * circular gap between the entity's sorted longitudes — the exact
+    * minimal-spanning-interval rule (the kernel's S1Interval convention:
+    * lon_lo > lon_hi means the interval crosses the antimeridian, which
+    * naive min/max gets maximally wrong for a track straddling ±180°).
+    * Deterministic tie-break: among equal-size gaps the smallest gap-start
+    * lon wins. Output values are copies of input coordinates (no derived
+    * floats), so the result is oracle-exact.
+    *
+    * Distributed shape: one distinct + two window passes over (id, lon)
+    * rows sharing one shuffle by entity, a (id, lat) min/max aggregation,
+    * and a per-entity join — no geometry leaves the executors. */
+  def trackBounds(points: DataFrame, idCol: String, latCol: String,
+                  lonCol: String): DataFrame = {
+    val reserved = Seq("__lon", "__next", "__minLon", "__gap", "__gend", "__r",
+      "lat_lo", "lat_hi", "lon_lo", "lon_hi")
+    val clash = points.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"trackBounds reserves ${reserved.mkString(", ")}; rename: " +
+      clash.mkString(", "))
+    val lats = points.groupBy(col(idCol))
+      .agg(min(col(latCol)).as("lat_lo"), max(col(latCol)).as("lat_hi"))
+    val lons = points.select(col(idCol), col(lonCol).cast("double").as("__lon")).distinct()
+    val w = Window.partitionBy(idCol).orderBy("__lon")
+    val withGap = lons
+      .withColumn("__next", lead(col("__lon"), 1).over(w))
+      .withColumn("__minLon",
+        min(col("__lon")).over(Window.partitionBy(idCol)))
+      .withColumn("__gap",
+        when(col("__next").isNotNull, col("__next") - col("__lon"))
+          .otherwise(col("__minLon") + 360.0 - col("__lon")))
+      .withColumn("__gend",
+        when(col("__next").isNotNull, col("__next")).otherwise(col("__minLon")))
+    val wr = Window.partitionBy(idCol).orderBy(col("__gap").desc, col("__lon").asc)
+    val lonBounds = withGap
+      .withColumn("__r", row_number().over(wr)).where(col("__r") === 1)
+      .select(col(idCol), col("__gend").as("lon_lo"), col("__lon").as("lon_hi"))
+    lats.join(lonBounds, idCol)
+  }
+
   /** Single region label per point: the FIRST region (in `regions` order)
     * containing it, else "none" — exact kernel membership against the
     * broadcast region list, one closure call per row (same shape as

@@ -70,6 +70,41 @@ class MobilitySpec extends SparkTestBase {
     assert(dwellFiltered.length === 1)
   }
 
+  test("trackBounds: wrap-aware minimal lon interval, brute-force checked") {
+    import spark.implicits._
+    val pts = Seq(
+      // entity 1 straddles the antimeridian: {170, 175, -178} -> wraps
+      (1L, 10.0, 170.0), (1L, 12.0, 175.0), (1L, 11.0, -178.0),
+      // entity 2 is an ordinary cluster
+      (2L, -5.0, 20.0), (2L, -7.0, 25.0), (2L, -6.0, 22.0),
+      // entity 3: single point
+      (3L, 42.0, 13.0)
+    ).toDF("user_id", "lat", "lon")
+    val got = Trajectories.trackBounds(pts, "user_id", "lat", "lon")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((10.0, 12.0, 170.0, -178.0)), "wrapping interval: lon_lo > lon_hi")
+    assert(got(2L) === ((-7.0, -5.0, 20.0, 25.0)))
+    assert(got(3L) === ((42.0, 42.0, 13.0, 13.0)))
+    // brute force: the chosen interval's circular width equals the
+    // exhaustive minimum over all point-anchored intervals
+    def width(lo: Double, hi: Double) = if (hi >= lo) hi - lo else hi + 360 - lo
+    for ((id, lons) <- Seq(1L -> Seq(170.0, 175.0, -178.0), 2L -> Seq(20.0, 25.0, 22.0))) {
+      val best = lons.map { lo =>
+        val w = lons.map(x => width(lo, x)).max; (w, lo)
+      }.min
+      val (_, _, lo, hi) = got(id)
+      assert(math.abs(width(lo, hi) - best._1) < 1e-12, s"entity $id not minimal")
+    }
+    // every point must lie inside the kernel S1Interval of the result
+    import graft.s2.S1Interval
+    for ((id, lons) <- Seq(1L -> Seq(170.0, 175.0, -178.0), 3L -> Seq(13.0))) {
+      val (_, _, lo, hi) = got(id)
+      val iv = S1Interval(math.toRadians(lo), math.toRadians(hi))
+      lons.foreach(l => assert(iv.contains(math.toRadians(l)), s"$l outside $lo..$hi"))
+    }
+  }
+
   test("reserved-name collision is rejected loudly") {
     val bad = df.withColumnRenamed("lat", "region_id")
     intercept[IllegalArgumentException] {
