@@ -497,6 +497,15 @@ object SparkEntry {
         .select("user_id", "event_id", "region_id", "transition")
     }),
 
+    // fixed-step resample with carry-forward: per-user 6-hour feature grid
+    // carrying the latest (event_id, value) at each instant — the as-of
+    // join against a generated clock; oracled with DuckDB's native ASOF
+    "q_resample" -> ((s, dir) =>
+      operators.TimeSeries.resampleCarryForward(
+        events(s, dir), "user_id", "ts", "event_id",
+        carryCols = Seq("event_id", "value"), stepMicros = 21600000000L)
+        .select("user_id", "grid_us", "event_id", "value")),
+
     // origin-destination flow matrix: consecutive-observation region
     // transitions (incl. to/from the implicit 'none' region), counted —
     // label per row against broadcast regions, one lag window, tiny agg
@@ -1657,6 +1666,21 @@ object SparkEntry {
     // per-region lag SQL over (user, ts, event_id) order — boundary-safe
     // because the rect bounds sit on .005 offsets no derived point hits
     "q_geofence" -> GeofenceOracleSql,
+
+    // resample == DuckDB's native ASOF JOIN against the same generated
+    // integer-µs grid (ceil-to-grid start, per-user span), after the same
+    // max-event_id collapse of exact-duplicate timestamps
+    "q_resample" ->
+      """WITH o0 AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |o AS (SELECT user_id, us, event_id, value FROM o0 WHERE rn = 1),
+        |b AS (SELECT user_id, min(us) AS lo, max(us) AS hi FROM o GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(((lo + 21599999999) // 21600000000) * 21600000000, hi, 21600000000)) AS grid_us
+        |  FROM b)
+        |SELECT grid.user_id, grid_us, event_id, value
+        |FROM grid ASOF JOIN o ON grid.user_id = o.user_id AND grid_us >= o.us""".stripMargin,
 
     // OD flows / dwell episodes: first-match label CASE + lag windows in
     // SQL, integer-exact counts and µs dwell on both sides
