@@ -46,6 +46,25 @@ object ExecBench {
       SpatialJoin.polylineDistanceJoin(pts.toDF(), "lat", "lon",
         lineDf, "line_id", "lats", "lons", SparkEntry.PolylineJoinRadiusM).count()
     }
+    // mobility ops at the same scale: 1M entities x 100 points, one
+    // entity-shuffle window each (the claimed scale shape)
+    import graft.operators.Trajectories
+    def trk = spark.range(0L, 100000000L, 1, 64)
+      .withColumn("user_id", col("id") % 1000000L)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + (col("id") / lit(1000000L)).cast("long")))
+      .withColumn("lat", ((col("id") * 9973 + 12345) % 18000).cast("double") / lit(100.0) - lit(90.0))
+      .withColumn("lon", ((col("id") * 31337 + 54321) % 36000).cast("double") / lit(100.0) - lit(180.0))
+    t("odFlows 1M ents   ") {
+      Trajectories.odFlows(trk.toDF(), "user_id", "ts", "id", "lat", "lon",
+        SparkEntryRegions.rects).count()
+    }
+    t("visitEpisodes     ") {
+      Trajectories.visitEpisodes(trk.toDF(), "user_id", "ts", "id", "lat", "lon",
+        SparkEntryRegions.rects).count()
+    }
+    t("trackBounds       ") {
+      Trajectories.trackBounds(trk.toDF(), "user_id", "lat", "lon").count()
+    }
     spark.stop()
   }
 }
