@@ -528,6 +528,21 @@ object SparkEntry {
         .select("user_id", "lat_lo", "lat_hi", "lon_lo", "lon_hi")
     }),
 
+    // per-region EXACT distinct visitors via the salted two-level
+    // aggregation (ids land in exactly one salt bucket, so the sum of
+    // per-bucket distincts is exact): the skew-safe form of
+    // COUNT(DISTINCT) a hot region needs — no single reducer ever sees
+    // all of a region's visitor ids
+    "q_region_visitors" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+        .withColumn("region_id",
+          Trajectories.regionLabel("lat", "lon", rectRegions))
+      Skew.saltedDistinctCount(pts, "region_id", "user_id")
+        .select("region_id", "distinct_n")
+    }),
+
     // visit episodes (gaps-and-islands): maximal same-region runs per
     // entity with first event id, point count, and exact integer-µs dwell
     "q_dwell" -> ((s, dir) => {
@@ -1687,6 +1702,16 @@ object SparkEntry {
     "q_od_flows" -> OdFlowsOracleSql,
     "q_od_flows_stream" -> OdFlowsOracleSql,
     "q_dwell" -> DwellOracleSql,
+
+    // salted distinct == plain COUNT(DISTINCT) per label (exactness is the
+    // operator's contract: each id lands in exactly one salt bucket)
+    "q_region_visitors" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      s"""WITH p AS (SELECT user_id, $evLat AS lat, $evLon AS lon FROM events)
+         |SELECT $RegionLabelCaseSql AS region_id, count(DISTINCT user_id) AS distinct_n
+         |FROM p GROUP BY 1""".stripMargin
+    },
 
     // wrap-aware bounds: identical largest-circular-gap rule in window SQL
     // (identical doubles in, identical IEEE subtractions, identical

@@ -99,8 +99,8 @@ object Trajectories {
     * broadcast region list, one closure call per row (same shape as
     * [[Geofence.transitions]]; regions are assumed ~disjoint, the order
     * rule makes overlaps deterministic). */
-  private def regionLabel(latCol: String, lonCol: String,
-                          regions: Seq[(String, S2Region)]): Column = {
+  def regionLabel(latCol: String, lonCol: String,
+                  regions: Seq[(String, S2Region)]): Column = {
     val regs = regions
     val labelUdf = udf { (lat: Double, lon: Double) =>
       regs.collectFirst {
