@@ -612,6 +612,18 @@ object SparkEntry {
         .select("user_id", "n_points", "track_m", "max_seg_m")
     }),
 
+    // GPS-cleaning teleport flags: integer-exact implied-speed test per
+    // segment (340 m/s splits the synthetic fixture's speed distribution
+    // near its median, so both flag classes are populated)
+    "q_speed_flags" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.speedFlags(pts, "user_id", "ts", "event_id", "lat", "lon",
+          maxSpeedMps = 340L)
+        .select("user_id", "event_id", "seg_m", "dt_micros", "is_jump")
+    }),
+
     // which users' tracks visit each query region (vertex semantics)
     "q_traj_region" -> ((s, dir) => {
       val pts = events(s, dir)
@@ -1755,6 +1767,28 @@ object SparkEntry {
          |  CAST(COALESCE(sum(seg_m), 0) AS BIGINT) AS track_m,
          |  COALESCE(max(seg_m), 0) AS max_seg_m
          |FROM d GROUP BY user_id""".stripMargin
+    },
+
+    // same integer contract as the engine: rounded-meter segment × 10⁶ vs
+    // maxSpeed × exact-µs gap — the only fp input is the haversine, whose
+    // rounding-boundary margin TrajectorySpec pins
+    "q_speed_flags" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val d = haversineExpr("plat", "plon", "lat", "lon")
+      s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events),
+         |s AS (SELECT user_id, event_id,
+         |        lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lat, lon,
+         |        epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_micros
+         |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id,
+         |  CASE WHEN plat IS NULL THEN NULL
+         |       ELSE CAST(round($d) AS BIGINT) END AS seg_m,
+         |  dt_micros,
+         |  COALESCE(CASE WHEN plat IS NULL THEN NULL
+         |       ELSE CAST(round($d) AS BIGINT) END * 1000000 > 340 * dt_micros,
+         |    false) AS is_jump
+         |FROM s""".stripMargin
     },
 
     "q_traj_region" -> {

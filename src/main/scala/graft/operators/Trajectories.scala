@@ -176,6 +176,49 @@ object Trajectories {
       .drop("__island")
   }
 
+  /** Per-segment implied-speed anomaly flags — the GPS-cleaning
+    * "teleport" test: a segment whose implied speed exceeds
+    * `maxSpeedMps` marks its DESTINATION row as a jump. Integer
+    * contract end-to-end: `seg_m` is the segment haversine rounded to
+    * integer meters (same rule as [[trajStats]]; TrajectorySpec pins the
+    * fixture's distance-to-rounding-boundary margin), `dt_micros` is the
+    * exact integer-µs gap, and the flag is the pure-integer comparison
+    * `seg_m * 1_000_000 > maxSpeedMps * dt_micros` — so a zero-dt move of
+    * any nonzero rounded distance flags (infinite implied speed), equal
+    * timestamps with a sub-half-meter move don't, and the oracle can
+    * reproduce the flag bit-for-bit in SQL. First observations carry null
+    * seg_m/dt_micros and never flag. Overflow bound: |seg_m| ≤ 2·10⁷ m
+    * (half the circumference), so the left side caps at 2·10¹³; callers
+    * must keep maxSpeedMps · max-gap-µs under 2⁶³ (a 10³ m/s limit allows
+    * ~292k-year gaps). Distributed shape: ONE shuffle by entity shared by
+    * the three lag windows, zero joins — flagging a trillion-row point
+    * table costs exactly one exchange. */
+  def speedFlags(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                 latCol: String, lonCol: String, maxSpeedMps: Long): DataFrame = {
+    require(maxSpeedMps > 0, s"maxSpeedMps must be positive, got $maxSpeedMps")
+    val reserved = Seq("__plat", "__plon", "__pus", "seg_m", "dt_micros", "is_jump")
+    val clash = points.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"speedFlags reserves ${reserved.mkString(", ")}; rename: " +
+      clash.mkString(", "))
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(orderCol))
+    // cast: NTZ-typed inputs; dt is a difference, the cast's zone cancels
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    points
+      .withColumn("__plat", lag(col(latCol), 1).over(w))
+      .withColumn("__plon", lag(col(lonCol), 1).over(w))
+      .withColumn("__pus", lag(us, 1).over(w))
+      .withColumn("seg_m",
+        when(col("__plat").isNull, lit(null))
+          .otherwise(round(s2_distance_m(col("__plat"), col("__plon"),
+            col(latCol), col(lonCol))).cast("long")))
+      .withColumn("dt_micros",
+        when(col("__pus").isNull, lit(null)).otherwise(us - col("__pus")))
+      .withColumn("is_jump",
+        coalesce(col("seg_m") * lit(1000000L) > lit(maxSpeedMps) * col("dt_micros"),
+          lit(false)))
+      .drop("__plat", "__plon", "__pus")
+  }
+
   /** Earth radius used by s2_distance_m (G12) — tolerances in meters
     * convert to radians against the same sphere. */
   private val EarthRadiusM = 6367000.0

@@ -65,6 +65,40 @@ class TrajectorySpec extends SparkTestBase {
       "- the integer-meter oracle would be fp-order-sensitive")
   }
 
+  test("speedFlags == per-user brute force; both flag classes populated") {
+    val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
+    val maxSpeed = 340L
+    val got = Trajectories.speedFlags(pts, "user_id", "ts", "event_id", "lat", "lon", maxSpeed)
+      .select("user_id", "event_id", "seg_m", "dt_micros", "is_jump")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))).toMap
+
+    val rows = pts.select("user_id", "ts", "event_id", "lat", "lon").collect().map { r =>
+      val inst = r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC)
+      (r.getLong(0), (inst.getEpochSecond, inst.getNano), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))
+    }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.toSeq.map { case (cur, i) =>
+        if (i == 0) (uid, cur._3) -> ((None, None, false))
+        else {
+          val prev = sorted(i - 1)
+          val segM = math.round(S2LatLng.fromDegrees(prev._4, prev._5)
+            .getEarthDistance(S2LatLng.fromDegrees(cur._4, cur._5)))
+          val dtUs = (cur._2._1 - prev._2._1) * 1000000L + (cur._2._2 - prev._2._2) / 1000L
+          (uid, cur._3) -> ((Some(segM), Some(dtUs), segM * 1000000L > maxSpeed * dtUs))
+        }
+      }
+    }.toMap
+    assert(got === expected)
+    assert(got.values.exists(_._3) && got.values.exists(v => v._2.isDefined && !v._3),
+      "fixture must populate both flag classes")
+  }
+
   test("visitsRegions == brute-force vertex containment") {
     val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
     val got = Trajectories.visitsRegions(pts, "lat", "lon", "user_id", SparkEntryRegions.rects)
