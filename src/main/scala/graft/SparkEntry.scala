@@ -624,6 +624,21 @@ object SparkEntry {
         .select("user_id", "event_id", "seg_m", "dt_micros", "is_jump")
     }),
 
+    // trajectory-similarity self-join: user pairs within 3400 km symmetric
+    // discrete Hausdorff distance (the fixture's tracks are global scatter,
+    // so pair distances sit at continental scale; 3400 km splits the
+    // distribution). The user subset bounds the BRUTE-FORCE ORACLE's
+    // quadratic cost — the operator itself takes the unrestricted table.
+    "q_hausdorff_join" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .where(col("user_id") % 5 === 0)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.hausdorffJoin(pts, "user_id", "lat", "lon",
+          maxHausdorffM = 3400000L)
+        .select("id_a", "id_b", "haus_m")
+    }),
+
     // which users' tracks visit each query region (vertex semantics)
     "q_traj_region" -> ((s, dir) => {
       val pts = events(s, dir)
@@ -1789,6 +1804,28 @@ object SparkEntry {
          |       ELSE CAST(round($d) AS BIGINT) END * 1000000 > 340 * dt_micros,
          |    false) AS is_jump
          |FROM s""".stripMargin
+    },
+
+    // brute-force symmetric Hausdorff: max-of-min over all cross point
+    // pairs per user pair — min/max pick elements, so the only fp-order
+    // hazard is the final half-meter rounding boundary (margin 2.9e-4 m on
+    // this fixture, asserted in TrajectorySpec)
+    "q_hausdorff_join" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH p AS (SELECT user_id, event_id, $evLat AS lat, $evLon AS lon
+         |           FROM events WHERE user_id % 5 = 0),
+         |x AS (SELECT a.user_id ua, b.user_id ub, a.event_id ea, b.event_id eb, $d AS dm
+         |      FROM p a JOIN p b ON a.user_id < b.user_id),
+         |ab AS (SELECT ua, ub, max(mind) h FROM
+         |        (SELECT ua, ub, ea, min(dm) AS mind FROM x GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |ba AS (SELECT ua, ub, max(mind) h FROM
+         |        (SELECT ua, ub, eb, min(dm) AS mind FROM x GROUP BY 1, 2, 3) GROUP BY 1, 2)
+         |SELECT ab.ua AS id_a, ab.ub AS id_b,
+         |  CAST(round(greatest(ab.h, ba.h)) AS BIGINT) AS haus_m
+         |FROM ab JOIN ba ON ab.ua = ba.ua AND ab.ub = ba.ub
+         |WHERE CAST(round(greatest(ab.h, ba.h)) AS BIGINT) <= 3400000""".stripMargin
     },
 
     "q_traj_region" -> {

@@ -219,6 +219,93 @@ object Trajectories {
       .drop("__plat", "__plon", "__pus")
   }
 
+  /** Trajectory-similarity self-join: entity pairs whose point sets are
+    * within `maxHausdorffM` meters symmetric discrete Hausdorff distance
+    * (max over either track's points of the distance to the other track's
+    * nearest point — the standard track-similarity measure; DITA-style
+    * systems build exactly this join). Output `haus_m` is the distance
+    * rounded to integer meters and the emit test is the integer compare
+    * `round(haus) <= maxHausdorffM`, so a SQL oracle reproduces rows
+    * bit-for-bit (per-pair min/max are order-independent SELECTIONS of
+    * doubles; the only fp hazard is the final rounding boundary, which the
+    * spec pins on the fixture).
+    *
+    * Distributed shape (complete by the same adjacency argument as
+    * [[SpatialJoin.distanceJoin]]): symmetric Hausdorff <= D implies SOME
+    * cross point pair within D, so candidates = entity pairs sharing a
+    * (cell, cell-or-neighbor) bucket at the level whose min cell width is
+    * >= D — built from DISTINCT (entity, cell) rows, so candidate
+    * generation scales with track spatial extent, never point count. The
+    * exact refine joins each candidate pair to the two collected tracks
+    * (one groupBy by entity — the usual a-track-fits-in-a-task bound) and
+    * early-exits a direction as soon as one point's nearest neighbor
+    * already exceeds the bound. */
+  def hausdorffJoin(points: DataFrame, idCol: String, latCol: String, lonCol: String,
+                    maxHausdorffM: Long): DataFrame = {
+    import graft.s2.{S2LatLng, S2Projections}
+    require(maxHausdorffM > 0, s"maxHausdorffM must be positive, got $maxHausdorffM")
+    val angle = maxHausdorffM.toDouble / S2LatLng.EarthRadiusMeters
+    require(angle <= S2Projections.MinWidth.getValue(0),
+      s"hausdorffJoin bound $maxHausdorffM m exceeds the level-0 adjacency guarantee")
+    val level = S2Projections.MinWidth.getMaxLevel(angle)
+    val reserved = Seq("__cell", "__bucket", "__tid", "__trk", "id_a", "id_b", "haus_m")
+    val clash = points.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"hausdorffJoin reserves ${reserved.mkString(", ")}; rename: " +
+      clash.mkString(", "))
+
+    val cells = points.select(col(idCol).as("__tid"),
+      s2_tile(col(latCol), col(lonCol), level).as("__cell")).distinct()
+    val a = cells.select(col("__tid").as("id_a"),
+      explode(array_union(array(col("__cell")),
+        s2_all_neighbors(col("__cell"), level))).as("__bucket")).distinct()
+    val b = cells.select(col("__tid").as("id_b"), col("__cell").as("__bucket"))
+    val cand = a.join(b, "__bucket")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val tracks = points.groupBy(col(idCol).as("__tid"))
+      .agg(collect_list(struct(col(latCol).cast("double").as("la"),
+        col(lonCol).cast("double").as("lo"))).as("__trk"))
+
+    // bail bound: round(h) <= max  <=>  h < max + 0.5 (half-up rounding),
+    // so a direction whose running max already reaches max + 0.5 can stop
+    val maxM = maxHausdorffM
+    val hausUdf = udf { (ta: Seq[org.apache.spark.sql.Row], tb: Seq[org.apache.spark.sql.Row]) =>
+      val pa = ta.map(r => S2LatLng.fromDegrees(r.getDouble(0), r.getDouble(1))).toArray
+      val pb = tb.map(r => S2LatLng.fromDegrees(r.getDouble(0), r.getDouble(1))).toArray
+      val bail = maxM + 0.5
+      def directed(xs: Array[S2LatLng], ys: Array[S2LatLng]): Option[Double] = {
+        var h = 0.0
+        var i = 0
+        while (i < xs.length) {
+          var mn = Double.MaxValue
+          var j = 0
+          while (j < ys.length) {
+            val d = xs(i).getEarthDistance(ys(j))
+            if (d < mn) mn = d
+            j += 1
+          }
+          if (mn >= bail) return None
+          if (mn > h) h = mn
+          i += 1
+        }
+        Some(h)
+      }
+      for {
+        hab <- directed(pa, pb)
+        hba <- directed(pb, pa)
+        h = math.max(hab, hba)
+        r = math.round(h) if r <= maxM
+      } yield r
+    }
+    cand
+      .join(tracks.select(col("__tid").as("id_a"), col("__trk").as("__trka")), "id_a")
+      .join(tracks.select(col("__tid").as("id_b"), col("__trk").as("__trkb")), "id_b")
+      .withColumn("haus_m", hausUdf(col("__trka"), col("__trkb")))
+      .where(col("haus_m").isNotNull)
+      .select("id_a", "id_b", "haus_m")
+  }
+
   /** Earth radius used by s2_distance_m (G12) — tolerances in meters
     * convert to radians against the same sphere. */
   private val EarthRadiusM = 6367000.0

@@ -99,6 +99,61 @@ class TrajectorySpec extends SparkTestBase {
       "fixture must populate both flag classes")
   }
 
+  private def bruteHausdorff(rows: Array[(Long, Double, Double)]): Map[(Long, Long), Double] = {
+    val byUser = rows.groupBy(_._1).view
+      .mapValues(_.map(e => S2LatLng.fromDegrees(e._2, e._3))).toMap
+    val ids = byUser.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = byUser(ids(i)); b = byUser(ids(j))
+      hab = a.map(x => b.map(x.getEarthDistance).min).max
+      hba = b.map(x => a.map(x.getEarthDistance).min).max
+    } yield (ids(i), ids(j)) -> math.max(hab, hba)).toMap
+  }
+
+  test("hausdorffJoin == brute-force symmetric Hausdorff (pairs AND values)") {
+    val maxM = 3400000L
+    val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
+    val got = Trajectories.hausdorffJoin(pts, "user_id", "lat", "lon", maxM)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = pts.select("user_id", "lat", "lon").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expected = bruteHausdorff(rows)
+      .map { case (k, h) => k -> math.round(h) }.filter(_._2 <= maxM)
+    assert(got === expected)
+    assert(got.nonEmpty, "threshold must admit some pairs")
+    assert(bruteHausdorff(rows).exists(_._2 > maxM + 1), "threshold must reject some pairs")
+  }
+
+  test("hausdorff rounding margin at sf0.01 on the catalog query's user subset") {
+    val pts = geo(spark.read.parquet(s"${sf("sf0.01")}/events.parquet"))
+      .where(col("user_id") % 5 === 0)
+    val rows = pts.select("user_id", "lat", "lon").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val margin = bruteHausdorff(rows).values
+      .map(h => math.abs(h - math.floor(h) - 0.5)).min
+    info(f"min Hausdorff distance to a rounding boundary = $margin%.3e m")
+    assert(margin > 1e-7)
+  }
+
+  test("hausdorffJoin prunes and stays complete at a fine bucketing level") {
+    import spark.implicits._
+    // A and B ~22 km apart point-for-point; C on the other side of the
+    // world. D = 50 km buckets at a level where C never pairs.
+    val base = Seq((10.0, 20.0), (10.1, 20.1), (10.2, 20.3), (10.05, 20.5))
+    val rows =
+      base.map { case (la, lo) => (1L, la, lo) } ++
+        base.map { case (la, lo) => (2L, la + 0.2, lo) } ++
+        base.map { case (la, lo) => (3L, la + 40.0, lo + 120.0) }
+    val df = rows.toDF("user_id", "lat", "lon")
+    val got = Trajectories.hausdorffJoin(df, "user_id", "lat", "lon", 50000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = bruteHausdorff(rows.toArray)
+      .map { case (k, h) => k -> math.round(h) }.filter(_._2 <= 50000L)
+    assert(got === expected)
+    assert(got.keySet === Set((1L, 2L)))
+  }
+
   test("visitsRegions == brute-force vertex containment") {
     val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
     val got = Trajectories.visitsRegions(pts, "lat", "lon", "user_id", SparkEntryRegions.rects)
