@@ -639,6 +639,18 @@ object SparkEntry {
         .select("id_a", "id_b", "haus_m")
     }),
 
+    // stay-point detection: anchor-walk runs within 4000 km of their first
+    // point spanning >= ~13.9 h of event time (both parameters sit far from
+    // the fixture's decision boundaries — TrajectorySpec pins the margins)
+    "q_staypoints" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.stayPoints(pts, "user_id", "ts", "event_id", "lat", "lon",
+          epsMeters = 4000000.0, minDwellMicros = 50000000000L)
+        .select("user_id", "enter_order", "exit_order", "n_points", "dwell_micros")
+    }),
+
     // which users' tracks visit each query region (vertex semantics)
     "q_traj_region" -> ((s, dir) => {
       val pts = events(s, dir)
@@ -1826,6 +1838,47 @@ object SparkEntry {
          |  CAST(round(greatest(ab.h, ba.h)) AS BIGINT) AS haus_m
          |FROM ab JOIN ba ON ab.ua = ba.ua AND ab.ub = ba.ub
          |WHERE CAST(round(greatest(ab.h, ba.h)) AS BIGINT) <= 3400000""".stripMargin
+    },
+
+    // the anchor walk as a recursive CTE: steps precomputes each anchor's
+    // first-exceeding index j and span dwell; the recursion visits exactly
+    // the anchors the sequential algorithm visits (jump to j on emit, +1
+    // otherwise); emitted rows are the visited anchors whose dwell
+    // qualifies. Same eps/minDwell integers as the engine; the eps
+    // comparison's fixture margin is 12.6 m (TrajectorySpec).
+    "q_staypoints" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH RECURSIVE
+         |base AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events),
+         |p AS (SELECT user_id, epoch_us(ts) AS us, event_id, lat, lon,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM base),
+         |cnt AS (SELECT user_id, max(rn) AS n FROM p GROUP BY 1),
+         |jmp AS (SELECT a.user_id, a.rn AS i,
+         |          min(CASE WHEN $d > 4000000.0 THEN b.rn END) AS jraw
+         |        FROM p a LEFT JOIN p b ON b.user_id = a.user_id AND b.rn > a.rn
+         |        GROUP BY 1, 2),
+         |steps AS (SELECT j.user_id, j.i, coalesce(j.jraw, c.n + 1) AS j,
+         |            pe.us - pi.us AS dwell,
+         |            pi.event_id AS enter_order, pe.event_id AS exit_order
+         |          FROM jmp j
+         |          JOIN cnt c ON c.user_id = j.user_id
+         |          JOIN p pi ON pi.user_id = j.user_id AND pi.rn = j.i
+         |          JOIN p pe ON pe.user_id = j.user_id
+         |            AND pe.rn = coalesce(j.jraw, c.n + 1) - 1),
+         |walk AS (SELECT user_id, 1 AS i FROM cnt
+         |         UNION ALL
+         |         SELECT w.user_id,
+         |           CASE WHEN s.dwell >= 50000000000 THEN s.j ELSE w.i + 1 END
+         |         FROM walk w
+         |         JOIN steps s ON s.user_id = w.user_id AND s.i = w.i
+         |         JOIN cnt c ON c.user_id = w.user_id
+         |         WHERE CASE WHEN s.dwell >= 50000000000 THEN s.j ELSE w.i + 1 END <= c.n)
+         |SELECT w.user_id, s.enter_order, s.exit_order,
+         |  CAST(s.j - w.i AS BIGINT) AS n_points, s.dwell AS dwell_micros
+         |FROM walk w JOIN steps s ON s.user_id = w.user_id AND s.i = w.i
+         |WHERE s.dwell >= 50000000000""".stripMargin
     },
 
     "q_traj_region" -> {

@@ -154,6 +154,58 @@ class TrajectorySpec extends SparkTestBase {
     assert(got.keySet === Set((1L, 2L)))
   }
 
+  test("stayPoints == brute-force anchor walk; parameters discriminate") {
+    val eps = 4000000.0
+    val minDwell = 50000000000L
+    val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
+    val got = Trajectories.stayPoints(pts, "user_id", "ts", "event_id", "lat", "lon",
+        eps, minDwell)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    val rows = pts.select("user_id", "ts", "event_id", "lat", "lon").collect().map { r =>
+      val inst = r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC)
+      (r.getLong(0), inst.getEpochSecond * 1000000L + inst.getNano / 1000L,
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val s = g.sortBy(e => (e._2, e._3))
+      val ps = s.map(e => S2LatLng.fromDegrees(e._4, e._5))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length && ps(i).getEarthDistance(ps(j)) <= eps) j += 1
+        val dwell = s(j - 1)._2 - s(i)._2
+        if (dwell >= minDwell) {
+          out += ((uid, s(i)._3, s(j - 1)._3, (j - i).toLong, dwell)); i = j
+        } else i += 1
+      }
+      out
+    }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "parameters must admit some stay points")
+    val emitters = got.map(_._1)
+    assert(rows.map(_._1).toSet.diff(emitters).nonEmpty,
+      "parameters must leave some users without stay points")
+  }
+
+  test("staypoint eps margin at sf0.01: no same-user pair distance near the 4000 km bound") {
+    val pts = geo(spark.read.parquet(s"${sf("sf0.01")}/events.parquet"))
+    import graft.functions.s2functions._
+    val a = pts.select(col("user_id"), col("event_id").as("ea"),
+      col("lat").as("la"), col("lon").as("loa"))
+    val b = pts.select(col("user_id"), col("event_id").as("eb"),
+      col("lat").as("lb"), col("lon").as("lob"))
+    val margin = a.join(b, "user_id").where(col("ea") < col("eb"))
+      .select(abs(s2_distance_m(col("la"), col("loa"), col("lb"), col("lob"))
+        - 4000000.0).as("m"))
+      .agg(min("m")).head().getDouble(0)
+    info(f"min same-user pair distance to the eps bound = $margin%.3e m")
+    assert(margin > 1e-3,
+      "a pair distance at the eps boundary would make the walk fp-order-sensitive")
+  }
+
   test("visitsRegions == brute-force vertex containment") {
     val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
     val got = Trajectories.visitsRegions(pts, "lat", "lon", "user_id", SparkEntryRegions.rects)
