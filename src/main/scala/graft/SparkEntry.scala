@@ -651,6 +651,18 @@ object SparkEntry {
         .select("user_id", "enter_order", "exit_order", "n_points", "dwell_micros")
     }),
 
+    // trip segmentation: per-entity time-gap islands (>13.9 h gap starts a
+    // new trip) with integer-exact per-trip stats
+    "q_trips" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.tripSegments(pts, "user_id", "ts", "event_id", "lat", "lon",
+          gapMicros = 50000000000L)
+        .select("user_id", "start_order", "end_order", "n_points", "trip_m",
+          "duration_micros")
+    }),
+
     // which users' tracks visit each query region (vertex semantics)
     "q_traj_region" -> ((s, dir) => {
       val pts = events(s, dir)
@@ -1879,6 +1891,29 @@ object SparkEntry {
          |  CAST(s.j - w.i AS BIGINT) AS n_points, s.dwell AS dwell_micros
          |FROM walk w JOIN steps s ON s.user_id = w.user_id AND s.i = w.i
          |WHERE s.dwell >= 50000000000""".stripMargin
+    },
+
+    // gaps-and-islands with the same integer contracts: exact-µs gap test,
+    // rounded-meter within-trip segments (gap-crossing segment excluded)
+    "q_trips" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val d = haversineExpr("plat", "plon", "lat", "lon")
+      s"""WITH p AS (SELECT user_id, epoch_us(ts) AS us, ts, event_id,
+         |             $evLat AS lat, $evLon AS lon FROM events),
+         |s AS (SELECT user_id, us, event_id, lat, lon,
+         |        lag(us) OVER w AS pus, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+         |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |f AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 50000000000
+         |        THEN 1 ELSE 0 END AS chg FROM s),
+         |g AS (SELECT *, CASE WHEN chg = 1 THEN NULL
+         |        ELSE CAST(round($d) AS BIGINT) END AS seg_m,
+         |        sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |          ROWS UNBOUNDED PRECEDING) AS island FROM f)
+         |SELECT user_id, min(event_id) AS start_order, max(event_id) AS end_order,
+         |  count(*) AS n_points, CAST(COALESCE(sum(seg_m), 0) AS BIGINT) AS trip_m,
+         |  max(us) - min(us) AS duration_micros
+         |FROM g GROUP BY user_id, island""".stripMargin
     },
 
     "q_traj_region" -> {

@@ -369,6 +369,52 @@ object Trajectories {
         col("__sp._3").as("n_points"), col("__sp._4").as("dwell_micros"))
   }
 
+  /** Trip segmentation: split each entity's observation stream into trips
+    * at time gaps exceeding `gapMicros` (the standard GPS preprocessing
+    * step before any per-trip analytics), with per-trip stats — point
+    * count, start/end order values (min/max within the trip), exact
+    * integer-µs duration, and trip length as the sum of INTEGER-rounded
+    * within-trip segment meters (the [[trajStats]] rounding rule — the
+    * gap-crossing segment belongs to no trip and is excluded). A
+    * single-point trip has length 0 and duration 0. Distributed shape:
+    * ONE shuffle by entity shared by the lag/island windows, then a
+    * partially-aggregated groupBy on (entity, island) — trip rows, not
+    * point rows, cross the second exchange. */
+  def tripSegments(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                   latCol: String, lonCol: String, gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    val reserved = Seq("__us", "__pus", "__plat", "__plon", "__chg", "__island", "__seg_m",
+      "start_order", "end_order", "n_points", "trip_m", "duration_micros")
+    val clash = points.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"tripSegments reserves ${reserved.mkString(", ")}; rename: " +
+      clash.mkString(", "))
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(orderCol))
+    // cast: NTZ-typed inputs; gaps/durations are differences, zones cancel
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    points
+      .withColumn("__us", us)
+      .withColumn("__pus", lag(us, 1).over(w))
+      .withColumn("__plat", lag(col(latCol), 1).over(w))
+      .withColumn("__plon", lag(col(lonCol), 1).over(w))
+      .withColumn("__chg",
+        when(col("__pus").isNull || col("__us") - col("__pus") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__seg_m",
+        when(col("__chg") === 1L, lit(null))
+          .otherwise(round(s2_distance_m(col("__plat"), col("__plon"),
+            col(latCol), col(lonCol))).cast("long")))
+      .withColumn("__island",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(
+        min(col(orderCol)).as("start_order"),
+        max(col(orderCol)).as("end_order"),
+        count(lit(1)).as("n_points"),
+        coalesce(sum("__seg_m"), lit(0L)).as("trip_m"),
+        (max(col("__us")) - min(col("__us"))).as("duration_micros"))
+      .drop("__island")
+  }
+
   /** Earth radius used by s2_distance_m (G12) — tolerances in meters
     * convert to radians against the same sphere. */
   private val EarthRadiusM = 6367000.0

@@ -206,6 +206,39 @@ class TrajectorySpec extends SparkTestBase {
       "a pair distance at the eps boundary would make the walk fp-order-sensitive")
   }
 
+  test("tripSegments == brute-force gap islands; fixture yields multi-trip users") {
+    val gap = 50000000000L
+    val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
+    val got = Trajectories.tripSegments(pts, "user_id", "ts", "event_id", "lat", "lon", gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted.toSeq
+
+    val rows = pts.select("user_id", "ts", "event_id", "lat", "lon").collect().map { r =>
+      val inst = r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC)
+      (r.getLong(0), inst.getEpochSecond * 1000000L + inst.getNano / 1000L,
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val s = g.sortBy(e => (e._2, e._3))
+      // split into trips at gaps
+      val trips = s.tail.foldLeft(Vector(Vector(s.head))) { (acc, cur) =>
+        if (cur._2 - acc.last.last._2 > gap) acc :+ Vector(cur)
+        else acc.init :+ (acc.last :+ cur)
+      }
+      trips.map { t =>
+        val segs = t.sliding(2).collect { case Seq(a, b) =>
+          math.round(S2LatLng.fromDegrees(a._4, a._5)
+            .getEarthDistance(S2LatLng.fromDegrees(b._4, b._5)))
+        }.toSeq
+        (uid, t.map(_._3).min, t.map(_._3).max, t.length.toLong,
+          segs.sum, t.last._2 - t.head._2)
+      }
+    }.sorted
+    assert(got === expected)
+    val tripsPerUser = got.groupBy(_._1).view.mapValues(_.size)
+    assert(tripsPerUser.values.exists(_ > 1), "gap must split some user into multiple trips")
+  }
+
   test("visitsRegions == brute-force vertex containment") {
     val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
     val got = Trajectories.visitsRegions(pts, "lat", "lon", "user_id", SparkEntryRegions.rects)
