@@ -252,6 +252,8 @@ object SparkEntry {
   private[graft] val DbscanMinPts = 3
   private[graft] val StJoinRadiusM = 1000000.0
   private[graft] val StJoinWindowSec = 14400L
+  private[graft] val ContactRadiusM = 300000.0
+  private[graft] val ContactWindowSec = 3600L
   private[graft] val KnnPolylinesRadiusM = 800000.0
 
   /** The FixturePolylines fixture as a polyline-table DataFrame anchored on
@@ -963,6 +965,32 @@ object SparkEntry {
       SpatialJoin.spatioTemporalJoin(pts, "event_id", "ts", "lat", "lon",
           radiusM = StJoinRadiusM, windowSec = StJoinWindowSec)
         .select("id_a", "id_b")
+    }),
+
+    // co-movement groups (contact-tracing composite): spatio-temporal
+    // contact pairs -> distinct user pairs -> connected components. The
+    // pair join and the CC operator are each independently oracled; this
+    // pins their composition end-to-end. 300 km / 1 h (tighter than
+    // q_st_join's constants) keeps the fixture's contact graph structured —
+    // 27 components and ~half the users isolated, not one global blob; the
+    // radius boundary margin on this fixture is 1.87 m (ContactClustersSpec)
+    "q_contact_clusters" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      val contacts = SpatialJoin.spatioTemporalJoin(pts, "event_id", "ts", "lat", "lon",
+          radiusM = ContactRadiusM, windowSec = ContactWindowSec)
+        .select("id_a", "id_b")
+      val ev = events(s, dir).select("event_id", "user_id")
+      val userPairs = contacts
+        .join(ev.select(col("event_id").as("id_a"), col("user_id").as("__ua")), "id_a")
+        .join(ev.select(col("event_id").as("id_b"), col("user_id").as("__ub")), "id_b")
+        .where(col("__ua") =!= col("__ub"))
+        .select(least(col("__ua"), col("__ub")).as("id_a"),
+          greatest(col("__ua"), col("__ub")).as("id_b"))
+        .distinct()
+      Dedup.duplicateClusters(userPairs)
+        .select(col("doc_id").as("user_id"), col("cluster_id"))
     }),
 
     // the stream-stream join twin over the SAME batch input (the watermark
@@ -2095,6 +2123,27 @@ object SparkEntry {
 
     // the streaming twin has identical semantics, so the identical oracle
     "q_st_join_stream" -> StJoinOracleSql,
+
+    // the contact composite from first principles: the st-join brute force
+    // lifted to distinct user pairs, then recursive-CTE reachability with
+    // min-id labels (same shape as the q_dup_clusters oracle)
+    "q_contact_clusters" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH RECURSIVE
+         |pts AS (SELECT event_id AS id, user_id, epoch_us(ts) AS tus,
+         |  ${latSqlFor("event_id")} AS lat, ${lonSqlFor("event_id")} AS lon FROM events),
+         |up AS (SELECT DISTINCT least(a.user_id, b.user_id) AS s0,
+         |         greatest(a.user_id, b.user_id) AS d0
+         |       FROM pts a JOIN pts b ON a.id < b.id
+         |       WHERE abs(a.tus - b.tus) <= ${ContactWindowSec * 1000000L}
+         |         AND $d <= $ContactRadiusM AND a.user_id <> b.user_id),
+         |edges AS (SELECT s0 AS s, d0 AS d FROM up UNION SELECT d0, s0 FROM up),
+         |reach(src, dst) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst)
+         |SELECT src AS user_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
+    },
 
     // brute-force DBSCAN from first principles: all-pairs eps-graph, degree
     // cores (count includes the point itself), recursive-CTE components of
