@@ -508,6 +508,14 @@ object SparkEntry {
         carryCols = Seq("event_id", "value"), stepMicros = 21600000000L)
         .select("user_id", "grid_us", "event_id", "value")),
 
+    // linear-interpolation twin of q_resample: identical grid, bracketing
+    // observations, IEEE-identical interpolation formula on both sides
+    "q_resample_linear" -> ((s, dir) =>
+      operators.TimeSeries.resampleLinear(
+        events(s, dir), "user_id", "ts", "event_id",
+        valueCol = "value", stepMicros = 21600000000L)
+        .select("user_id", "grid_us", "value")),
+
     // origin-destination flow matrix: consecutive-observation region
     // transitions (incl. to/from the implicit 'none' region), counted —
     // label per row against broadcast regions, one lag window, tiny agg
@@ -1775,6 +1783,30 @@ object SparkEntry {
         |  FROM b)
         |SELECT grid.user_id, grid_us, event_id, value
         |FROM grid ASOF JOIN o ON grid.user_id = o.user_id AND grid_us >= o.us""".stripMargin,
+
+    // two native ASOF joins bracket each grid instant (>= for prev — an
+    // exact hit IS its own prev — and strict < for next, mirroring the
+    // engine's frame semantics); the interpolation expression is
+    // op-for-op the engine's, so doubles are bit-identical
+    "q_resample_linear" ->
+      """WITH o0 AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |o AS (SELECT user_id, us, CAST(value AS DOUBLE) AS value FROM o0 WHERE rn = 1),
+        |b AS (SELECT user_id, min(us) AS lo, max(us) AS hi FROM o GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(((lo + 21599999999) // 21600000000) * 21600000000, hi, 21600000000)) AS grid_us
+        |  FROM b),
+        |pv AS (SELECT grid.user_id, grid_us, o.us AS t0, o.value AS v0
+        |       FROM grid ASOF JOIN o ON grid.user_id = o.user_id AND grid_us >= o.us),
+        |nx AS (SELECT grid.user_id, grid_us, o.us AS t1, o.value AS v1
+        |       FROM grid ASOF LEFT JOIN o ON grid.user_id = o.user_id AND grid_us < o.us)
+        |SELECT pv.user_id, pv.grid_us,
+        |  CASE WHEN nx.t1 IS NULL OR pv.t0 = pv.grid_us THEN pv.v0
+        |       ELSE pv.v0 + (nx.v1 - pv.v0) *
+        |         (CAST(pv.grid_us - pv.t0 AS DOUBLE) / CAST(nx.t1 - pv.t0 AS DOUBLE))
+        |  END AS value
+        |FROM pv JOIN nx ON pv.user_id = nx.user_id AND pv.grid_us = nx.grid_us""".stripMargin,
 
     // OD flows / dwell episodes: first-match label CASE + lag windows in
     // SQL, integer-exact counts and µs dwell on both sides

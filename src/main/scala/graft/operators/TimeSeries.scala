@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
 
   private val Reserved = Seq("__us", "__ord", "__payload", "__lo", "__hi",
-    "__grid", "__carry", "grid_us")
+    "__grid", "__carry", "__prev", "__next", "__v", "grid_us")
 
   /** One row per `stepMicros` grid instant per entity, from the entity's
     * first observation rounded UP to the grid through its last, carrying
@@ -64,5 +64,62 @@ object TimeSeries {
       .where(col("__grid") === 1)
       .select(Seq(col(idCol), col("__us").as("grid_us")) ++
         carryCols.map(c => col(s"__carry.$c").as(c)): _*)
+  }
+
+  /** Linear-interpolation resampling: like [[resampleCarryForward]] but
+    * each grid instant takes `v0 + (v1 - v0) * ((t - t0) / (t1 - t0))`
+    * between its bracketing observations — the feature-grid builder for
+    * continuous signals. An instant landing exactly on an observation (or
+    * on the entity's last one) takes that observation's value verbatim.
+    * The formula is evaluated in the same IEEE double op order on the
+    * engine and the SQL oracle (integer-µs deltas cast to double, one
+    * division, one multiply, one add), so results are hash-exact —
+    * no tolerance anywhere. Duplicate (entity, timestamp) observations
+    * collapse to the max-`orderCol` row first, as in carry-forward.
+    *
+    * Distributed shape: identical to carry-forward — executor-side
+    * sequence() grid, one union, ONE entity-time exchange+sort shared by
+    * the forward (last at-or-before) and backward (first strictly-after)
+    * frame passes. Output: (idCol, grid_us, valueCol). */
+  def resampleLinear(points: DataFrame, idCol: String, tsCol: String,
+                     orderCol: String, valueCol: String,
+                     stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"stepMicros must be positive: $stepMicros")
+    val clash = points.columns.filter(Reserved.contains)
+    require(clash.isEmpty, s"resampleLinear reserves ${Reserved.mkString(", ")}; " +
+      s"rename: ${clash.mkString(", ")}")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val obs = points
+      .select(col(idCol), us.as("__us"), col(orderCol).as("__ord"),
+        col(valueCol).cast("double").as("__v"))
+      .groupBy(col(idCol), col("__us"))
+      .agg(max_by(col("__v"), col("__ord")).as("__v"))
+    val bounds = obs.groupBy(col(idCol))
+      .agg(min(col("__us")).as("__lo"), max(col("__us")).as("__hi"))
+    val grid = bounds.select(col(idCol),
+      explode(sequence(
+        expr(s"((__lo + ${stepMicros - 1}) div $stepMicros) * $stepMicros"),
+        col("__hi"), lit(stepMicros))).as("__us"))
+    val merged = grid
+      .select(col(idCol), col("__us"), lit(1).as("__grid"),
+        lit(null).cast("struct<u:bigint,v:double>").as("__payload"))
+      .unionByName(obs.select(col(idCol), col("__us"), lit(0).as("__grid"),
+        struct(col("__us").as("u"), col("__v").as("v")).as("__payload")))
+    // observations sort BEFORE a grid instant at the same µs: the forward
+    // frame sees an exactly-on-grid observation (t0 = t), the backward
+    // frame does not (t1 is the first STRICTLY later observation)
+    val ord = Window.partitionBy(idCol).orderBy(col("__us"), col("__grid"))
+    val wf = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged
+      .withColumn("__prev", last(col("__payload"), ignoreNulls = true).over(wf))
+      .withColumn("__next", first(col("__payload"), ignoreNulls = true).over(wb))
+      .where(col("__grid") === 1)
+      .select(col(idCol), col("__us").as("grid_us"),
+        when(col("__next").isNull || col("__prev.u") === col("__us"), col("__prev.v"))
+          .otherwise(col("__prev.v") + (col("__next.v") - col("__prev.v")) *
+            ((col("__us") - col("__prev.u")).cast("double") /
+              (col("__next.u") - col("__prev.u")).cast("double")))
+          .as(valueCol))
   }
 }
