@@ -673,6 +673,20 @@ object SparkEntry {
           "duration_micros")
     }),
 
+    // the streaming twin of q_speed_flags, run in batch mode over the SAME
+    // input — identical semantics (first-sighting null rows included),
+    // identical oracle
+    "q_speed_flags_stream" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      graft.streaming.EventStreams
+        .speedFlagsStream(pts, "user_id", "ts", "event_id", "lat", "lon",
+          maxSpeedMps = 340L)
+        .select(col("entity_id").as("user_id"), col("order").as("event_id"),
+          col("seg_m"), col("dt_micros"), col("is_jump"))
+    }),
+
     // which users' tracks visit each query region (vertex semantics)
     "q_traj_region" -> ((s, dir) => {
       val pts = events(s, dir)
@@ -1697,6 +1711,26 @@ object SparkEntry {
   /** Brute-force spatio-temporal pairs: all-pairs haversine + exact
     * integer-microsecond time-window predicate. Shared by q_st_join and
     * its stream-stream twin q_st_join_stream. */
+  /** Shared oracle of q_speed_flags and its streaming twin. */
+  private lazy val SpeedFlagsOracleSql: String = {
+    val evLat = latSqlFor("event_id")
+    val evLon = lonSqlFor("event_id")
+    val d = haversineExpr("plat", "plon", "lat", "lon")
+    s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events),
+       |s AS (SELECT user_id, event_id,
+       |        lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lat, lon,
+       |        epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_micros
+       |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id,
+       |  CASE WHEN plat IS NULL THEN NULL
+       |       ELSE CAST(round($d) AS BIGINT) END AS seg_m,
+       |  dt_micros,
+       |  COALESCE(CASE WHEN plat IS NULL THEN NULL
+       |       ELSE CAST(round($d) AS BIGINT) END * 1000000 > 340 * dt_micros,
+       |    false) AS is_jump
+       |FROM s""".stripMargin
+  }
+
   private lazy val StJoinOracleSql: String = {
     val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
     s"""WITH pts AS (SELECT event_id AS id, epoch_us(ts) AS tus,
@@ -1871,24 +1905,10 @@ object SparkEntry {
     // same integer contract as the engine: rounded-meter segment × 10⁶ vs
     // maxSpeed × exact-µs gap — the only fp input is the haversine, whose
     // rounding-boundary margin TrajectorySpec pins
-    "q_speed_flags" -> {
-      val evLat = latSqlFor("event_id")
-      val evLon = lonSqlFor("event_id")
-      val d = haversineExpr("plat", "plon", "lat", "lon")
-      s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events),
-         |s AS (SELECT user_id, event_id,
-         |        lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lat, lon,
-         |        epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_micros
-         |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         |SELECT user_id, event_id,
-         |  CASE WHEN plat IS NULL THEN NULL
-         |       ELSE CAST(round($d) AS BIGINT) END AS seg_m,
-         |  dt_micros,
-         |  COALESCE(CASE WHEN plat IS NULL THEN NULL
-         |       ELSE CAST(round($d) AS BIGINT) END * 1000000 > 340 * dt_micros,
-         |    false) AS is_jump
-         |FROM s""".stripMargin
-    },
+    "q_speed_flags" -> SpeedFlagsOracleSql,
+
+    // the streaming twin has identical semantics, so the identical oracle
+    "q_speed_flags_stream" -> SpeedFlagsOracleSql,
 
     // brute-force symmetric Hausdorff: max-of-min over all cross point
     // pairs per user pair — min/max pick elements, so the only fp-order

@@ -246,6 +246,77 @@ object EventStreams {
       }
   }
 
+  final case class SpeedPoint(entity_id: Long, ts: Timestamp, order: Long,
+                              lat: Double, lon: Double)
+
+  final case class SpeedState(lastUs: Long, lastOrder: Long, lat: Double, lon: Double)
+
+  final case class SpeedFlag(entity_id: Long, order: Long, seg_m: Option[Long],
+                             dt_micros: Option[Long], is_jump: Boolean)
+
+  /** Streaming GPS teleport flags — the batch twin is
+    * [[graft.operators.Trajectories.speedFlags]], contract included: exact
+    * integer-µs gaps (full Timestamp precision, not ms), rounded-meter
+    * segments against the kernel haversine, and the pure-integer flag
+    * comparison. Per-entity last-point state crosses micro-batches; first
+    * sighting emits the null-segment row (exactly like batch); stale
+    * arrivals behind the emitted frontier are dropped; event-time TTL
+    * bounds state by active entities. On a finite batch input the output
+    * equals the batch operator row-for-row. */
+  def speedFlagsStream(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                       latCol: String, lonCol: String, maxSpeedMps: Long,
+                       watermarkDelay: String = "10 minutes",
+                       idleTtlMillis: Long = 24 * 3600 * 1000L): Dataset[SpeedFlag] = {
+    require(maxSpeedMps > 0, s"maxSpeedMps must be positive, got $maxSpeedMps")
+    val spark0 = points.sparkSession
+    import spark0.implicits._
+    val isStream = points.isStreaming
+    val src0 = points.select(
+      col(idCol).cast("long").as("entity_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(orderCol).cast("long").as("order"),
+      col(latCol).cast("double").as("lat"),
+      col(lonCol).cast("double").as("lon"))
+    val src = (if (isStream) src0.withWatermark("ts", watermarkDelay) else src0).as[SpeedPoint]
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    src
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[SpeedState, SpeedFlag](
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()) {
+        case (entityId, rows, state: GroupState[SpeedState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(p => (micros(p.ts), p.order))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SpeedFlag]
+            for (p <- sorted) {
+              val us = micros(p.ts)
+              val fresh = st == null || us > st.lastUs ||
+                (us == st.lastUs && p.order > st.lastOrder)
+              if (fresh) {
+                if (st == null) out += SpeedFlag(entityId, p.order, None, None, is_jump = false)
+                else {
+                  val segM = math.round(graft.s2.S2LatLng.fromDegrees(st.lat, st.lon)
+                    .getEarthDistance(graft.s2.S2LatLng.fromDegrees(p.lat, p.lon)))
+                  val dt = us - st.lastUs
+                  out += SpeedFlag(entityId, p.order, Some(segM), Some(dt),
+                    segM * 1000000L > maxSpeedMps * dt)
+                }
+                st = SpeedState(us, p.order, p.lat, p.lon)
+              } // else: stale arrival behind the emitted frontier — dropped
+            }
+            if (isStream) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + idleTtlMillis)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
   final case class GeofenceState(lastTs: Long, lastOrder: Long, flags: Seq[Boolean])
 
   final case class GeofenceTransition(entity_id: Long, order: Long,

@@ -300,6 +300,43 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming speedFlags across batches == the batch operator row-for-row") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def geo(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
+
+    val events = (0 until 300).map(i => Event(i.toLong, ts(i), i % 5, "move", 0.0))
+    val input = MemoryStream[Event]
+    input.addData(events.take(97): _*)   // odd split: segments cross batches
+    input.addData(events.slice(97, 201): _*)
+    input.addData(events.drop(201): _*)
+
+    val query = graft.streaming.EventStreams
+      .speedFlagsStream(geo(input.toDF()), "user_id", "ts", "event_id", "lat", "lon", 41000L)
+      .writeStream.format("memory").queryName("speed_xbatch")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql("SELECT entity_id, order, seg_m, dt_micros, is_jump FROM speed_xbatch")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))).toMap
+      val expected = graft.operators.Trajectories
+        .speedFlags(geo(events.toDF()), "user_id", "ts", "event_id", "lat", "lon", 41000L)
+        .select("user_id", "event_id", "seg_m", "dt_micros", "is_jump")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))).toMap
+      assert(got === expected)
+      assert(got.values.exists(_._3) && got.values.exists(v => v._1.isDefined && !v._3),
+        "both flag classes must appear")
+    } finally query.stop()
+  }
+
   test("sessionizeBatch on the events table produces plausible sessions") {
     val df = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
     val sessions = EventStreams.sessionizeBatch(df)
