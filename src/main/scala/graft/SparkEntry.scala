@@ -786,6 +786,16 @@ object SparkEntry {
         .select("total_points")
     }),
 
+    // web-mercator (slippy z/x/y) tile counts at zoom 6 with the Bing
+    // quadkey — the serving-side tiling scheme beside S2. The tile indices
+    // are floor decisions over an explicit IEEE double sequence mirrored op
+    // for op in the oracle (no radians(): the two engines' radians() may
+    // associate differently); WebMercatorSpec pins the floor-margin
+    // precondition over the full sf0.01 grid
+    "q_zxy_tiles" -> ((s, dir) =>
+      Tiling.zxyAssign(points(s, dir), "lat", "lon", 6)
+        .groupBy("zx", "zy", "quadkey").agg(count(lit(1)).as("n"))),
+
     // --- clustered storage layout, exercised end to end: write the points
     // spatially clustered (hive-partitioned by coarse tile, sorted by leaf
     // cell), read back ONLY the partitions/row-ranges overlapping the
@@ -1180,6 +1190,25 @@ object SparkEntry {
           hexPolyTable(s, dir), "region_id", "lats", "lons", level = 6)
         .select("region_id", "o_orderkey")),
 
+    // PIP ANTI join: points contained by NO polygon of the table (the
+    // exclusion-zone curation filter) — exact complement of
+    // q_poly_table_join over o_orderkey
+    "q_pip_anti" -> ((s, dir) =>
+      SpatialJoin.polygonPipAntiJoin(
+          points(s, dir).select("o_orderkey", "lat", "lon"),
+          "o_orderkey", "lat", "lon",
+          hexPolyTable(s, dir), "region_id", "lats", "lons", level = 6)
+        .select("o_orderkey")),
+
+    // zonal statistics: per-region point count + integer-exact value sum
+    // with the aggregation PUSHED BELOW the join for interior cells —
+    // interior points collapse to per-tile partials before any join, only
+    // the boundary shell runs the per-point refine
+    "q_zonal_stats" -> ((s, dir) =>
+      SpatialJoin.zonalStats(points(s, dir).select("o_orderkey", "lat", "lon"),
+        "lat", "lon", "o_orderkey",
+        hexPolyTable(s, dir), "region_id", "lats", "lons", level = 6)),
+
     // k nearest REGIONS within 500 km of each point (0 inside, boundary
     // distance outside): the region form of kNN, ranked per point by
     // (distance, region_id)
@@ -1392,6 +1421,20 @@ object SparkEntry {
           min(element_at(col("embedding"), 1)).as("min_e1"),
           max(element_at(col("embedding"), 1)).as("max_e1"))
         .orderBy("label")),
+
+    // one-scan data-quality gate: five expectation rules over documents in
+    // a single global aggregate (no per-rule scans, nothing per-row on the
+    // driver); violation counts are integer-exact
+    "q_validate" -> ((s, dir) =>
+      Validation.validate(documents(s, dir), Seq(
+        "doc_id_null" -> col("doc_id").isNull,
+        "text_null" -> col("text").isNull,
+        "nchars_mismatch" -> (col("text").isNotNull &&
+          (col("n_chars").isNull || col("n_chars") =!= length(col("text")))),
+        "lang_unknown" -> (col("lang").isNull ||
+          !col("lang").isin("en", "zh", "es", "de", "fr")),
+        "nchars_range" -> (col("n_chars").isNull ||
+          col("n_chars") < 1L || col("n_chars") > 100000L)))),
 
     // --- text analysis ---
     "q_text_stats" -> ((s, dir) =>
@@ -2025,6 +2068,22 @@ object SparkEntry {
 
     "q_tile_counts" -> "SELECT count(*) AS total_points FROM orders",
 
+    // the zxyAssign arithmetic replayed op for op (explicit lat*pi()/180,
+    // ln/tan/cos in the identical order, floor then BIGINT clamp) plus the
+    // bit-exact quadkey digits; WebMercatorSpec pins the floor margin
+    "q_zxy_tiles" -> {
+      val quadkey = (5 to 0 by -1).map(i =>
+        s"CAST(((zx >> $i) & 1) + ((zy >> $i) & 1) * 2 AS VARCHAR)").mkString("concat(", ", ", ")")
+      s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
+         |c AS (SELECT least(85.05112878, greatest(-85.05112878, lat)) AS latc, lon FROM pts),
+         |t AS (SELECT
+         |  least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) AS zx,
+         |  least(63, greatest(0, CAST(floor((1.0 - ln(tan(latc * pi() / 180.0)
+         |    + 1.0 / cos(latc * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT))) AS zy
+         | FROM c)
+         |SELECT zx, zy, $quadkey AS quadkey, count(*) AS n FROM t GROUP BY 1, 2, 3""".stripMargin
+    },
+
     "q_clustered_scan" -> {
       val (_, latLo, latHi, lonLo, lonHi) = SparkEntryRegions.rectBounds.head // r_europe
       s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
@@ -2409,6 +2468,38 @@ object SparkEntry {
          |${branches.mkString("\nUNION ALL\n")}""".stripMargin
     },
 
+    // exact complement of q_poly_table_join: in NO hexagon (same inlined
+    // edge-plane normals, same margin precondition)
+    "q_pip_anti" -> {
+      val disjuncts = HexPolys.map { case (_, verts, center) => convexLoopSql(verts, center) }
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |xyz AS (SELECT o_orderkey,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts)
+         |SELECT o_orderkey FROM xyz
+         | WHERE NOT (${disjuncts.mkString("\n  OR ")})""".stripMargin
+    },
+
+    // q_poly_table_join's membership rows grouped per region: count +
+    // integer-exact key sum (the interior-pushdown plan changes the
+    // shuffle, never the rows)
+    "q_zonal_stats" -> {
+      val branches = HexPolys.map { case (k, verts, center) =>
+        s"""SELECT CAST($k AS BIGINT) AS region_id, o_orderkey FROM xyz
+           | WHERE ${convexLoopSql(verts, center)}""".stripMargin
+      }
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |xyz AS (SELECT o_orderkey,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts),
+         |hits AS (${branches.mkString("\nUNION ALL\n")})
+         |SELECT region_id, count(*) AS n_points,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_value
+         |FROM hits GROUP BY region_id""".stripMargin
+    },
+
     // per-region distance = 0 inside the convex loop (edge-plane test),
     // else the min over its edges of the kernel-transcribed distance CASE
     // (same machinery as q_polyline_join); rank per point by (dist,
@@ -2635,6 +2726,25 @@ object SparkEntry {
     "q_embed_stats" ->
       """SELECT label, count(*) AS cnt, min(embedding[1]) AS min_e1, max(embedding[1]) AS max_e1
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    // each rule's violation predicate recomputed as a CASE sum; UNION ALL
+    // branch per rule (text is ASCII here so length() agrees; the engine
+    // rule is null-safe the same way)
+    "q_validate" -> {
+      val rules = Seq(
+        "doc_id_null" -> "doc_id IS NULL",
+        "text_null" -> "text IS NULL",
+        "nchars_mismatch" ->
+          "(text IS NOT NULL AND (n_chars IS NULL OR n_chars != length(text)))",
+        "lang_unknown" ->
+          "(lang IS NULL OR lang NOT IN ('en', 'zh', 'es', 'de', 'fr'))",
+        "nchars_range" -> "(n_chars IS NULL OR n_chars < 1 OR n_chars > 100000)")
+      rules.map { case (n, pred) =>
+        s"""SELECT '$n' AS rule,
+           | CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           | count(*) AS n_rows FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
 
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,

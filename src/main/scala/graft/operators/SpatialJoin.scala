@@ -537,6 +537,101 @@ object SpatialJoin {
       .drop("__ptile", "__cell", "__interior", "__rlats", "__rlons")
   }
 
+  /** PIP ANTI join: the points contained by NO polygon of the table — the
+    * exclusion-zone filter of a curation pipeline ("drop every image
+    * geotagged inside any embargoed region"). Semantics are the exact
+    * complement of [[polygonPipJoin]] over `pointIdCol`.
+    *
+    * Scale shape: the matched-id set is produced by the covering equi-join
+    * (only ids + tiles shuffle, interior fast path skips the refine), is
+    * deduplicated with partial aggregation, and is then subtracted with a
+    * LEFT ANTI join on the point key. When few points match — the common
+    * exclusion-zone case — AQE broadcasts the matched set and the
+    * subtraction costs no shuffle of the point table; in the worst case it
+    * is one key-partitioned exchange, the same class as any equi-join.
+    *
+    * @param pointIdCol a unique point key (the subtraction joins on it) */
+  def polygonPipAntiJoin(points: DataFrame, pointIdCol: String,
+                         latCol: String, lonCol: String,
+                         polys: DataFrame, idCol: String,
+                         latsCol: String, lonsCol: String,
+                         level: Int = 8): DataFrame = {
+    val matched = polygonPipJoin(
+        points.select(col(pointIdCol), col(latCol), col(lonCol)),
+        latCol, lonCol, polys, idCol, latsCol, lonsCol, level)
+      .select(col(pointIdCol)).distinct()
+    points.join(matched, Seq(pointIdCol), "left_anti")
+  }
+
+  /** Zonal statistics: per-region count + sum over the points each polygon
+    * contains — the raster/vector aggregation a geo pipeline runs to score
+    * regions (images per country, revenue per zone) — with the aggregation
+    * PUSHED BELOW the join for interior cells.
+    *
+    * The naive plan ([[polygonPipJoin]] then groupBy) shuffles every
+    * matched POINT row to its region. Here interior-cell points never
+    * shuffle at all: one partial+final hash aggregation collapses the
+    * point table to per-tile (count, sum) partials — at most 6·4^level
+    * rows regardless of input size — and only those partials join the
+    * interior raster. Boundary cells (the thin shell where exactness
+    * needs the per-point `s2_loop_contains` refine) fall back to the
+    * per-point path, which the broadcast raster filters map-side. At
+    * 100 TB the shuffled bytes are ~|distinct tiles| + |boundary-shell
+    * points|, not |matched points|.
+    *
+    * `valueCol` must be integral (the sums stay integer-exact and
+    * engine-order-independent); outputs `region_id, n_points, sum_value`,
+    * regions with no contained point absent. */
+  def zonalStats(points: DataFrame, latCol: String, lonCol: String,
+                 valueCol: String,
+                 polys: DataFrame, idCol: String,
+                 latsCol: String, lonsCol: String,
+                 level: Int = 8): DataFrame = {
+    val reserved = Seq("__ptile", "__cell", "__interior", "__rlats", "__rlons", "__rc",
+      "__n", "__sum", "region_id")
+    val collisions = (points.columns ++ polys.columns.filterNot(_ == idCol))
+      .filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"zonalStats: reserved column name(s) in input: ${collisions.mkString(", ")}")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val valueType = points.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(valueType),
+      s"zonalStats: valueCol must be integral for exact sums, got $valueType")
+
+    val raster = polys
+      .select(col(idCol).as("region_id"), col(latsCol).as("__rlats"),
+        col(lonsCol).as("__rlons"),
+        explode(s2_polygon_covering(col(latsCol), col(lonsCol), level)).as("__rc"))
+      .select(col("region_id"),
+        col("__rc.cell").as("__cell"), col("__rc.interior").as("__interior"),
+        when(!col("__rc.interior"), col("__rlats")).as("__rlats"),
+        when(!col("__rc.interior"), col("__rlons")).as("__rlons"))
+
+    val pts = points
+      .select(col(latCol), col(lonCol), col(valueCol))
+      .withColumn("__ptile", s2_tile(col(latCol), col(lonCol), level))
+
+    // interior push-down: per-tile partials first, then the tiny tile->region join
+    val tileAgg = pts.groupBy("__ptile")
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).cast("long").as("__sum"))
+    val interiorPart = tileAgg
+      .join(raster.where(col("__interior")).select(col("region_id"), col("__cell")),
+        col("__ptile") === col("__cell"))
+      .select(col("region_id"), col("__n"), col("__sum"))
+
+    // boundary shell: exact per-point refine, already pre-filtered map-side
+    // by the (broadcastable) boundary raster before anything aggregates
+    val boundaryPart = pts
+      .join(raster.where(!col("__interior")), col("__ptile") === col("__cell"))
+      .where(s2_loop_contains(col("__rlats"), col("__rlons"), col(latCol), col(lonCol)))
+      .groupBy("region_id")
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).cast("long").as("__sum"))
+
+    interiorPart.unionByName(boundaryPart)
+      .groupBy("region_id")
+      .agg(sum("__n").as("n_points"), sum("__sum").as("sum_value"))
+  }
+
   /** [[polygonPipJoin]] for HETEROGENEOUS polygon catalogs: each polygon
     * row picks its own covering level (the finest of `quantizeLevels`
     * whose estimated covering fits `targetCells`), so a continent and a

@@ -63,6 +63,47 @@ object Tiling {
       .parquet(outDir)
   }
 
+  /** Web-mercator (slippy z/x/y) tile assignment — the OTHER public tiling
+    * scheme image-serving pipelines use beside S2: zoom-z tile coordinates
+    * `zx = floor((lon+180)/360 * 2^z)` and
+    * `zy = floor((1 - ln(tan(phi) + 1/cos(phi)) / pi) / 2 * 2^z)` with
+    * latitude clamped to the square-mercator cut (±85.05112878°, where
+    * `zy` is exactly 0 / 2^z in exact arithmetic, so clamped rows land on
+    * the edge tile under any ≤1-ulp libm divergence) and both indices
+    * clamped into [0, 2^z-1]. Also emits the Bing-style base-4 `quadkey`
+    * (z digits, digit i = 2·bit_i(zy) + bit_i(zx)) — the string key tile
+    * caches shard on.
+    *
+    * Every step is a built-in expression (one whole-stage-codegen span,
+    * zero exchanges) written as an explicit IEEE sequence — `lat*pi/180`,
+    * never `radians()` — so the DuckDB oracle can replay the identical
+    * double arithmetic op for op; the only cross-engine hazard is a ≤1-ulp
+    * `tan`/`ln` divergence flipping a `floor`, which needs a fractional
+    * part within ~1e-13 of an integer — WebMercatorSpec pins the actual
+    * minimum margin of the derived grid (≥1e-6) at sf0.01. */
+  def zxyAssign(df: DataFrame, latCol: String, lonCol: String, z: Int): DataFrame = {
+    require(z >= 0 && z <= 30, s"zoom out of range: $z")
+    val n = (1L << z).toDouble
+    val maxIdx = (1L << z) - 1L
+    val latc = least(lit(85.05112878), greatest(lit(-85.05112878), col(latCol)))
+    val phi = latc * lit(math.Pi) / lit(180.0)
+    val xf = (col(lonCol) + lit(180.0)) / lit(360.0) * lit(n)
+    val yf = (lit(1.0) - log(tan(phi) + lit(1.0) / cos(phi)) / lit(math.Pi)) / lit(2.0) * lit(n)
+    df.withColumn("zx", least(lit(maxIdx), greatest(lit(0L), floor(xf))))
+      .withColumn("zy", least(lit(maxIdx), greatest(lit(0L), floor(yf))))
+      .withColumn("quadkey", zxyQuadkey(col("zx"), col("zy"), z))
+  }
+
+  /** Base-4 quadkey of a (zx, zy) tile at zoom `z`: most-significant bit
+    * first, digit = 2·ybit + xbit. Pure bit arithmetic — exact in any
+    * engine. */
+  def zxyQuadkey(zx: Column, zy: Column, z: Int): Column =
+    if (z == 0) lit("")
+    else concat((z - 1 to 0 by -1).map { i =>
+      (shiftright(zx, i).bitwiseAND(lit(1L)) +
+        shiftright(zy, i).bitwiseAND(lit(1L)) * lit(2L)).cast("string")
+    }: _*)
+
   final case class MergeStats(touchedPartitions: Int, removedPartitions: Int,
                               stagedRows: Long)
   final case class CompactStats(compactedPartitions: Int, filesBefore: Int,

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tiling
+
+/** Web-mercator (slippy z/x/y + quadkey) tiling: brute-force equality
+  * against a driver-side replay of the same IEEE sequence, the
+  * floor-margin precondition of the q_zxy_tiles oracle, and the clamp
+  * behavior at the mercator cut / tile-range edges. */
+class WebMercatorSpec extends SparkTestBase {
+
+  private val Cut = 85.05112878
+
+  /** The zxyAssign arithmetic, replayed on the driver with the same
+    * java.lang.Math calls the codegen'd expressions compile to. */
+  private def zxyRef(lat: Double, lon: Double, z: Int): (Long, Long, String) = {
+    val n = (1L << z).toDouble
+    val maxIdx = (1L << z) - 1L
+    val latc = math.min(Cut, math.max(-Cut, lat))
+    val phi = latc * math.Pi / 180.0
+    val xf = (lon + 180.0) / 360.0 * n
+    val yf = (1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.Pi) / 2.0 * n
+    val x = math.min(maxIdx, math.max(0L, math.floor(xf).toLong))
+    val y = math.min(maxIdx, math.max(0L, math.floor(yf).toLong))
+    val qk = (z - 1 to 0 by -1).map(i =>
+      (((x >> i) & 1L) + ((y >> i) & 1L) * 2L).toString).mkString
+    (x, y, qk)
+  }
+
+  test("zxyAssign == driver replay over the sf0.001 grid (zooms 3, 6, 11)") {
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("o_orderkey", "lat", "lon")
+    for (z <- Seq(3, 6, 11)) {
+      val got = Tiling.zxyAssign(pts, "lat", "lon", z)
+        .select("lat", "lon", "zx", "zy", "quadkey").collect()
+      assert(got.nonEmpty)
+      for (r <- got) {
+        val (x, y, qk) = zxyRef(r.getDouble(0), r.getDouble(1), z)
+        assert(r.getLong(2) == x && r.getLong(3) == y && r.getString(4) == qk,
+          s"z=$z (${r.getDouble(0)}, ${r.getDouble(1)}): " +
+            s"got (${r.getLong(2)}, ${r.getLong(3)}, ${r.getString(4)}) want ($x, $y, $qk)")
+      }
+    }
+  }
+
+  test("oracle floor margin: no sf0.01 zy fraction within 1e-9 of an in-range boundary (z=6)") {
+    // engine (Java Math) and DuckDB (libm) tan/ln can differ by ~1 ulp; a
+    // floor flip needs the pre-floor value within ~1e-13 of an integer in
+    // [1, 63] (boundaries 0 and 64 are clamp-safe: both outcomes clamp to
+    // the same edge tile). xf needs no margin — its arithmetic is
+    // transcendental-free and op-for-op identical.
+    // exception: lat == 0.0 exactly (the grid is hundredths of degrees, so
+    // equator rows exist) gives yf = 32.0 through an ALL-EXACT chain in any
+    // IEEE engine — 0*pi/180 = 0, tan(0) = 0, cos(0) = 1, 1/1 = 1,
+    // 0+1 = 1, ln(1) = 0, (1-0)/2*64 = 32, every step exact — so both
+    // engines floor the identical 32.0 and no divergence is possible.
+    val latLons = SparkEntry.points(spark, sf("sf0.01")).select("lat").collect()
+    var minMargin = Double.MaxValue
+    var inRange = 0
+    var equator = 0
+    for (r <- latLons) {
+      val lat = r.getDouble(0)
+      val latc = math.min(Cut, math.max(-Cut, lat))
+      val phi = latc * math.Pi / 180.0
+      val yf = (1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.Pi) / 2.0 * 64.0
+      val nearest = math.rint(yf)
+      if (lat == 0.0) {
+        equator += 1
+        assert(yf == 32.0, s"equator row did not hit the exact midline: yf=$yf")
+      } else if (nearest >= 1.0 && nearest <= 63.0) {
+        inRange += 1
+        val m = math.abs(yf - nearest)
+        if (m < minMargin) minMargin = m
+      }
+    }
+    info(f"min |yf - rint(yf)| over $inRange in-range points ($equator exact-equator rows) = $minMargin%.3e")
+    assert(minMargin > 1e-9)
+  }
+
+  test("clamps: poles land on edge rows, lon extremes stay in range, z=0 is the root") {
+    import spark.implicits._
+    val df = Seq((90.0, 0.0), (-90.0, 0.0), (0.0, -180.0), (0.0, 179.999), (Cut, 5.0), (-Cut, 5.0))
+      .toDF("lat", "lon")
+    val rows = Tiling.zxyAssign(df, "lat", "lon", 4)
+      .select("zx", "zy").as[(Long, Long)].collect()
+    assert(rows.forall { case (x, y) => x >= 0 && x <= 15 && y >= 0 && y <= 15 })
+    assert(rows(0)._2 == 0L && rows(1)._2 == 15L)  // poles -> top / bottom row
+    assert(rows(2)._1 == 0L && rows(3)._1 == 15L)  // lon extremes -> first / last col
+    val root = Tiling.zxyAssign(df, "lat", "lon", 0)
+      .select("zx", "zy", "quadkey").as[(Long, Long, String)].collect()
+    assert(root.forall(r => r._1 == 0L && r._2 == 0L && r._3 == ""))
+  }
+
+  test("quadkey has z digits and nests: the zoom-5 quadkey prefixes the zoom-8 one") {
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon").limit(500)
+    val joined = Tiling.zxyAssign(pts, "lat", "lon", 5)
+      .withColumnRenamed("quadkey", "qk5").drop("zx", "zy")
+    val rows = Tiling.zxyAssign(joined, "lat", "lon", 8)
+      .select("qk5", "quadkey").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getString(0).length == 5 && r.getString(1).length == 8)
+      assert(r.getString(1).startsWith(r.getString(0)),
+        s"zoom-8 quadkey ${r.getString(1)} does not nest under zoom-5 ${r.getString(0)}")
+    }
+  }
+}
