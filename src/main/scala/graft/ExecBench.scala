@@ -65,6 +65,27 @@ object ExecBench {
     t("trackBounds       ") {
       Trajectories.trackBounds(trk.toDF(), "user_id", "lat", "lon").count()
     }
+    // wave-5/6 additions at the same 100M-point scale
+    import graft.operators.Tiling
+    t("zonalStats 25     ") {
+      SpatialJoin.zonalStats(pts.toDF(), "lat", "lon", "id",
+        hexDf, "region_id", "lats", "lons", level = 6).count()
+    }
+    t("pipAntiJoin 25    ") {
+      SpatialJoin.polygonPipAntiJoin(pts.toDF(), "id", "lat", "lon",
+        hexDf, "region_id", "lats", "lons", level = 6).count()
+    }
+    t("zxyAssign z12     ") {
+      Tiling.zxyAssign(pts.toDF(), "lat", "lon", 12)
+        .agg(sum(col("zx") + col("zy")), sum(length(col("quadkey")))).collect(); 100000000L
+    }
+    t("geohashEncode p6  ") {
+      Tiling.geohashEncode(pts.toDF(), "lat", "lon", 6)
+        .agg(sum(length(col("geohash")))).collect(); 100000000L
+    }
+    t("zxySmooth z10     ") {
+      Tiling.zxyNeighborhoodCounts(pts.toDF(), "lat", "lon", 10).count()
+    }
     spark.stop()
   }
 }

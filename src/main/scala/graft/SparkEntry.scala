@@ -796,6 +796,22 @@ object SparkEntry {
       Tiling.zxyAssign(points(s, dir), "lat", "lon", 6)
         .groupBy("zx", "zy", "quadkey").agg(count(lit(1)).as("n"))),
 
+    // 3x3 neighborhood rollup on the zoom-6 mercator grid (the heatmap
+    // convolution): per occupied tile, own count + 9-tile total with
+    // antimeridian x-wrap and mercator-cut y-clamp. Counts collapse
+    // per-tile BEFORE the x9 explode, so only the bounded tile table ever
+    // re-shuffles; same floor-margin precondition as q_zxy_tiles
+    "q_zxy_smooth" -> ((s, dir) =>
+      Tiling.zxyNeighborhoodCounts(points(s, dir), "lat", "lon", 6)),
+
+    // geohash (precision 5) tile counts — the third public tiling scheme.
+    // Unlike q_zxy_tiles the arithmetic is transcendental-free, so the
+    // DuckDB replay is bit-exact with no margin precondition; GeohashSpec
+    // checks the encoder against an independent interval-halving reference
+    "q_geohash" -> ((s, dir) =>
+      Tiling.geohashEncode(points(s, dir), "lat", "lon", 5)
+        .groupBy("geohash").agg(count(lit(1)).as("n"))),
+
     // --- clustered storage layout, exercised end to end: write the points
     // spatially clustered (hive-partitioned by coarse tile, sorted by leaf
     // cell), read back ONLY the partitions/row-ranges overlapping the
@@ -2082,6 +2098,50 @@ object SparkEntry {
          |    + 1.0 / cos(latc * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT))) AS zy
          | FROM c)
          |SELECT zx, zy, $quadkey AS quadkey, count(*) AS n FROM t GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // the same zoom-6 tile arithmetic as q_zxy_tiles, then the 3x3
+    // neighborhood as a self-join: x adjacency modulo 64 (wrap), y
+    // adjacency by abs (clamp falls out — out-of-range rows don't exist)
+    "q_zxy_smooth" ->
+      s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
+         |c AS (SELECT least(85.05112878, greatest(-85.05112878, lat)) AS latc, lon FROM pts),
+         |g AS (SELECT
+         |  least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) AS zx,
+         |  least(63, greatest(0, CAST(floor((1.0 - ln(tan(latc * pi() / 180.0)
+         |    + 1.0 / cos(latc * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT))) AS zy
+         | FROM c),
+         |t AS (SELECT zx, zy, count(*) AS n FROM g GROUP BY 1, 2)
+         |SELECT a.zx, a.zy, a.n, CAST(sum(b.n) AS BIGINT) AS n_hood
+         |FROM t a JOIN t b
+         |  ON ((b.zx - a.zx + 64) % 64) IN (0, 1, 63) AND abs(b.zy - a.zy) <= 1
+         |GROUP BY a.zx, a.zy, a.n""".stripMargin,
+
+    // geohashEncode replayed bit for bit: same floor arithmetic (pure IEEE
+    // +, /, * by a power of two — no transcendentals, so no margin needed),
+    // same static lon-first bit interleave, same base-32 alphabet lookup
+    "q_geohash" -> {
+      val precision = 5
+      val total = 5 * precision
+      val lonBits = (total + 1) / 2
+      val latBits = total / 2
+      val chars = (0 until precision).map { c =>
+        val bits = (0 until 5).map { t =>
+          val j = 5 * c + t
+          val (axis, bit) =
+            if (j % 2 == 0) ("li", lonBits - 1 - j / 2) else ("ti", latBits - 1 - j / 2)
+          s"((($axis >> $bit) & 1) << ${4 - t})"
+        }.mkString(" + ")
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST($bits AS INTEGER) + 1, 1)"
+      }.mkString("concat(", ", ", ")")
+      s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
+         |idx AS (SELECT
+         |  least(${(1L << lonBits) - 1}, greatest(0,
+         |    CAST(floor((lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble}) AS BIGINT))) AS li,
+         |  least(${(1L << latBits) - 1}, greatest(0,
+         |    CAST(floor((lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT))) AS ti
+         | FROM pts)
+         |SELECT $chars AS geohash, count(*) AS n FROM idx GROUP BY 1""".stripMargin
     },
 
     "q_clustered_scan" -> {

@@ -104,6 +104,108 @@ object Tiling {
         shiftright(zy, i).bitwiseAND(lit(1L)) * lit(2L)).cast("string")
     }: _*)
 
+  /** The geohash base-32 alphabet (public Gustavo-Niemeyer scheme). */
+  private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Bit layout of a `precision`-char geohash: 5·precision bits, longitude
+    * first, strictly alternating. Returns for each output bit position
+    * (MSB first) whether it is a longitude bit and which bit of the
+    * per-axis integer index it reads (MSB first within the axis too). */
+  private def geohashBitPlan(precision: Int): (Int, Int, Seq[(Boolean, Int)]) = {
+    val total = 5 * precision
+    val lonBits = (total + 1) / 2
+    val latBits = total / 2
+    val plan = (0 until total).map { j =>
+      if (j % 2 == 0) (true, lonBits - 1 - j / 2) else (false, latBits - 1 - j / 2)
+    }
+    (lonBits, latBits, plan)
+  }
+
+  /** Geohash encode — the THIRD public tiling scheme beside S2 and z/x/y,
+    * and the string key geo-sharded stores prefix-range-scan on. Computed
+    * as pure floor + bit arithmetic over the axis indices
+    * `floor((lon+180)/360 · 2^lonBits)` / `floor((lat+90)/180 · 2^latBits)`
+    * (indices clamped into range, so lat=90 / lon=180 land on the last
+    * cell), bits interleaved lon-first MSB-first, 5 bits per base-32 char.
+    *
+    * Everything is a built-in expression in one whole-stage-codegen span,
+    * and — unlike [[zxyAssign]] — the arithmetic is TRANSCENDENTAL-FREE:
+    * both engines evaluate the identical IEEE sequence, so the DuckDB
+    * oracle is bit-exact with no floor-margin precondition at all. */
+  def geohashEncode(df: DataFrame, latCol: String, lonCol: String,
+                    precision: Int, out: String = "geohash"): DataFrame = {
+    require(precision >= 1 && precision <= 12, s"precision out of range: $precision")
+    val (lonBits, latBits, plan) = geohashBitPlan(precision)
+    val lonIdx = least(lit((1L << lonBits) - 1), greatest(lit(0L),
+      floor((col(lonCol) + lit(180.0)) / lit(360.0) * lit((1L << lonBits).toDouble))))
+    val latIdx = least(lit((1L << latBits) - 1), greatest(lit(0L),
+      floor((col(latCol) + lit(90.0)) / lit(180.0) * lit((1L << latBits).toDouble))))
+    val alphabet = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
+    val chars = (0 until precision).map { c =>
+      val v = (0 until 5).map { t =>
+        val (isLon, bit) = plan(5 * c + t)
+        shiftright(if (isLon) lonIdx else latIdx, bit).bitwiseAND(lit(1L)) * lit(1L << (4 - t))
+      }.reduce(_ + _)
+      element_at(alphabet, (v + lit(1L)).cast("int"))
+    }
+    df.withColumn(out, concat(chars: _*))
+  }
+
+  /** 3x3 neighborhood rollup on the web-mercator grid — the grid
+    * convolution behind heatmap smoothing and local-density scoring: for
+    * every OCCUPIED zoom-`z` tile, its own point count plus the total over
+    * itself and its 8 neighbors, with longitude WRAP at the antimeridian
+    * (zx±1 mod 2^z — tile 2^z-1 and tile 0 are adjacent) and latitude
+    * CLAMP at the mercator cut (zy neighbors outside [0, 2^z) don't
+    * exist).
+    *
+    * Scale shape: the input collapses to per-tile counts FIRST (one
+    * partial+final hash aggregation — the only pass over data rows), then
+    * the bounded tile table (≤4^z rows regardless of input size) explodes
+    * x9 into neighbor contributions and re-aggregates; the final join back
+    * to occupied tiles is equi on (zx, zy) and AQE-broadcastable. Nothing
+    * per-point ever shuffles twice. */
+  def zxyNeighborhoodCounts(df: DataFrame, latCol: String, lonCol: String,
+                            z: Int): DataFrame = {
+    require(z >= 2 && z <= 30, s"zoom out of range for a 3x3 kernel: $z")
+    val n = 1L << z
+    val tiles = zxyAssign(df, latCol, lonCol, z)
+      .groupBy("zx", "zy").agg(count(lit(1)).as("n"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      struct(((col("zx") + lit(dx.toLong) + lit(n)) % lit(n)).as("tzx"),
+        (col("zy") + lit(dy.toLong)).as("tzy"), col("n"))
+    val hood = tiles
+      .select(explode(array(offsets: _*)).as("__c"))
+      .select(col("__c.tzx").as("zx"), col("__c.tzy").as("zy"), col("__c.n"))
+      .where(col("zy") >= 0 && col("zy") < n)
+      .groupBy("zx", "zy").agg(sum("n").as("n_hood"))
+    tiles.join(hood, Seq("zx", "zy")).select("zx", "zy", "n", "n_hood")
+  }
+
+  /** Geohash decode to the CELL CENTER: inverts [[geohashEncode]]'s bit
+    * layout (chars → 5-bit values → de-interleaved axis indices → center
+    * of the axis interval). Same pure-arithmetic contract; unknown
+    * characters surface as a null index (array_position miss) rather than
+    * a wrong cell. */
+  def geohashDecode(df: DataFrame, ghCol: String, precision: Int): DataFrame = {
+    require(precision >= 1 && precision <= 12, s"precision out of range: $precision")
+    val (lonBits, latBits, plan) = geohashBitPlan(precision)
+    val alphabet = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
+    val charVals = (0 until precision).map { c =>
+      array_position(alphabet, substring(col(ghCol), c + 1, 1)) - lit(1L)
+    }
+    def axisIdx(wantLon: Boolean): Column =
+      (0 until 5 * precision).flatMap { j =>
+        val (isLon, bit) = plan(j)
+        if (isLon != wantLon) None
+        else Some(shiftright(charVals(j / 5), 4 - j % 5).bitwiseAND(lit(1L)) * lit(1L << bit))
+      }.reduce(_ + _)
+    df.withColumn("gh_lon",
+        (axisIdx(true).cast("double") + lit(0.5)) / lit((1L << lonBits).toDouble) * lit(360.0) - lit(180.0))
+      .withColumn("gh_lat",
+        (axisIdx(false).cast("double") + lit(0.5)) / lit((1L << latBits).toDouble) * lit(180.0) - lit(90.0))
+  }
+
   final case class MergeStats(touchedPartitions: Int, removedPartitions: Int,
                               stagedRows: Long)
   final case class CompactStats(compactedPartitions: Int, filesBefore: Int,

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tiling
+
+/** Geohash encode/decode: brute-force equality against an INDEPENDENT
+  * driver-side formulation (classic interval-halving, not the engine's
+  * floor+interleave arithmetic), decode-roundtrip bounds, prefix nesting,
+  * and edge clamps. */
+class GeohashSpec extends SparkTestBase {
+
+  private val Alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** The textbook bisection algorithm — structurally unlike the engine's
+    * floor((x+off)/range * 2^bits) + static bit interleave, so agreement
+    * is evidence, not tautology. */
+  private def geohashRef(lat: Double, lon: Double, precision: Int): String = {
+    var latLo = -90.0; var latHi = 90.0; var lonLo = -180.0; var lonHi = 180.0
+    var even = true; var bit = 0; var ch = 0
+    val sb = new StringBuilder
+    while (sb.length < precision) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      even = !even; bit += 1
+      if (bit == 5) { sb += Alphabet(ch); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  test("geohashEncode == interval-halving reference over the sf0.001 grid (precisions 4, 6, 9)") {
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon")
+    for (p <- Seq(4, 6, 9)) {
+      val got = Tiling.geohashEncode(pts, "lat", "lon", p)
+        .select("lat", "lon", "geohash").collect()
+      assert(got.nonEmpty)
+      for (r <- got) {
+        val want = geohashRef(r.getDouble(0), r.getDouble(1), p)
+        assert(r.getString(2) == want,
+          s"p=$p (${r.getDouble(0)}, ${r.getDouble(1)}): got ${r.getString(2)} want $want")
+      }
+    }
+  }
+
+  test("decode(encode(p)) lands within half a cell of p (precision 6)") {
+    // precision 6 -> 30 bits -> 15 lon + 15 lat: cell is (360/2^15) x (180/2^15)
+    val halfLon = 360.0 / (1L << 15) / 2
+    val halfLat = 180.0 / (1L << 15) / 2
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon")
+    val rows = Tiling.geohashDecode(
+        Tiling.geohashEncode(pts, "lat", "lon", 6), "geohash", 6)
+      .select("lat", "lon", "gh_lat", "gh_lon").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) <= halfLat + 1e-12,
+        s"lat roundtrip off: ${r.getDouble(0)} vs ${r.getDouble(2)}")
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) <= halfLon + 1e-12,
+        s"lon roundtrip off: ${r.getDouble(1)} vs ${r.getDouble(3)}")
+    }
+  }
+
+  test("nesting: the precision-4 geohash prefixes the precision-8 one") {
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon").limit(500)
+    val rows = Tiling.geohashEncode(
+        Tiling.geohashEncode(pts, "lat", "lon", 4, out = "gh4"),
+        "lat", "lon", 8, out = "gh8")
+      .select("gh4", "gh8").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getString(1).startsWith(r.getString(0)),
+        s"${r.getString(1)} does not nest under ${r.getString(0)}")
+  }
+
+  test("edge clamps: lat=90 / lon=180 land in the last cell, known vector checks out") {
+    import spark.implicits._
+    val df = Seq((90.0, 180.0), (-90.0, -180.0), (57.64911, 10.40744)).toDF("lat", "lon")
+    val got = Tiling.geohashEncode(df, "lat", "lon", 11)
+      .select("geohash").as[String].collect()
+    assert(got(0) == "z" * 11, s"north-east corner: ${got(0)}")  // all-ones bits
+    assert(got(1) == "0" * 11, s"south-west corner: ${got(1)}")  // all-zeros bits
+    // the canonical public test vector (Wikipedia): u4pruydqqvj
+    assert(got(2) == "u4pruydqqvj", s"known vector: ${got(2)}")
+  }
+}

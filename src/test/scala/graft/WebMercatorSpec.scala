@@ -91,6 +91,32 @@ class WebMercatorSpec extends SparkTestBase {
     assert(root.forall(r => r._1 == 0L && r._2 == 0L && r._3 == ""))
   }
 
+  test("zxyNeighborhoodCounts == driver-side 3x3 rollup with x-wrap and y-clamp (z=4)") {
+    // z=4 so the sf0.001 grid densely occupies the 16x16 tile space and the
+    // antimeridian wrap column actually carries contributions
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon")
+    val got = Tiling.zxyNeighborhoodCounts(pts, "lat", "lon", 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (r <- pts.collect()) {
+      val (x, y, _) = zxyRef(r.getDouble(0), r.getDouble(1), 4)
+      counts((x, y)) = counts.getOrElse((x, y), 0L) + 1L
+    }
+    val want = counts.map { case ((x, y), n) =>
+      val hood = (for { dx <- -1L to 1L; dy <- -1L to 1L } yield {
+        val nx = (x + dx + 16L) % 16L
+        val ny = y + dy
+        if (ny >= 0 && ny < 16) counts.getOrElse((nx, ny), 0L) else 0L
+      }).sum
+      (x, y) -> (n, hood)
+    }.toMap
+    assert(got == want)
+    // the wrap actually fired: some column-0 tile's neighborhood exceeds
+    // the sum of columns 0 and 1 alone only if column 15 contributed
+    assert(got.keys.exists(_._1 == 0L) && got.keys.exists(_._1 == 15L),
+      "fixture did not populate both wrap columns")
+  }
+
   test("quadkey has z digits and nests: the zoom-5 quadkey prefixes the zoom-8 one") {
     val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon").limit(500)
     val joined = Tiling.zxyAssign(pts, "lat", "lon", 5)
