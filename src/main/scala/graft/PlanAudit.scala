@@ -19,9 +19,15 @@ object PlanAudit {
 
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_clustered_scan", "q_pip_rect", "q_pip_rect_exec", "q_pip_polygon", "q_tile_counts")
+    // SPARK_GRAFT_PLAN_FINAL=1: execute first, then explain — shows the
+    // AQE-final plan (runtime SMJ->broadcast conversions, coalesced stages)
+    // instead of the static isFinalPlan=false tree.
+    val runFirst = sys.env.getOrElse("SPARK_GRAFT_PLAN_FINAL", "0") == "1"
     for (n <- names) {
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (runFirst) df.collect()
+      df.explain("formatted")
     }
     spark.stop()
   }
