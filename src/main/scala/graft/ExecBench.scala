@@ -12,7 +12,10 @@ object ExecBench {
     def pts = spark.range(100000000L, 200000000L, 1, 64)
       .withColumn("lat", ((col("id") * 9973 + 12345) % 18000).cast("double") / lit(100.0) - lit(90.0))
       .withColumn("lon", ((col("id") * 31337 + 54321) % 36000).cast("double") / lit(100.0) - lit(180.0))
+    // args = substring filters: run only the entries whose name matches one
+    val filters = args.toSeq
     def t(name: String)(mk: => Long): Unit = {
+      if (filters.nonEmpty && !filters.exists(f => name.trim.contains(f))) return
       mk // warm
       var best = Double.MaxValue
       for (_ <- 0 until 2) { val t0=System.nanoTime(); mk; best = math.min(best,(System.nanoTime()-t0)/1e9) }

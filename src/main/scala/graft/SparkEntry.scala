@@ -812,6 +812,13 @@ object SparkEntry {
       Tiling.geohashEncode(points(s, dir), "lat", "lon", 5)
         .groupBy("geohash").agg(count(lit(1)).as("n"))),
 
+    // Gi*-style hotspot z-scores on the zoom-6 mercator grid: every input
+    // to the scalar formula is an integer (tile counts + global moments),
+    // so gi_z is ONE fixed IEEE expression and the oracle matches it bit
+    // for bit; same floor-margin precondition as q_zxy_tiles
+    "q_hotspots" -> ((s, dir) =>
+      Tiling.hotspotScores(points(s, dir), "lat", "lon", 6)),
+
     // --- clustered storage layout, exercised end to end: write the points
     // spatially clustered (hive-partitioned by coarse tile, sorted by leaf
     // cell), read back ONLY the partitions/row-ranges overlapping the
@@ -2116,6 +2123,31 @@ object SparkEntry {
          |FROM t a JOIN t b
          |  ON ((b.zx - a.zx + 64) % 64) IN (0, 1, 63) AND abs(b.zy - a.zy) <= 1
          |GROUP BY a.zx, a.zy, a.n""".stripMargin,
+
+    // hotspotScores replayed bit for bit: the q_zxy_smooth pipeline, then
+    // global moments over occupied tiles and the SAME IEEE expression for
+    // gi_z — every operand is an exact integer, so no tolerance is needed
+    "q_hotspots" -> {
+      val mu = "CAST(sn AS DOUBLE) / CAST(tt AS DOUBLE)"
+      val sigma = s"sqrt(CAST(snn AS DOUBLE) / CAST(tt AS DOUBLE) - ($mu) * ($mu))"
+      s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
+         |c AS (SELECT least(85.05112878, greatest(-85.05112878, lat)) AS latc, lon FROM pts),
+         |g AS (SELECT
+         |  least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) AS zx,
+         |  least(63, greatest(0, CAST(floor((1.0 - ln(tan(latc * pi() / 180.0)
+         |    + 1.0 / cos(latc * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT))) AS zy
+         | FROM c),
+         |t AS (SELECT zx, zy, count(*) AS n FROM g GROUP BY 1, 2),
+         |h AS (SELECT a.zx, a.zy, a.n, CAST(sum(b.n) AS BIGINT) AS n_hood
+         |      FROM t a JOIN t b
+         |        ON ((b.zx - a.zx + 64) % 64) IN (0, 1, 63) AND abs(b.zy - a.zy) <= 1
+         |      GROUP BY a.zx, a.zy, a.n),
+         |s AS (SELECT count(*) AS tt, sum(n) AS sn, sum(n * n) AS snn FROM t)
+         |SELECT zx, zy, n, n_hood,
+         |  CASE WHEN $sigma = 0 THEN NULL
+         |       ELSE (CAST(n_hood AS DOUBLE) - ($mu) * 9.0) / (($sigma) * 3.0) END AS gi_z
+         |FROM h CROSS JOIN s""".stripMargin
+    },
 
     // geohashEncode replayed bit for bit: same floor arithmetic (pure IEEE
     // +, /, * by a power of two — no transcendentals, so no margin needed),

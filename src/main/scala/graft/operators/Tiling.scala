@@ -182,6 +182,41 @@ object Tiling {
     tiles.join(hood, Seq("zx", "zy")).select("zx", "zy", "n", "n_hood")
   }
 
+  /** Hotspot detection on the web-mercator grid: a Getis-Ord-Gi*-style
+    * z-score per OCCUPIED zoom-`z` tile — how far the tile's 3x3
+    * neighborhood total `n_hood` (from [[zxyNeighborhoodCounts]]: x-wrap,
+    * y-clamp) sits above the all-occupied-tile mean, in units of the
+    * neighborhood's expected deviation (simplified to 3·sigma for the
+    * 9-cell kernel; empty tiles contribute 0 to neighborhoods and are
+    * excluded from the global moments — both choices documented rather
+    * than the textbook all-cells-in-frame convention, which would make
+    * the statistic depend on an arbitrary study-area boundary).
+    *
+    * Exactness contract: every input to the scalar formula is an INTEGER
+    * (per-tile counts, their global sums and sum-of-squares), so the
+    * double arithmetic is one fixed IEEE expression evaluated identically
+    * by any engine — the DuckDB oracle reproduces `gi_z` bit for bit with
+    * no tolerance. `sigma = 0` (all occupied tiles equal) yields null.
+    *
+    * Scale shape: [[zxyNeighborhoodCounts]]'s one point-shuffle + bounded
+    * grid work, then a single global-moments row cross-joined back
+    * (broadcast of ONE row). Nothing new scales with input size. */
+  def hotspotScores(df: DataFrame, latCol: String, lonCol: String,
+                    z: Int): DataFrame = {
+    val hood = zxyNeighborhoodCounts(df, latCol, lonCol, z)
+    val stats = hood.agg(
+      count(lit(1)).as("__t"), sum("n").as("__sn"),
+      sum(col("n") * col("n")).as("__snn"))
+    val mu = col("__sn").cast("double") / col("__t").cast("double")
+    val msq = col("__snn").cast("double") / col("__t").cast("double")
+    val sigma = sqrt(msq - mu * mu)
+    hood.crossJoin(broadcast(stats))
+      .withColumn("gi_z",
+        when(sigma === lit(0.0), lit(null).cast("double"))
+          .otherwise((col("n_hood").cast("double") - mu * lit(9.0)) / (sigma * lit(3.0))))
+      .select("zx", "zy", "n", "n_hood", "gi_z")
+  }
+
   /** Geohash decode to the CELL CENTER: inverts [[geohashEncode]]'s bit
     * layout (chars → 5-bit values → de-interleaved axis indices → center
     * of the axis interval). Same pure-arithmetic contract; unknown

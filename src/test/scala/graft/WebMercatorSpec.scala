@@ -117,6 +117,37 @@ class WebMercatorSpec extends SparkTestBase {
       "fixture did not populate both wrap columns")
   }
 
+  test("hotspotScores == driver-side Gi* replay, bit for bit (z=4)") {
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon")
+    val got = Tiling.hotspotScores(pts, "lat", "lon", 4)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (r <- pts.collect()) {
+      val (x, y, _) = zxyRef(r.getDouble(0), r.getDouble(1), 4)
+      counts((x, y)) = counts.getOrElse((x, y), 0L) + 1L
+    }
+    val tt = counts.size.toLong
+    val sn = counts.values.sum
+    val snn = counts.values.map(n => n * n).sum
+    val mu = sn.toDouble / tt.toDouble
+    val sigma = math.sqrt(snn.toDouble / tt.toDouble - mu * mu)
+    val want = counts.map { case ((x, y), n) =>
+      val hood = (for { dx <- -1L to 1L; dy <- -1L to 1L } yield {
+        val ny = y + dy
+        if (ny >= 0 && ny < 16) counts.getOrElse(((x + dx + 16L) % 16L, ny), 0L) else 0L
+      }).sum
+      val z = if (sigma == 0.0) None
+        else Some((hood.toDouble - mu * 9.0) / (sigma * 3.0))
+      (x, y) -> (n, hood, z)
+    }.toMap
+    // bit-exact: same integer inputs, same IEEE expression — no tolerance
+    assert(got == want)
+    assert(got.values.exists(_._3.exists(_ > 1.0)), "fixture produced no hotspot")
+  }
+
   test("quadkey has z digits and nests: the zoom-5 quadkey prefixes the zoom-8 one") {
     val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon").limit(500)
     val joined = Tiling.zxyAssign(pts, "lat", "lon", 5)
