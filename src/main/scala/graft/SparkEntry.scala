@@ -41,6 +41,8 @@ object SparkEntry {
     spark.read.parquet(s"$dir/customer.parquet")
   private def nation(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/nation.parquet")
+  private def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
   private def part(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/part.parquet")
   private def events(spark: SparkSession, dir: String): DataFrame =
@@ -994,6 +996,22 @@ object SparkEntry {
         .withColumn("lon", expr(CustLonSql))
       SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
         .select("id_a", "id_b")
+    }),
+
+    // IDW power-2 interpolation of a customer-valued surface at supplier
+    // locations: planar wrap-aware metric + explicitly-ordered folds make
+    // the float estimate itself bit-reproducible (the oracle replays the
+    // same sort + left fold via DuckDB list_reduce)
+    "q_idw" -> ((s, dir) => {
+      val samples = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+        .withColumn("v", (col("c_custkey") % 97).cast("double"))
+      val probes = supplier(s, dir).select("s_suppkey")
+        .withColumn("qlat", expr(latSqlFor("s_suppkey")))
+        .withColumn("qlon", expr(lonSqlFor("s_suppkey")))
+      SpatialJoin.idwInterpolate(samples, "lat", "lon", "v", "c_custkey",
+        probes, "s_suppkey", "qlat", "qlon", radiusDeg = 10.0)
     }),
 
     // map matching: k nearest polylines within 800 km of each point,
@@ -2266,6 +2284,31 @@ object SparkEntry {
          |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
          |WHERE $d <= 500000.0""".stripMargin
+    },
+
+    // idwInterpolate replayed bit for bit: identical planar d2 arithmetic
+    // (pure +,-,*,/ — no transcendentals), identical (d2, v, id) sort
+    // order, identical left fold (list_reduce starts at the first term;
+    // Spark starts at 0.0 — IEEE-equal since 0.0 + x == x)
+    "q_idw" -> {
+      val c = "0.7071067811865476" // SpatialJoin.IdwLonScale, same literal
+      s"""WITH s AS (SELECT c_custkey AS id, CAST(c_custkey % 97 AS DOUBLE) AS v,
+         |            $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |q AS (SELECT s_suppkey AS qid, ${latSqlFor("s_suppkey")} AS qlat,
+         |            ${lonSqlFor("s_suppkey")} AS qlon FROM supplier),
+         |p AS (SELECT q.qid, s.v, s.id,
+         |        (q.qlat - s.lat) * (q.qlat - s.lat)
+         |        + (least(abs(q.qlon - s.lon), 360.0 - abs(q.qlon - s.lon)) * $c)
+         |        * (least(abs(q.qlon - s.lon), 360.0 - abs(q.qlon - s.lon)) * $c) AS d2
+         |      FROM q, s),
+         |f AS (SELECT * FROM p WHERE d2 > 0.0 AND d2 <= 100.0),
+         |g AS (SELECT qid, count(*) AS n_neighbors,
+         |        list(v / d2 ORDER BY d2, v, id) AS nums,
+         |        list(CAST(1.0 AS DOUBLE) / d2 ORDER BY d2, v, id) AS dens
+         |      FROM f GROUP BY qid)
+         |SELECT qid, n_neighbors,
+         |  list_reduce(nums, (a, b) -> a + b) / list_reduce(dens, (a, b) -> a + b) AS est
+         |FROM g""".stripMargin
     },
 
     // per-line distance = min over the chain's edges of the kernel-

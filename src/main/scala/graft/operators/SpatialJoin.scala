@@ -229,6 +229,72 @@ object SpatialJoin {
       .select("id_a", "id_b", "distance_m")
   }
 
+  /** Longitude scale constant for the planar metric of [[idwInterpolate]]:
+    * cos(45 deg), embedded as one literal so the Spark plan and any SQL
+    * oracle parse the IDENTICAL double. */
+  val IdwLonScale: Double = 0.7071067811865476
+
+  /** Inverse-distance-weighted (power-2) interpolation: for every query
+    * point, the 1/d^2-weighted mean of sample values within `radiusDeg`
+    * of it under a PLANAR wrap-aware degree metric
+    * `d2 = dlat^2 + (dlonWrap * IdwLonScale)^2` — the classic IDW
+    * surface-estimation operator (Shepard 1968), distributed.
+    *
+    * Why planar, not haversine: the metric and weights are pure +,-,*,/
+    * IEEE arithmetic over coordinate doubles — no transcendentals — so
+    * every engine computes bit-identical d2, and the per-query sums are
+    * folded in an EXPLICIT total order (sort by (d2, v, id), left fold
+    * from 0.0), making the estimate itself bit-reproducible: the DuckDB
+    * oracle replays it exactly (list(... ORDER BY ...) + list_reduce).
+    * Floating-point determinism under re-partitioning is a real
+    * reproducibility requirement for training-data pipelines; this is the
+    * pattern that delivers it. Cost: one sort of each query's bounded
+    * neighbor list, not a global sort.
+    *
+    * Candidate generation is the [[distanceJoin]] bucket scheme: samples
+    * keep their level-L cell, queries explode the closed 9-neighborhood,
+    * with L derived from a SAFE great-circle upper bound of the planar
+    * radius (meridian+parallel path: gc_m <= (dlat + dlonWrap) * 111200 <=
+    * radiusDeg * (1 + 1/IdwLonScale) * 111200). Samples at d2 = 0 are
+    * excluded (the weight is undefined); queries with no in-radius sample
+    * produce no row. Output: (qid, n_neighbors, est). */
+  def idwInterpolate(samples: DataFrame, latCol: String, lonCol: String,
+                     valCol: String, idCol: String,
+                     queries: DataFrame, qidCol: String,
+                     qlatCol: String, qlonCol: String,
+                     radiusDeg: Double): DataFrame = {
+    require(radiusDeg > 0, s"radiusDeg must be positive: $radiusDeg")
+    val radiusM = radiusDeg * (1.0 + 1.0 / IdwLonScale) * 111200.0
+    val angle = radiusM / S2LatLng.EarthRadiusMeters
+    require(angle <= S2Projections.MinWidth.getValue(0),
+      s"idwInterpolate radius $radiusDeg deg exceeds the level-0 adjacency guarantee")
+    val level = S2Projections.MinWidth.getMaxLevel(angle)
+    val s = samples.select(
+      col(idCol).as("__sid"), col(valCol).cast("double").as("__v"),
+      col(latCol).as("__slat"), col(lonCol).as("__slon"),
+      s2_tile(col(latCol), col(lonCol), level).as("__bucket"))
+    val qCell = s2_tile(col(qlatCol), col(qlonCol), level)
+    val q = queries.select(col(qidCol).as("qid"),
+        col(qlatCol).as("__qlat"), col(qlonCol).as("__qlon"),
+        explode(array_union(array(qCell), s2_all_neighbors(qCell, level))).as("__bucket"))
+    val dlat = col("__qlat") - col("__slat")
+    val rawDlon = abs(col("__qlon") - col("__slon"))
+    val dlonW = least(rawDlon, lit(360.0) - rawDlon)
+    val d2 = dlat * dlat + (dlonW * lit(IdwLonScale)) * (dlonW * lit(IdwLonScale))
+    val arr = sort_array(collect_list(struct(
+      col("__d2").as("d2"), col("__v").as("v"), col("__sid").as("id"))))
+    q.join(s, "__bucket")
+      .withColumn("__d2", d2)
+      .where(col("__d2") > lit(0.0) && col("__d2") <= lit(radiusDeg * radiusDeg))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_neighbors"), arr.as("__arr"))
+      .withColumn("__num", expr(
+        "aggregate(transform(__arr, x -> x.v / x.d2), cast(0.0 as double), (a, t) -> a + t)"))
+      .withColumn("__den", expr(
+        "aggregate(transform(__arr, x -> cast(1.0 as double) / x.d2), cast(0.0 as double), (a, t) -> a + t)"))
+      .select(col("qid"), col("n_neighbors"), (col("__num") / col("__den")).as("est"))
+  }
+
   /** Region-region intersection self-join over lat/lng rectangles — the
     * missing third member of the join family (point x region, point x
     * point, now region x region). Bounds are degree columns; `lonLo >
