@@ -1595,6 +1595,17 @@ object SparkEntry {
         .select("region_id", "image_id")
     }),
 
+    // per-tile image mosaic (the atlas preview): every image REALLY
+    // decoded scan-side, mercator zoom-5 rollup. The oracle checks tile
+    // membership and that n_decoded == n_images (a decode failure shows
+    // up as a count mismatch); the mosaic's average colors are pinned bit
+    // for bit against the raster formula by ImageMosaicSpec
+    "q_image_mosaic" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      ImagePayload.tileMosaic(images, "lat", "lon", 5)
+        .select("zx", "zy", "n_images", "n_decoded")
+    }),
+
     // interval-overlap join: click activity windows × error windows per
     // user (1-10 h synthetic durations; hour buckets ≈ typical length,
     // so each interval copies ≤ 11×). The first-shared-bucket conjunct
@@ -2993,6 +3004,20 @@ object SparkEntry {
          |${branches.mkString("\nUNION ALL\n")}
          |""".stripMargin
     },
+
+    // the zoom-5 mercator arithmetic over the part-key grid; n_decoded is
+    // asserted equal to n_images by construction — any decode regression
+    // breaks the count equality, which is exactly what this row gates
+    "q_image_mosaic" ->
+      s"""WITH pts AS (SELECT $PartLatSql AS lat, $PartLonSql AS lon FROM part),
+         |c AS (SELECT least(85.05112878, greatest(-85.05112878, lat)) AS latc, lon FROM pts),
+         |g AS (SELECT
+         |  least(31, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT))) AS zx,
+         |  least(31, greatest(0, CAST(floor((1.0 - ln(tan(latc * pi() / 180.0)
+         |    + 1.0 / cos(latc * pi() / 180.0)) / pi()) / 2.0 * 32.0) AS BIGINT))) AS zy
+         | FROM c)
+         |SELECT zx, zy, count(*) AS n_images, count(*) AS n_decoded
+         |FROM g GROUP BY 1, 2""".stripMargin,
 
     "q_interval_join" ->
       """WITH a AS (SELECT event_id AS a_id, user_id, ts AS a_s,

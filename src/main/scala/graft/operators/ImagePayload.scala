@@ -260,6 +260,34 @@ object ImagePayload {
     f.length == 4 && f(0) >= 0 && f(0) <= 255 && f(3) > 0
   }
 
+  /** Per-map-tile image mosaic statistics — the atlas-preview build: every
+    * image is REALLY decoded (one `imageFeatures` call), assigned its
+    * zoom-`z` web-mercator tile from its geo columns, and each occupied
+    * tile aggregates its member count, how many decoded successfully, and
+    * the tile's average color (mean of per-image channel means) — i.e. the
+    * zoomed-out preview raster a map UI renders before loading real tiles.
+    *
+    * Exactness: a 16x16 image's channel mean is an integer sum / 256 — an
+    * exact multiple of 2^-8 representable in float — so the per-tile double
+    * sums are ORDER-INDEPENDENT exact and the final mean is one
+    * deterministic division (ImageMosaicSpec replays it bit for bit against
+    * the raster formula). Undecodable images yield null features and are
+    * excluded from the color means but counted in `n_images - n_decoded`.
+    *
+    * Scale shape: decode runs scan-side (one UDF call per image, bytes
+    * never shuffle); only (tile, partial sums) rows reach the exchange —
+    * one partial+final hash aggregation for a petabyte of imagery. */
+  def tileMosaic(images: DataFrame, latCol: String, lonCol: String,
+                 z: Int): DataFrame =
+    Tiling.zxyAssign(withFeatures(images), latCol, lonCol, z)
+      .groupBy("zx", "zy")
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(when(size(col("features")) === 4, 1L).otherwise(0L)).as("n_decoded"),
+        avg(when(size(col("features")) === 4, element_at(col("features"), 1))).as("mean_r"),
+        avg(when(size(col("features")) === 4, element_at(col("features"), 2))).as("mean_g"),
+        avg(when(size(col("features")) === 4, element_at(col("features"), 3))).as("mean_b"))
+
   /** Single-call decode+feature sanity gate. Deterministic UDFs get
     * duplicated by Catalyst when a filter references their output several
     * times, so multi-condition gates must run inside ONE udf call. */
