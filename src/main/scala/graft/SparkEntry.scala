@@ -27,6 +27,35 @@ object SparkEntry {
   private val LatSql = latSqlFor("o_orderkey")
   private val LonSql = lonSqlFor("o_orderkey")
 
+  /** DuckDB replay of `Tiling.geohashEncode`'s axis indices: emits
+    * `... AS li, ... AS ti` over columns named lat/lon. Pure floor
+    * arithmetic, so the replay is bit-exact at any precision. */
+  private def geohashIdxSql(precision: Int): String = {
+    val total = 5 * precision
+    val lonBits = (total + 1) / 2
+    val latBits = total / 2
+    s"""least(${(1L << lonBits) - 1}, greatest(0,
+       |    CAST(floor((lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble}) AS BIGINT))) AS li,
+       |  least(${(1L << latBits) - 1}, greatest(0,
+       |    CAST(floor((lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT))) AS ti""".stripMargin
+  }
+
+  /** The matching base-32 char interleave over the li/ti columns. */
+  private def geohashCharsSql(precision: Int): String = {
+    val total = 5 * precision
+    val lonBits = (total + 1) / 2
+    val latBits = total / 2
+    (0 until precision).map { c =>
+      val bits = (0 until 5).map { t =>
+        val j = 5 * c + t
+        val (axis, bit) =
+          if (j % 2 == 0) ("li", lonBits - 1 - j / 2) else ("ti", latBits - 1 - j / 2)
+        s"((($axis >> $bit) & 1) << ${4 - t})"
+      }.mkString(" + ")
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST($bits AS INTEGER) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+  }
+
   private def orders(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/orders.parquet")
 
@@ -813,6 +842,15 @@ object SparkEntry {
     "q_geohash" -> ((s, dir) =>
       Tiling.geohashEncode(points(s, dir), "lat", "lon", 5)
         .groupBy("geohash").agg(count(lit(1)).as("n"))),
+
+    // spatio-temporal cube over events: per (geohash-3 cell, hour) stats
+    // plus all three marginalizations in one pass via native GROUPING SETS
+    "q_st_cube" -> ((s, dir) =>
+      Tiling.geohashTimeCube(
+        events(s, dir)
+          .withColumn("lat", expr(latSqlFor("event_id")))
+          .withColumn("lon", expr(lonSqlFor("event_id"))),
+        "lat", "lon", 3, "ts", "value")),
 
     // Gi*-style hotspot z-scores on the zoom-6 mercator grid: every input
     // to the scalar formula is an integer (tile counts + global moments),
@@ -2181,28 +2219,23 @@ object SparkEntry {
     // geohashEncode replayed bit for bit: same floor arithmetic (pure IEEE
     // +, /, * by a power of two — no transcendentals, so no margin needed),
     // same static lon-first bit interleave, same base-32 alphabet lookup
-    "q_geohash" -> {
-      val precision = 5
-      val total = 5 * precision
-      val lonBits = (total + 1) / 2
-      val latBits = total / 2
-      val chars = (0 until precision).map { c =>
-        val bits = (0 until 5).map { t =>
-          val j = 5 * c + t
-          val (axis, bit) =
-            if (j % 2 == 0) ("li", lonBits - 1 - j / 2) else ("ti", latBits - 1 - j / 2)
-          s"((($axis >> $bit) & 1) << ${4 - t})"
-        }.mkString(" + ")
-        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST($bits AS INTEGER) + 1, 1)"
-      }.mkString("concat(", ", ", ")")
+    "q_geohash" ->
       s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
-         |idx AS (SELECT
-         |  least(${(1L << lonBits) - 1}, greatest(0,
-         |    CAST(floor((lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble}) AS BIGINT))) AS li,
-         |  least(${(1L << latBits) - 1}, greatest(0,
-         |    CAST(floor((lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT))) AS ti
-         | FROM pts)
-         |SELECT $chars AS geohash, count(*) AS n FROM idx GROUP BY 1""".stripMargin
+         |idx AS (SELECT ${geohashIdxSql(5)} FROM pts)
+         |SELECT ${geohashCharsSql(5)} AS geohash, count(*) AS n FROM idx GROUP BY 1""".stripMargin,
+
+    // geohashTimeCube replayed exactly: transcendental-free geohash keys,
+    // date_trunc hour, min/max value (order-independent exact), native
+    // GROUP BY CUBE on both sides
+    "q_st_cube" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      s"""WITH e AS (SELECT $evLat AS lat, $evLon AS lon, ts, value FROM events),
+         |idx AS (SELECT ${geohashIdxSql(3)}, ts, value FROM e),
+         |g AS (SELECT ${geohashCharsSql(3)} AS geohash,
+         |        date_trunc('hour', ts) AS hour, value FROM idx)
+         |SELECT geohash, hour, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+         |FROM g GROUP BY CUBE (geohash, hour)""".stripMargin
     },
 
     "q_clustered_scan" -> {

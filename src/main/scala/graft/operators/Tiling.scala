@@ -182,6 +182,27 @@ object Tiling {
     tiles.join(hood, Seq("zx", "zy")).select("zx", "zy", "n", "n_hood")
   }
 
+  /** Spatio-temporal cube: per (geohash-cell, hour) statistics at EVERY
+    * marginalization level in one pass — (cell, hour), per-cell all-time,
+    * per-hour all-space, and the grand total — via native GROUPING SETS
+    * (`cube`), i.e. the pre-aggregation a dashboard queries instead of
+    * the raw table. Geohash keys the space axis so any SQL engine replays
+    * the cube bit-exact (transcendental-free encoding); the value stats
+    * are min/max (order-independent exact — a float SUM would not be
+    * deterministic under re-partitioning, so it is deliberately absent).
+    *
+    * Scale shape: Spark expands each input row once per grouping set
+    * inside the partial aggregate (4x, map-side, combined before the
+    * shuffle) — one exchange of (cell, hour, partials), never a second
+    * scan per level. */
+  def geohashTimeCube(df: DataFrame, latCol: String, lonCol: String,
+                      precision: Int, tsCol: String, valCol: String): DataFrame =
+    geohashEncode(df, latCol, lonCol, precision)
+      .withColumn("hour", date_trunc("hour", col(tsCol)))
+      .cube("geohash", "hour")
+      .agg(count(lit(1)).as("n"),
+        min(col(valCol)).as("min_v"), max(col(valCol)).as("max_v"))
+
   /** Hotspot detection on the web-mercator grid: a Getis-Ord-Gi*-style
     * z-score per OCCUPIED zoom-`z` tile — how far the tile's 3x3
     * neighborhood total `n_hood` (from [[zxyNeighborhoodCounts]]: x-wrap,

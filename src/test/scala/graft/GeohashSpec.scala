@@ -78,6 +78,33 @@ class GeohashSpec extends SparkTestBase {
         s"${r.getString(1)} does not nest under ${r.getString(0)}")
   }
 
+  test("geohashTimeCube marginal identities: cell and hour rollups sum to the grand total") {
+    val ev = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
+    val cube = Tiling.geohashTimeCube(ev, "lat", "lon", 2, "ts", "value").collect()
+    val total = ev.count()
+    def rows(gh: Boolean, hr: Boolean) =
+      cube.filter(r => r.isNullAt(0) != gh && r.isNullAt(1) != hr)
+    val fine = rows(gh = true, hr = true)
+    val byCell = rows(gh = true, hr = false)
+    val byHour = rows(gh = false, hr = true)
+    val grand = rows(gh = false, hr = false)
+    assert(grand.length == 1 && grand.head.getLong(2) == total)
+    assert(fine.map(_.getLong(2)).sum == total)
+    assert(byCell.map(_.getLong(2)).sum == total)
+    assert(byHour.map(_.getLong(2)).sum == total)
+    // per-cell marginal equals the sum of its fine rows, min/max consistent
+    val fineByCell = fine.groupBy(_.getString(0))
+    for (r <- byCell) {
+      val f = fineByCell(r.getString(0))
+      assert(r.getLong(2) == f.map(_.getLong(2)).sum)
+      assert(r.getDouble(3) == f.map(_.getDouble(3)).min)
+      assert(r.getDouble(4) == f.map(_.getDouble(4)).max)
+    }
+    assert(byCell.length > 1 && byHour.length > 1, "cube degenerate on the fixture")
+  }
+
   test("edge clamps: lat=90 / lon=180 land in the last cell, known vector checks out") {
     import spark.implicits._
     val df = Seq((90.0, 180.0), (-90.0, -180.0), (57.64911, 10.40744)).toDF("lat", "lon")
