@@ -843,6 +843,19 @@ object SparkEntry {
       Tiling.geohashEncode(points(s, dir), "lat", "lon", 5)
         .groupBy("geohash").agg(count(lit(1)).as("n"))),
 
+    // geohash-clustered layout, exercised end to end: write the points
+    // partitioned by first char + sorted by full geohash (build-once
+    // fixture), then a prefix scan that prunes 31 of 32 directories and
+    // filters the sorted column; oracle recomputes the geohash per row
+    "q_geohash_scan" -> ((s, dir) => {
+      val out = fixture(dir, "ghclustered") { p =>
+        Tiling.geohashClusteredWrite(points(s, dir).select("o_orderkey", "lat", "lon"),
+          "lat", "lon", p, precision = 6, prefixLen = 1)
+      }
+      Tiling.geohashPrefixScan(s, out, "7", prefixLen = 1)
+        .select("o_orderkey", "geohash")
+    }),
+
     // spatio-temporal cube over events: per (geohash-3 cell, hour) stats
     // plus all three marginalizations in one pass via native GROUPING SETS
     "q_st_cube" -> ((s, dir) =>
@@ -2223,6 +2236,13 @@ object SparkEntry {
       s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
          |idx AS (SELECT ${geohashIdxSql(5)} FROM pts)
          |SELECT ${geohashCharsSql(5)} AS geohash, count(*) AS n FROM idx GROUP BY 1""".stripMargin,
+
+    // the pruned prefix read, replayed as a full recompute + LIKE filter
+    "q_geohash_scan" ->
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |idx AS (SELECT o_orderkey, ${geohashIdxSql(6)} FROM pts),
+         |g AS (SELECT o_orderkey, ${geohashCharsSql(6)} AS geohash FROM idx)
+         |SELECT o_orderkey, geohash FROM g WHERE geohash LIKE '7%'""".stripMargin,
 
     // geohashTimeCube replayed exactly: transcendental-free geohash keys,
     // date_trunc hour, min/max value (order-independent exact), native

@@ -182,6 +182,47 @@ object Tiling {
     tiles.join(hood, Seq("zx", "zy")).select("zx", "zy", "n", "n_hood")
   }
 
+  /** Write the table clustered by GEOHASH — the string-key analogue of
+    * [[clusteredWrite]] and the layout geo-sharded key-value stores
+    * prefix-range-scan: hive-partitioned by the first `prefixLen` chars,
+    * sorted within files by the full `precision`-char geohash, so a
+    * prefix query prunes whole directories AND parquet row groups
+    * (string min/max stats on the sorted column). `prefixLen` plays
+    * [[clusteredWrite]]'s coarseLevel role: 32^prefixLen directories —
+    * size it to data volume. */
+  def geohashClusteredWrite(df: DataFrame, latCol: String, lonCol: String,
+                            outDir: String, precision: Int = 6,
+                            prefixLen: Int = 2): Unit = {
+    require(1 <= prefixLen && prefixLen < precision,
+      s"prefixLen $prefixLen out of range for precision $precision")
+    geohashEncode(df, latCol, lonCol, precision)
+      .withColumn("gh_prefix", substring(col("geohash"), 1, prefixLen))
+      .repartition(col("gh_prefix"))
+      .sortWithinPartitions("gh_prefix", "geohash")
+      .write.mode("overwrite")
+      .partitionBy("gh_prefix")
+      .parquet(outDir)
+  }
+
+  /** Prefix-range scan of a [[geohashClusteredWrite]] layout: directory
+    * pruning via the partition column (equality when the query prefix
+    * covers it, prefix match when shorter) plus a `StartsWith` filter on
+    * the sorted geohash column that reaches parquet row-group stats.
+    * Partition-type inference is disabled for the read — digit-only
+    * prefixes like "00" must stay strings, not collapse to integer 0. */
+  def geohashPrefixScan(spark: SparkSession, dir: String,
+                        prefix: String, prefixLen: Int = 2): DataFrame = {
+    require(prefix.nonEmpty && prefix.forall(GeohashAlphabet.contains(_)),
+      s"not a geohash prefix: '$prefix'")
+    val df = readLayoutStringParts(spark, dir)
+    require(df.columns.contains("gh_prefix") && df.columns.contains("geohash"),
+      s"geohashPrefixScan: $dir is not a geohashClusteredWrite layout")
+    val dirPred =
+      if (prefix.length >= prefixLen) col("gh_prefix") === prefix.substring(0, prefixLen)
+      else col("gh_prefix").startsWith(prefix)
+    df.where(dirPred && col("geohash").startsWith(prefix))
+  }
+
   /** Spatio-temporal cube: per (geohash-cell, hour) statistics at EVERY
     * marginalization level in one pass — (cell, hour), per-cell all-time,
     * per-hour all-space, and the grand total — via native GROUPING SETS

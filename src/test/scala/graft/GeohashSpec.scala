@@ -105,6 +105,34 @@ class GeohashSpec extends SparkTestBase {
     assert(byCell.length > 1 && byHour.length > 1, "cube degenerate on the fixture")
   }
 
+  test("geohashClusteredWrite + prefix scan: exact rows, directory pruning, inference-proof digits") {
+    val dir = java.nio.file.Files.createTempDirectory("ghspec").toString
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("o_orderkey", "lat", "lon")
+    Tiling.geohashClusteredWrite(pts, "lat", "lon", dir, precision = 6, prefixLen = 2)
+    val all = Tiling.geohashEncode(pts, "lat", "lon", 6)
+      .select("o_orderkey", "geohash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // prefix longer than the partition key: dir equality + row StartsWith
+    val somePrefix = all.values.head.take(3)
+    val scan = Tiling.geohashPrefixScan(spark, dir, somePrefix, prefixLen = 2)
+    val got = scan.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val want = all.filter(_._2.startsWith(somePrefix)).keySet
+    assert(got == want && got.nonEmpty)
+    val planStr = scan.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("gh_prefix"),
+      s"no partition filter in plan:\n$planStr")
+    // prefix SHORTER than the partition key: startsWith dir pruning
+    val short = somePrefix.take(1)
+    val gotShort = Tiling.geohashPrefixScan(spark, dir, short, prefixLen = 2)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(gotShort == all.filter(_._2.startsWith(short)).keySet)
+    // digit-only partition tokens survive the read as strings (no int
+    // inference): every returned geohash still has 6 chars
+    val ghs = Tiling.geohashPrefixScan(spark, dir, short, prefixLen = 2)
+      .select("gh_prefix").distinct().collect().map(_.getString(0))
+    assert(ghs.forall(_.length == 2), s"partition tokens mangled: ${ghs.toSeq}")
+  }
+
   test("edge clamps: lat=90 / lon=180 land in the last cell, known vector checks out") {
     import spark.implicits._
     val df = Seq((90.0, 180.0), (-90.0, -180.0), (57.64911, 10.40744)).toDF("lat", "lon")
