@@ -843,6 +843,13 @@ object SparkEntry {
       Tiling.geohashEncode(points(s, dir), "lat", "lon", 5)
         .groupBy("geohash").agg(count(lit(1)).as("n"))),
 
+    // H3-style hexagonal binning (the north rule's hex-grid index): per-hex
+    // counts at circumradius 2.5 deg; cube-round is transcendental-free so
+    // the oracle replays it bit for bit
+    "q_hex_bin" -> ((s, dir) =>
+      Tiling.hexBin(points(s, dir), "lat", "lon", 2.5)
+        .groupBy("hex_q", "hex_r").agg(count(lit(1)).as("n"))),
+
     // geohash-clustered layout, exercised end to end: write the points
     // partitioned by first char + sorted by full geohash (build-once
     // fixture), then a prefix scan that prunes 31 of 32 directories and
@@ -2236,6 +2243,30 @@ object SparkEntry {
       s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
          |idx AS (SELECT ${geohashIdxSql(5)} FROM pts)
          |SELECT ${geohashCharsSql(5)} AS geohash, count(*) AS n FROM idx GROUP BY 1""".stripMargin,
+
+    // hexBin replayed op for op: same axial constants (CAST from the
+    // shortest round-trip decimal — identical doubles), same explicit
+    // floor(x + 0.5) rounding, same cube-repair CASEs
+    "q_hex_bin" -> {
+      val c1 = s"CAST('${Tiling.HexC1}' AS DOUBLE)"
+      val c2 = s"CAST('${Tiling.HexC2}' AS DOUBLE)"
+      val c3 = s"CAST('${Tiling.HexC3}' AS DOUBLE)"
+      s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
+         |f AS (SELECT ($c1 * lon - $c2 * lat) / 2.5 AS qf, ($c3 * lat) / 2.5 AS rf FROM pts),
+         |g AS (SELECT qf, rf, -qf - rf AS yf,
+         |        CAST(floor(qf + 0.5) AS BIGINT) AS rx,
+         |        CAST(floor(-qf - rf + 0.5) AS BIGINT) AS ry,
+         |        CAST(floor(rf + 0.5) AS BIGINT) AS rz FROM f),
+         |h AS (SELECT rx, ry, rz,
+         |        abs(CAST(rx AS DOUBLE) - qf) AS dx,
+         |        abs(CAST(ry AS DOUBLE) - yf) AS dy,
+         |        abs(CAST(rz AS DOUBLE) - rf) AS dz FROM g),
+         |a AS (SELECT
+         |        CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS hex_q,
+         |        CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+         |             THEN -rx - ry ELSE rz END AS hex_r FROM h)
+         |SELECT hex_q, hex_r, count(*) AS n FROM a GROUP BY 1, 2""".stripMargin
+    },
 
     // the pruned prefix read, replayed as a full recompute + LIKE filter
     "q_geohash_scan" ->

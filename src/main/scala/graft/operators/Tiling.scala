@@ -182,6 +182,57 @@ object Tiling {
     tiles.join(hood, Seq("zx", "zy")).select("zx", "zy", "n", "n_hood")
   }
 
+  /** `sqrt(3)/3` and `2/3`, the axial-conversion constants of [[hexBin]],
+    * fixed here so Spark and any SQL replay parse identical doubles. */
+  val HexC1: Double = math.sqrt(3.0) / 3.0
+  val HexC2: Double = 1.0 / 3.0
+  val HexC3: Double = 2.0 / 3.0
+
+  /** H3-STYLE hexagonal binning: assigns every row the axial coordinates
+    * (hex_q, hex_r) of its nearest pointy-top hexagon of circumradius
+    * `sizeDeg` on the equirectangular (lon, lat)-degree plane — the
+    * hex-grid aggregation H3 popularized (uniform 6-neighborhoods, no
+    * corner-neighbor ambiguity), over a planar projection instead of H3's
+    * icosahedron (the grid is cut at the antimeridian like H3's grid is
+    * cut at its icosahedron edges).
+    *
+    * Fractional axial coords `qf = (sqrt(3)/3 · lon - 1/3 · lat) / size`,
+    * `rf = (2/3 · lat) / size` are cube-rounded (round each cube axis,
+    * then repair the axis with the largest rounding error so
+    * q + r + s = 0 — the standard nearest-hex-center algorithm). Rounding
+    * is the explicit `floor(x + 0.5)` so every engine agrees exactly;
+    * the whole pipeline is +,-,*,/ on doubles — transcendental-free, so a
+    * SQL oracle replays it bit for bit (HexBinSpec pins the halfway
+    * margin and the nearest-center property). One codegen span, zero
+    * exchanges. */
+  def hexBin(df: DataFrame, latCol: String, lonCol: String,
+             sizeDeg: Double): DataFrame = {
+    require(sizeDeg > 0, s"hex size must be positive: $sizeDeg")
+    val qf = (lit(HexC1) * col(lonCol) - lit(HexC2) * col(latCol)) / lit(sizeDeg)
+    val rf = (lit(HexC3) * col(latCol)) / lit(sizeDeg)
+    val yf = -qf - rf
+    val rx = floor(qf + lit(0.5))
+    val ry = floor(yf + lit(0.5))
+    val rz = floor(rf + lit(0.5))
+    val dx = abs(rx.cast("double") - qf)
+    val dy = abs(ry.cast("double") - yf)
+    val dz = abs(rz.cast("double") - rf)
+    val fixQ = dx > dy && dx > dz
+    df.withColumn("hex_q", when(fixQ, -ry - rz).otherwise(rx))
+      .withColumn("hex_r", when(!fixQ && !(dy > dz), -rx - ry).otherwise(rz))
+  }
+
+  /** Center of an axial hex cell, inverting [[hexBin]]'s projection:
+    * `lat = 3/2 · size · r / ... ` — concretely lon = size · (sqrt(3)·q +
+    * sqrt(3)/2·r) scaled back; used by the nearest-center property spec. */
+  def hexCenter(q: Long, r: Long, sizeDeg: Double): (Double, Double) = {
+    // invert: rf = (2/3 lat)/s  =>  lat = 1.5 * s * r
+    // qf = (C1 lon - C2 lat)/s  =>  lon = (q * s + C2 * lat) / C1
+    val lat = 1.5 * sizeDeg * r
+    val lon = (q * sizeDeg + HexC2 * lat) / HexC1
+    (lat, lon)
+  }
+
   /** Write the table clustered by GEOHASH — the string-key analogue of
     * [[clusteredWrite]] and the layout geo-sharded key-value stores
     * prefix-range-scan: hive-partitioned by the first `prefixLen` chars,
