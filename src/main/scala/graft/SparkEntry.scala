@@ -850,6 +850,12 @@ object SparkEntry {
       Tiling.hexBin(points(s, dir), "lat", "lon", 2.5)
         .groupBy("hex_q", "hex_r").agg(count(lit(1)).as("n"))),
 
+    // H3-style k=1 ring rollup: per occupied hex, own + 7-cell counts;
+    // the neighbor arithmetic is pure integers on top of the oracled
+    // hexBin assignment
+    "q_hex_ring" -> ((s, dir) =>
+      Tiling.hexRingCounts(points(s, dir), "lat", "lon", 2.5)),
+
     // geohash-clustered layout, exercised end to end: write the points
     // partitioned by first char + sorted by full geohash (build-once
     // fixture), then a prefix scan that prunes 31 of 32 directories and
@@ -2266,6 +2272,34 @@ object SparkEntry {
          |        CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
          |             THEN -rx - ry ELSE rz END AS hex_r FROM h)
          |SELECT hex_q, hex_r, count(*) AS n FROM a GROUP BY 1, 2""".stripMargin
+    },
+
+    // the hexBin CTE pipeline, then the 7-cell ring as an integer
+    // adjacency self-join (the six axial offsets + self)
+    "q_hex_ring" -> {
+      val c1 = s"CAST('${Tiling.HexC1}' AS DOUBLE)"
+      val c2 = s"CAST('${Tiling.HexC2}' AS DOUBLE)"
+      val c3 = s"CAST('${Tiling.HexC3}' AS DOUBLE)"
+      s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
+         |f AS (SELECT ($c1 * lon - $c2 * lat) / 2.5 AS qf, ($c3 * lat) / 2.5 AS rf FROM pts),
+         |g AS (SELECT qf, rf, -qf - rf AS yf,
+         |        CAST(floor(qf + 0.5) AS BIGINT) AS rx,
+         |        CAST(floor(-qf - rf + 0.5) AS BIGINT) AS ry,
+         |        CAST(floor(rf + 0.5) AS BIGINT) AS rz FROM f),
+         |h AS (SELECT rx, ry, rz,
+         |        abs(CAST(rx AS DOUBLE) - qf) AS dx,
+         |        abs(CAST(ry AS DOUBLE) - yf) AS dy,
+         |        abs(CAST(rz AS DOUBLE) - rf) AS dz FROM g),
+         |a AS (SELECT
+         |        CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS hex_q,
+         |        CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+         |             THEN -rx - ry ELSE rz END AS hex_r FROM h),
+         |t AS (SELECT hex_q, hex_r, count(*) AS n FROM a GROUP BY 1, 2)
+         |SELECT x.hex_q, x.hex_r, x.n, CAST(sum(y.n) AS BIGINT) AS n_ring
+         |FROM t x JOIN t y
+         |  ON (y.hex_q - x.hex_q, y.hex_r - x.hex_r) IN
+         |     ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+         |GROUP BY x.hex_q, x.hex_r, x.n""".stripMargin
     },
 
     // the pruned prefix read, replayed as a full recompute + LIKE filter

@@ -222,6 +222,35 @@ object Tiling {
       .withColumn("hex_r", when(!fixQ && !(dy > dz), -rx - ry).otherwise(rz))
   }
 
+  /** Ring-1 neighborhood rollup on the hex grid — H3's k-ring aggregation
+    * at k=1: per OCCUPIED hex, its own count plus the total over itself
+    * and its 6 axial neighbors. The hexagonal analogue of
+    * [[zxyNeighborhoodCounts]] and the reason hex grids exist: every
+    * neighbor shares a full edge (no corner-touch ambiguity), so the
+    * 7-cell kernel is the natural smoothing unit.
+    *
+    * Same scale shape as the square version: points collapse to per-hex
+    * counts FIRST (the only pass over data rows), the bounded hex table
+    * explodes x7 into neighbor contributions, re-aggregates, and joins
+    * back equi on (hex_q, hex_r) — AQE-broadcastable. Axial arithmetic is
+    * pure integers: the SQL replay is exact by construction. */
+  def hexRingCounts(df: DataFrame, latCol: String, lonCol: String,
+                    sizeDeg: Double): DataFrame = {
+    val hexes = hexBin(df, latCol, lonCol, sizeDeg)
+      .groupBy("hex_q", "hex_r").agg(count(lit(1)).as("n"))
+    val offsets = Seq((0L, 0L), (1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L),
+      (1L, -1L), (-1L, 1L)).map { case (dq, dr) =>
+      struct((col("hex_q") + lit(dq)).as("tq"),
+        (col("hex_r") + lit(dr)).as("tr"), col("n"))
+    }
+    val hood = hexes
+      .select(explode(array(offsets: _*)).as("__c"))
+      .select(col("__c.tq").as("hex_q"), col("__c.tr").as("hex_r"), col("__c.n"))
+      .groupBy("hex_q", "hex_r").agg(sum("n").as("n_ring"))
+    hexes.join(hood, Seq("hex_q", "hex_r"))
+      .select("hex_q", "hex_r", "n", "n_ring")
+  }
+
   /** Center of an axial hex cell, inverting [[hexBin]]'s projection:
     * `lat = 3/2 · size · r / ... ` — concretely lon = size · (sqrt(3)·q +
     * sqrt(3)/2·r) scaled back; used by the nearest-center property spec. */

@@ -47,6 +47,24 @@ class HexBinSpec extends SparkTestBase {
     assert(margin > 1e-9)
   }
 
+  test("hexRingCounts == driver-side 7-cell rollup") {
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon")
+    val got = Tiling.hexRingCounts(pts, "lat", "lon", S)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (r <- pts.collect()) {
+      val k = hexRef(r.getDouble(0), r.getDouble(1))
+      counts(k) = counts.getOrElse(k, 0L) + 1L
+    }
+    val offs = Seq((0L, 0L), (1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L), (1L, -1L), (-1L, 1L))
+    val want = counts.map { case ((q, r), n) =>
+      (q, r) -> (n, offs.map { case (dq, dr) => counts.getOrElse((q + dq, r + dr), 0L) }.sum)
+    }.toMap
+    assert(got == want)
+    assert(want.values.exists(v => v._2 > v._1), "no hex has an occupied neighbor")
+  }
+
   test("assigned hex center is the nearest center among itself and its 6 neighbors") {
     val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon").limit(2000)
     val rows = Tiling.hexBin(pts, "lat", "lon", S)
