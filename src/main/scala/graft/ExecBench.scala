@@ -89,6 +89,16 @@ object ExecBench {
     t("zxySmooth z10     ") {
       Tiling.zxyNeighborhoodCounts(pts.toDF(), "lat", "lon", 10).count()
     }
+    t("hexBin 0.25deg    ") {
+      Tiling.hexBin(pts.toDF(), "lat", "lon", 0.25)
+        .agg(sum(col("hex_q") + col("hex_r"))).collect(); 100000000L
+    }
+    t("hexRing 0.25deg   ") {
+      Tiling.hexRingCounts(pts.toDF(), "lat", "lon", 0.25).count()
+    }
+    t("stCube gh3/hour   ") {
+      Tiling.geohashTimeCube(trk.toDF(), "lat", "lon", 3, "ts", "id").count()
+    }
     spark.stop()
   }
 }
