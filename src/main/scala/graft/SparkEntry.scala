@@ -869,6 +869,15 @@ object SparkEntry {
         .select("o_orderkey", "geohash")
     }),
 
+    // emerging hotspots: per geohash-2 cell, first-half vs second-half
+    // January counts and the relative change — integer-exact, one pass
+    "q_trend" -> ((s, dir) =>
+      Tiling.geohashTrend(
+        events(s, dir)
+          .withColumn("lat", expr(latSqlFor("event_id")))
+          .withColumn("lon", expr(lonSqlFor("event_id"))),
+        "lat", "lon", 2, "ts", "2024-01-01", "2024-01-16", "2024-01-31")),
+
     // spatio-temporal cube over events: per (geohash-3 cell, hour) stats
     // plus all three marginalizations in one pass via native GROUPING SETS
     "q_st_cube" -> ((s, dir) =>
@@ -2308,6 +2317,27 @@ object SparkEntry {
          |idx AS (SELECT o_orderkey, ${geohashIdxSql(6)} FROM pts),
          |g AS (SELECT o_orderkey, ${geohashCharsSql(6)} AS geohash FROM idx)
          |SELECT o_orderkey, geohash FROM g WHERE geohash LIKE '7%'""".stripMargin,
+
+    // geohashTrend replayed exactly: same window bounds, conditional sums,
+    // and the identical integer-ratio expression
+    "q_trend" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      s"""WITH e AS (SELECT $evLat AS lat, $evLon AS lon, ts FROM events
+         |           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+         |idx AS (SELECT ${geohashIdxSql(2)}, ts FROM e),
+         |g AS (SELECT ${geohashCharsSql(2)} AS geohash, ts FROM idx),
+         |t AS (SELECT geohash,
+         |        sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_before,
+         |        sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_after
+         |      FROM g GROUP BY 1)
+         |SELECT geohash, CAST(n_before AS BIGINT) AS n_before,
+         |  CAST(n_after AS BIGINT) AS n_after,
+         |  CASE WHEN n_before = 0 THEN NULL
+         |       ELSE CAST(n_after - n_before AS DOUBLE) / CAST(n_before AS DOUBLE)
+         |  END AS pct_change
+         |FROM t""".stripMargin
+    },
 
     // geohashTimeCube replayed exactly: transcendental-free geohash keys,
     // date_trunc hour, min/max value (order-independent exact), native

@@ -169,8 +169,15 @@ object Tiling {
                             z: Int): DataFrame = {
     require(z >= 2 && z <= 30, s"zoom out of range for a 3x3 kernel: $z")
     val n = 1L << z
+    // localCheckpoint pins the bounded per-tile table so the point table
+    // is scanned exactly ONCE: both the row branch and the neighborhood
+    // branch otherwise re-execute the full scan+aggregate subtree
+    // (exchange reuse is not guaranteed across the two), which measured
+    // 40x slower at 100M rows. Same non-fault-tolerant-window tradeoff
+    // as the CC loop's per-round checkpoint (Dedup.duplicateClusters).
     val tiles = zxyAssign(df, latCol, lonCol, z)
       .groupBy("zx", "zy").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield
       struct(((col("zx") + lit(dx.toLong) + lit(n)) % lit(n)).as("tzx"),
         (col("zy") + lit(dy.toLong)).as("tzy"), col("n"))
@@ -236,8 +243,11 @@ object Tiling {
     * pure integers: the SQL replay is exact by construction. */
   def hexRingCounts(df: DataFrame, latCol: String, lonCol: String,
                     sizeDeg: Double): DataFrame = {
+    // see zxyNeighborhoodCounts: pin the bounded hex table so the point
+    // scan runs once, not once per plan branch (40x at 100M rows)
     val hexes = hexBin(df, latCol, lonCol, sizeDeg)
       .groupBy("hex_q", "hex_r").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val offsets = Seq((0L, 0L), (1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L),
       (1L, -1L), (-1L, 1L)).map { case (dq, dr) =>
       struct((col("hex_q") + lit(dq)).as("tq"),
@@ -302,6 +312,36 @@ object Tiling {
       else col("gh_prefix").startsWith(prefix)
     df.where(dirPred && col("geohash").startsWith(prefix))
   }
+
+  /** Emerging-hotspot trend per geohash cell: event counts in the windows
+    * [from, split) and [split, to) and the relative change — the
+    * two-window comparison behind "activity up N% here this week". All
+    * counts are integers and `pct_change` is one fixed IEEE division of
+    * exact integers (null when the baseline is empty), so a SQL replay is
+    * bit-exact. Rows outside [from, to) are excluded; cells active in
+    * only one window still appear (full outer semantics via conditional
+    * sums — no join at all).
+    *
+    * Scale shape: ONE pass, one partial+final hash aggregation keyed by
+    * cell — the two windows are conditional sums inside the same
+    * aggregate, not two scans. */
+  def geohashTrend(df: DataFrame, latCol: String, lonCol: String,
+                   precision: Int, tsCol: String,
+                   from: String, split: String, to: String): DataFrame =
+    geohashEncode(
+        df.where(col(tsCol) >= lit(from).cast("timestamp") &&
+          col(tsCol) < lit(to).cast("timestamp")),
+        latCol, lonCol, precision)
+      .groupBy("geohash")
+      .agg(
+        sum(when(col(tsCol) < lit(split).cast("timestamp"), 1L).otherwise(0L))
+          .as("n_before"),
+        sum(when(col(tsCol) >= lit(split).cast("timestamp"), 1L).otherwise(0L))
+          .as("n_after"))
+      .withColumn("pct_change",
+        when(col("n_before") === 0L, lit(null).cast("double"))
+          .otherwise((col("n_after") - col("n_before")).cast("double") /
+            col("n_before").cast("double")))
 
   /** Spatio-temporal cube: per (geohash-cell, hour) statistics at EVERY
     * marginalization level in one pass — (cell, hour), per-cell all-time,

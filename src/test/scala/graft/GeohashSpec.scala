@@ -133,6 +133,23 @@ class GeohashSpec extends SparkTestBase {
     assert(ghs.forall(_.length == 2), s"partition tokens mangled: ${ghs.toSeq}")
   }
 
+  test("geohashTrend: window split partitions the in-range rows; pct_change formula holds") {
+    val ev = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
+    val rows = Tiling.geohashTrend(ev, "lat", "lon", 1, "ts",
+      "2024-01-01", "2024-01-16", "2024-01-31").collect()
+    val inRange = ev.where(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+      col("ts") < lit("2024-01-31").cast("timestamp")).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == inRange)
+    for (r <- rows) {
+      val (b, a) = (r.getLong(1), r.getLong(2))
+      if (b == 0L) assert(r.isNullAt(3))
+      else assert(r.getDouble(3) == (a - b).toDouble / b.toDouble)
+    }
+    assert(rows.exists(r => !r.isNullAt(3) && r.getDouble(3) != 0.0))
+  }
+
   test("edge clamps: lat=90 / lon=180 land in the last cell, known vector checks out") {
     import spark.implicits._
     val df = Seq((90.0, 180.0), (-90.0, -180.0), (57.64911, 10.40744)).toDF("lat", "lon")
