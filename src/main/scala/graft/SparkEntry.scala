@@ -869,6 +869,20 @@ object SparkEntry {
         .select("o_orderkey", "geohash")
     }),
 
+    // RECTANGLE query over the geohash layout: the geohash polyfill turns
+    // the prefix index into a region index — covering prefixes prune
+    // directories and row groups, the exact rect test refines; same rows
+    // as a full-scan rect filter (the oracle)
+    "q_geohash_region" -> ((s, dir) => {
+      val out = fixture(dir, "ghclustered") { p =>
+        Tiling.geohashClusteredWrite(points(s, dir).select("o_orderkey", "lat", "lon"),
+          "lat", "lon", p, precision = 6, prefixLen = 1)
+      }
+      val (_, latLo, latHi, lonLo, lonHi) = SparkEntryRegions.rectBounds.head // r_europe
+      Tiling.geohashRegionScan(s, out, latLo, latHi, lonLo, lonHi, prefixLen = 1)
+        .select("o_orderkey")
+    }),
+
     // emerging hotspots: per geohash-2 cell, first-half vs second-half
     // January counts and the relative change — integer-exact, one pass
     "q_trend" -> ((s, dir) =>
@@ -2317,6 +2331,14 @@ object SparkEntry {
          |idx AS (SELECT o_orderkey, ${geohashIdxSql(6)} FROM pts),
          |g AS (SELECT o_orderkey, ${geohashCharsSql(6)} AS geohash FROM idx)
          |SELECT o_orderkey, geohash FROM g WHERE geohash LIKE '7%'""".stripMargin,
+
+    // the polyfill-pruned read must equal the plain rect filter
+    "q_geohash_region" -> {
+      val (_, latLo, latHi, lonLo, lonHi) = SparkEntryRegions.rectBounds.head
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders)
+         |SELECT o_orderkey FROM pts
+         |WHERE ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}""".stripMargin
+    },
 
     // geohashTrend replayed exactly: same window bounds, conditional sums,
     // and the identical integer-ratio expression

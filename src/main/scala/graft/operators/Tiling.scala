@@ -294,6 +294,99 @@ object Tiling {
       .parquet(outDir)
   }
 
+  /** Lat/lon interval of a geohash prefix cell (closed-open degrees),
+    * from the de-interleaved axis index ranges. Pure arithmetic. */
+  def geohashCellBounds(prefix: String): (Double, Double, Double, Double) = {
+    val (lonBits, latBits, plan) = geohashBitPlan(prefix.length)
+    var li = 0L; var ti = 0L
+    for (j <- 0 until 5 * prefix.length) {
+      val v = GeohashAlphabet.indexOf(prefix.charAt(j / 5))
+      require(v >= 0, s"not a geohash prefix: '$prefix'")
+      val bit = (v >> (4 - j % 5)) & 1
+      if (plan(j)._1) li |= bit.toLong << plan(j)._2 else ti |= bit.toLong << plan(j)._2
+    }
+    val lonW = 360.0 / (1L << lonBits).toDouble
+    val latW = 180.0 / (1L << latBits).toDouble
+    (ti * latW - 90.0, (ti + 1) * latW - 90.0, li * lonW - 180.0, (li + 1) * lonW - 180.0)
+  }
+
+  /** Geohash "polyfill": prefixes (length <= `maxPrecision`) covering a
+    * lat/lon rectangle — what turns the [[geohashClusteredWrite]] layout
+    * into a REGION-queryable index rather than a literal-prefix one.
+    * Greedy BFS from the 32 single-char cells: cells fully inside the
+    * rect are emitted as-is, boundary cells subdivide while the prefix
+    * budget allows (the [[graft.s2.S2RegionCoverer]] discipline on the
+    * geohash grid — interval intersection tests only, no trig). The
+    * result is prefix-free (no emitted prefix extends another), so the
+    * per-prefix scans partition the matching rows. Rects wrapping the
+    * antimeridian split into two lobes first. */
+  def geohashCovering(latLo: Double, latHi: Double, lonLo: Double, lonHi: Double,
+                      maxPrefixes: Int = 64, maxPrecision: Int = 4): Seq[String] = {
+    require(latLo <= latHi, s"latLo $latLo > latHi $latHi")
+    require(maxPrefixes >= 32, s"need >= 32 prefixes for the root cells: $maxPrefixes")
+    val lobes: Seq[(Double, Double)] =
+      if (lonLo <= lonHi) Seq((lonLo, lonHi))
+      else Seq((lonLo, 180.0), (-180.0, lonHi))
+    // cells are closed-open, the rect is closed: [a,b) meets [latLo,latHi]
+    // iff b > latLo && a <= latHi (note <=: a cell starting exactly at
+    // latHi still contains the in-rect boundary point)
+    def intersects(p: String): Boolean = {
+      val (a, b, c, d) = geohashCellBounds(p)
+      b > latLo && a <= latHi && lobes.exists { case (lo, hi) => d > lo && c <= hi }
+    }
+    def inside(p: String): Boolean = {
+      val (a, b, c, d) = geohashCellBounds(p)
+      a >= latLo && b <= latHi && lobes.exists { case (lo, hi) => c >= lo && d <= hi }
+    }
+    var frontier = GeohashAlphabet.map(_.toString).filter(intersects).toVector
+    val done = Vector.newBuilder[String]
+    var doneN = 0
+    var continue = true
+    while (continue) {
+      val (in, boundary) = frontier.partition(inside)
+      done ++= in; doneN += in.size
+      val expandable = boundary.filter(_.length < maxPrecision)
+      val fixed = boundary.filterNot(_.length < maxPrecision)
+      done ++= fixed; doneN += fixed.size
+      // each subdivision replaces 1 prefix by <= 32 children; stop while
+      // the worst case still fits the budget
+      if (expandable.isEmpty || doneN + expandable.size * 32 > maxPrefixes) {
+        done ++= expandable
+        continue = false
+      } else {
+        frontier = expandable.flatMap(p => GeohashAlphabet.map(c => p + c).filter(intersects))
+      }
+    }
+    done.result()
+  }
+
+  /** Rectangle query over a [[geohashClusteredWrite]] layout: the
+    * [[geohashCovering]] prefixes become partition-directory predicates
+    * (equality at `prefixLen`, startsWith below it) plus geohash-column
+    * StartsWith filters for the row groups, and the exact lat/lon rect
+    * test refines. Equivalent rows to a full-scan rect filter; touches
+    * only covered directories. */
+  def geohashRegionScan(spark: SparkSession, dir: String,
+                        latLo: Double, latHi: Double,
+                        lonLo: Double, lonHi: Double,
+                        latCol: String = "lat", lonCol: String = "lon",
+                        prefixLen: Int = 2, maxPrefixes: Int = 64,
+                        maxPrecision: Int = 4): DataFrame = {
+    val prefixes = geohashCovering(latLo, latHi, lonLo, lonHi, maxPrefixes, maxPrecision)
+    require(prefixes.nonEmpty, "empty covering: the rect intersects no geohash cell")
+    val df = readLayoutStringParts(spark, dir)
+    val dirPred = prefixes.map { p =>
+      if (p.length >= prefixLen) col("gh_prefix") === p.substring(0, prefixLen)
+      else col("gh_prefix").startsWith(p)
+    }.reduce(_ || _)
+    val rowPred = prefixes.map(p => col("geohash").startsWith(p)).reduce(_ || _)
+    val lonPred =
+      if (lonLo <= lonHi) col(lonCol) >= lonLo && col(lonCol) <= lonHi
+      else col(lonCol) >= lonLo || col(lonCol) <= lonHi
+    df.where(dirPred && rowPred &&
+      col(latCol) >= latLo && col(latCol) <= latHi && lonPred)
+  }
+
   /** Prefix-range scan of a [[geohashClusteredWrite]] layout: directory
     * pruning via the partition column (equality when the query prefix
     * covers it, prefix match when shorter) plus a `StartsWith` filter on

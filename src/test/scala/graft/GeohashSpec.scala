@@ -150,6 +150,46 @@ class GeohashSpec extends SparkTestBase {
     assert(rows.exists(r => !r.isNullAt(3) && r.getDouble(3) != 0.0))
   }
 
+  test("geohashCovering: complete, prefix-free, within budget (incl. antimeridian wrap)") {
+    val rects = Seq(
+      (35.0, 60.0, -10.0, 30.0),        // europe-ish
+      (-20.0, 10.0, 170.0, -160.0),     // wraps the antimeridian
+      (-90.0, -80.0, -180.0, 180.0))    // polar band, full longitude
+    val rnd = new scala.util.Random(7)
+    for ((la, lb, lo, hi) <- rects) {
+      val cov = Tiling.geohashCovering(la, lb, lo, hi)
+      assert(cov.nonEmpty && cov.size <= 64, s"covering size ${cov.size}")
+      for (a <- cov; b <- cov if a != b)
+        assert(!b.startsWith(a), s"covering not prefix-free: $a prefixes $b")
+      for (_ <- 0 until 500) {
+        val lat = la + (lb - la) * rnd.nextDouble()
+        val lon =
+          if (lo <= hi) lo + (hi - lo) * rnd.nextDouble()
+          else {
+            val x = lo + ((180.0 - lo) + (hi + 180.0)) * rnd.nextDouble()
+            if (x > 180.0) x - 360.0 else x
+          }
+        val gh = geohashRef(lat, lon, 6)
+        assert(cov.exists(gh.startsWith),
+          s"($lat, $lon) gh=$gh uncovered in ($la, $lb, $lo, $hi): $cov")
+      }
+    }
+  }
+
+  test("geohashRegionScan == driver rect filter over the layout (sf0.001)") {
+    val dir = java.nio.file.Files.createTempDirectory("ghregion").toString
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("o_orderkey", "lat", "lon")
+    Tiling.geohashClusteredWrite(pts, "lat", "lon", dir, precision = 6, prefixLen = 2)
+    val (la, lb, lo, hi) = (35.005, 60.005, -10.005, 30.005)
+    val got = Tiling.geohashRegionScan(spark, dir, la, lb, lo, hi)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val want = pts.collect()
+      .filter(r => r.getDouble(1) >= la && r.getDouble(1) <= lb &&
+        r.getDouble(2) >= lo && r.getDouble(2) <= hi)
+      .map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("edge clamps: lat=90 / lon=180 land in the last cell, known vector checks out") {
     import spark.implicits._
     val df = Seq((90.0, 180.0), (-90.0, -180.0), (57.64911, 10.40744)).toDF("lat", "lon")
