@@ -56,6 +56,14 @@ object SparkEntry {
     }.mkString("concat(", ", ", ")")
   }
 
+  /** DuckDB replay of [[Dedup.portableHashOf]] for a FIXED-length string
+    * expression: the stepwise (h*131 + codepoint) mod P fold, unrolled.
+    * Base-32 geohash chars are ASCII, so `ascii()` == the code point. */
+  private def portableHashSql(strExpr: String, len: Int): String =
+    (1 to len).foldLeft("0") { (acc, i) =>
+      s"(($acc) * 131 + ascii(substr($strExpr, $i, 1))) % ${Dedup.HashP}"
+    }
+
   private def orders(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/orders.parquet")
 
@@ -1269,6 +1277,29 @@ object SparkEntry {
         .select("doc_id", "split")
     }),
 
+    // spatially-blocked split: the GEOGRAPHIC leakage guard — every point
+    // of a geohash-4 block lands on the same side, so a val point's cell
+    // neighbors can never sit in train (spatial cross-validation blocking)
+    "q_spatial_split" -> ((s, dir) =>
+      Curation.spatialBlockSplit(
+        points(s, dir).select(col("o_orderkey"), col("lat"), col("lon")),
+        "lat", "lon", precision = 4, valFrac = 0.2)
+        .select("o_orderkey", "block", "split")),
+
+    // proportional geo-balanced subsample: 1/8 of every occupied geohash-1
+    // cell (32 coarse cells, hundreds of members each — coarse enough that
+    // the quota arithmetic is actually exercised) — the quota tracks cell
+    // size (dense cells keep their density profile), selection is the
+    // deterministic two-round id-hash order, and the ceil quota is the
+    // exact integer identity (rank-1)*den < n*num
+    "q_cell_sample" -> ((s, dir) => {
+      val cells = Tiling.geohashEncode(
+        points(s, dir).select(col("o_orderkey"), col("lat"), col("lon")),
+        "lat", "lon", 1, out = "cell")
+      Curation.proportionalGroupSample(cells, Seq("cell"), "o_orderkey", num = 1, den = 8)
+        .select("o_orderkey", "cell")
+    }),
+
     "q_pack" -> ((s, dir) => {
       val withTok = documents(s, dir)
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -1638,6 +1669,30 @@ object SparkEntry {
       val planted = ImagePayload.withPatch(images.where(col("p_partkey") % 40 === 0), 2, 2, 1)
         .withColumn("p_partkey", col("p_partkey") + 100000000L)
       ImagePayload.imageNearDup(images.unionByName(planted), "p_partkey")
+        .select("id_a", "id_b")
+    }),
+
+    // GEO-constrained image near-dup: patched near-copies planted AT their
+    // source's location must pair; byte-identical copies relocated to the
+    // ANTIPODE (dhash hamming 0 but 180 deg away — level-6 cells are
+    // ~1.3 deg, so never same-or-adjacent) must NOT. The oracle is exactly
+    // the colocated planted set: ImageNearDupSpec pins the preconditions
+    // (no natural <= 3-bit collision in the population; patches stay
+    // within 3 bits of their source), and the spatial constraint can only
+    // REMOVE pairs from the globally-exact q_image_neardup answer
+    "q_geo_image_neardup" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val key = col("p_partkey")
+      val planted = ImagePayload.withPatch(images.where(key % 40 === 0), 2, 2, 1)
+        .withColumn("p_partkey", key + 100000000L)
+      val far = images.where(key % 60 === 0)
+        .withColumn("p_partkey", key + 400000000L)
+        .withColumn("lat", -col("lat"))
+        .withColumn("lon",
+          when(col("lon") >= 0, col("lon") - lit(180.0)).otherwise(col("lon") + lit(180.0)))
+      ImagePayload.geoImageNearDup(
+        images.unionByName(planted).unionByName(far),
+        "p_partkey", "lat", "lon", level = 6)
         .select("id_a", "id_b")
     }),
 
@@ -2677,6 +2732,34 @@ object SparkEntry {
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin
     },
 
+    // geohash-4 replayed bit for bit, then the block string's code-point
+    // fold and the affine side test — all integer, zero tolerance
+    "q_spatial_split" -> {
+      val (p, a, t) = (Dedup.HashP, Curation.HashA, Curation.splitThreshold(0.2))
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |idx AS (SELECT o_orderkey, ${geohashIdxSql(4)} FROM pts),
+         |g AS (SELECT o_orderkey, ${geohashCharsSql(4)} AS block FROM idx),
+         |h AS (SELECT o_orderkey, block, ${portableHashSql("block", 4)} AS bh FROM g)
+         |SELECT o_orderkey, block,
+         | CASE WHEN (bh * $a) % $p < $t THEN 'val' ELSE 'train' END AS split
+         |FROM h""".stripMargin
+    },
+
+    // geohash-1 cells + the two-round hash order + the exact integer ceil
+    // identity (rank-1)*8 < n*1
+    "q_cell_sample" -> {
+      val (p, a, b) = (Dedup.HashP, Curation.HashA, Curation.HashB)
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |idx AS (SELECT o_orderkey, ${geohashIdxSql(1)} FROM pts),
+         |g AS (SELECT o_orderkey, ${geohashCharsSql(1)} AS cell FROM idx),
+         |h AS (SELECT o_orderkey, cell,
+         |  ((((o_orderkey % $p) * $a) % $p) * $b) % $p AS hh FROM g),
+         |r AS (SELECT o_orderkey, cell,
+         |  row_number() OVER (PARTITION BY cell ORDER BY hh, o_orderkey) AS rk,
+         |  count(*) OVER (PARTITION BY cell) AS n FROM h)
+         |SELECT o_orderkey, cell FROM r WHERE (rk - 1) * 8 < n * 1""".stripMargin
+    },
+
     "q_pack" -> {
       val (p, a) = (Dedup.HashP, Curation.HashA)
       s"""WITH t AS (SELECT doc_id,
@@ -3150,6 +3233,13 @@ object SparkEntry {
     // (no natural pair exists within hamming 3 — spec-asserted over the
     // whole population, see q_image_neardup comment)
     "q_image_neardup" ->
+      """SELECT p_partkey AS id_a, p_partkey + 100000000 AS id_b
+        |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
+
+    // exact: only the colocated planted pairs survive the spatial
+    // constraint — the antipodal byte-copies (hamming 0, never adjacent)
+    // are precisely what this query must exclude vs q_image_neardup
+    "q_geo_image_neardup" ->
       """SELECT p_partkey AS id_a, p_partkey + 100000000 AS id_b
         |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
 

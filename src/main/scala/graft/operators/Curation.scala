@@ -46,6 +46,28 @@ object Curation {
       .drop("cluster_id")
   }
 
+  /** Spatially-blocked split — the GEOSPATIAL leakage guard the way
+    * [[leakFreeSplit]] is the near-dup one: the split key is the row's
+    * geohash BLOCK at `precision`, so every observation from one
+    * geographic cell lands on the same side (spatial-cross-validation
+    * blocking — under spatial autocorrelation a val point whose immediate
+    * neighbors sit in train is as leaked as a near-dup text). Side =
+    * affine hash of the block string's code-point fold
+    * ([[Dedup.portableHash]]), all integer-exact and mirrored literally
+    * by the SQL oracle. Pure function of (lat, lon): no shuffle, one
+    * codegen span (floor+interleave geohash, fold, compare), stable under
+    * corpus growth and re-partitioning. */
+  def spatialBlockSplit(df: DataFrame, latCol: String, lonCol: String,
+                        precision: Int, valFrac: Double,
+                        blockOut: String = "block"): DataFrame = {
+    require(!df.columns.contains(blockOut),
+      s"spatialBlockSplit: input already has a '$blockOut' column")
+    Tiling.geohashEncode(df, latCol, lonCol, precision, blockOut)
+      .withColumn("split",
+        when((Dedup.portableHash(col(blockOut)) * HashA) % Dedup.HashP
+          < splitThreshold(valFrac), "val").otherwise("train"))
+  }
+
   /** Second-round id hash for [[groupSample]]'s ordering — one affine pass
     * decorrelates poorly from consecutive ids, two rounds with distinct
     * multipliers break the arithmetic progression. Pure int64 arithmetic
@@ -74,6 +96,31 @@ object Curation {
     df.withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= k)
       .drop("__rank")
+  }
+
+  /** PROPORTIONAL per-group sample: `ceil(n_g * num / den)` rows of each
+    * group — same deterministic two-round-hash order as [[groupSample]],
+    * but the quota tracks group size instead of a fixed k (the
+    * geo-balanced-subsampling case: thin a corpus to num/den per spatial
+    * cell without flattening dense cities onto empty ocean the way a
+    * fixed per-cell cap would). `rank <= ceil(n*num/den)` is evaluated as
+    * the integer identity `(rank-1)*den < n*num` — no floating-point
+    * quota, so the oracle is exact at any group size. One shuffle on the
+    * group key; both windows (rank + count) share it. Requires unique
+    * ids. */
+  def proportionalGroupSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                              num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"sample fraction must be a rational in (0, 1]: $num/$den")
+    require(!df.columns.contains("__rank") && !df.columns.contains("__n"),
+      "proportionalGroupSample: input must not have '__rank'/'__n' columns (reserved)")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(idHash2(col(idCol)), col(idCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where((col("__rank") - 1) * den < col("__n") * num)
+      .drop("__rank", "__n")
   }
 
   /** Fixed-token-budget packing: documents are bucketed by id hash (so the

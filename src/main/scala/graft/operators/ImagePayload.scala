@@ -323,6 +323,43 @@ object ImagePayload {
         (expr("bit_count(__da ^ __db)") <= maxHamming).as("same_image"))
   }
 
+  /** GEO-constrained image near-dup: dhash pairs within `maxHamming` bits
+    * whose locations fall in the SAME or an edge/vertex-ADJACENT S2 cell
+    * at `level` — the re-upload-detection shape where only co-located
+    * collisions are actionable (the same photo re-posted from the same
+    * place), and the scale path when global hamming banding develops hot
+    * buckets: candidates come from the spatial equi-join, so a boilerplate
+    * raster recurring worldwide (logos, blank frames) never forms one
+    * giant bucket — it pairs only within each neighborhood.
+    *
+    * Shape: one decode pass for the dhash; only (id, dhash, cell) rows
+    * shuffle — bytes never move; the 9x own+neighbor explode rides ONE
+    * side of the self-join. Completeness is the distance-join adjacency
+    * argument: same-cell pairs share the un-exploded key, adjacent-cell
+    * pairs are matched when either side's neighbor ring covers the other
+    * (found <= 2x, deduped by the oriented pair). Exactness: the hamming
+    * test runs on every candidate — the spatial key only LIMITS the pair
+    * universe; within it the result is exact, not approximate.
+    * Output: (id_a, id_b, hamming) with a < b. */
+  def geoImageNearDup(images: DataFrame, idCol: String, latCol: String, lonCol: String,
+                      level: Int, maxHamming: Int = 3): DataFrame = {
+    import graft.functions.s2functions._
+    val hashed = withPerceptualHash(images)
+      .where(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash"),
+        s2_tile(col(latCol), col(lonCol), level).as("__cell"))
+    val a = hashed.select(col(idCol).as("id_a"), col("dhash").as("__da"), col("__cell"))
+    val b = hashed.select(col(idCol).as("id_b"), col("dhash").as("__db"),
+      explode(array_union(s2_all_neighbors(col("__cell"), level),
+        array(col("__cell")))).as("__cell"))
+    a.join(b, Seq("__cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__da").bitwiseXOR(col("__db"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Per-row payload verification: decoded-pixel PSNR >= 40 dB and caption
     * equality vs the synthesis rule (`BASELINE.json.input_hint`). */
   def verifyPayload(images: DataFrame, keyCol: String): DataFrame = {

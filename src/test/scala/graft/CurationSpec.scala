@@ -37,6 +37,54 @@ class CurationSpec extends SparkTestBase {
     for (d <- 30L until 50L) assert(byDoc(d) == plain(d))
   }
 
+  test("spatialBlockSplit: side is a pure function of the geohash block, matching the scalar fold") {
+    import spark.implicits._
+    val pts = (0L until 4000L).map { k =>
+      (k, ((k * 9973 + 12345) % 18000) / 100.0 - 90.0,
+        ((k * 31337 + 54321) % 36000) / 100.0 - 180.0)
+    }.toDF("id", "lat", "lon")
+    val split = Curation.spatialBlockSplit(pts, "lat", "lon", precision = 4, valFrac = 0.2)
+      .select("id", "block", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // one side per block (the leakage guard), and that side is exactly the
+    // documented arithmetic: portableHash(block) * A mod P < P * 0.2
+    val thr = Curation.splitThreshold(0.2)
+    val byBlock = split.groupBy(_._2)
+    assert(byBlock.size > 100, s"degenerate fixture: ${byBlock.size} blocks")
+    for ((block, rows) <- byBlock) {
+      assert(rows.map(_._3).distinct.length == 1, s"block $block straddles the split")
+      val expect =
+        if ((Dedup.portableHashOf(block) * Curation.HashA) % Dedup.HashP < thr) "val" else "train"
+      assert(rows.head._3 == expect, s"block $block side != scalar fold")
+    }
+    // the BLOCK fraction lands near valFrac (blocks are the split unit)
+    val valBlocks = byBlock.count(_._2.head._3 == "val")
+    val frac = valBlocks.toDouble / byBlock.size
+    assert(frac > 0.12 && frac < 0.28, s"val block fraction $frac far from 0.2")
+  }
+
+  test("proportionalGroupSample: exact ceil quota per group, two-round-hash order") {
+    import spark.implicits._
+    // group sizes 1..60 so the ceil rounding is exercised at every residue
+    val rows = (0 until 60).flatMap(g => (0 to g).map(i => (g.toLong * 1000 + i, g)))
+      .toDF("id", "grp")
+    val got = Curation.proportionalGroupSample(rows, Seq("grp"), "id", num = 1, den = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byGrp = rows.collect().map(r => (r.getLong(0), r.getInt(1))).groupBy(_._2)
+    def h2(id: Long): Long = {
+      val h1 = ((id % Dedup.HashP) * Curation.HashA) % Dedup.HashP
+      (h1 * Curation.HashB) % Dedup.HashP
+    }
+    val gotByGrp = got.groupBy(_._2)
+    for ((g, members) <- byGrp) {
+      val n = members.length
+      val quota = (n + 6) / 7 // ceil(n/7)
+      val expect = members.map(_._1).sortBy(id => (h2(id), id)).take(quota).toSet
+      val actual = gotByGrp.getOrElse(g, Array.empty).map(_._1).toSet
+      assert(actual == expect, s"group $g: expected $quota rows by hash order")
+    }
+  }
+
   test("packByBudget: every document's start offset falls inside its batch window") {
     import spark.implicits._
     val docs = (0L until 2000L).map(i => (i, 1 + (i % 97).toInt)).toDF("doc_id", "n_tokens")
