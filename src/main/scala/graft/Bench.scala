@@ -131,6 +131,10 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     val results = if (!doSweep) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // progress to stderr (stdout stays the single JSON line): the one
+      // time the sweep hung (q_dbscan stats blowup, round 3) it was
+      // invisible for 45 minutes — never fly blind again
+      System.err.println(s"[bench] $name")
       System.gc()
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()

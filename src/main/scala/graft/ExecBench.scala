@@ -99,6 +99,17 @@ object ExecBench {
     t("stCube gh3/hour   ") {
       Tiling.geohashTimeCube(trk.toDF(), "lat", "lon", 3, "ts", "id").count()
     }
+    // wave-6 curation ops at the same scale: the split is a pure row-local
+    // column (zero exchanges), the sample is one per-cell window pass
+    import graft.operators.Curation
+    t("spatialSplit gh4  ") {
+      Curation.spatialBlockSplit(pts.toDF(), "lat", "lon", 4, 0.2)
+        .agg(sum(when(col("split") === "val", 1L).otherwise(0L))).collect(); 100000000L
+    }
+    t("cellSample gh2 1/8") {
+      val cells = Tiling.geohashEncode(pts.toDF(), "lat", "lon", 2, out = "cell")
+      Curation.proportionalGroupSample(cells, Seq("cell"), "id", 1, 8).count()
+    }
     spark.stop()
   }
 }

@@ -1748,6 +1748,35 @@ object SparkEntry {
         .select("zx", "zy", "n_images", "n_decoded")
     }),
 
+    // mosaic PYRAMID: one decode pass at z=5, ancestor levels 2..5 by
+    // integer tile-index shifts on the bounded per-tile table. The oracle
+    // gates membership + counts per (z, zx, zy) — a decode regression
+    // breaks n_decoded at every level; the average colors are pinned bit
+    // for bit (incl. the rollup identity) by ImageMosaicSpec
+    "q_mosaic_pyramid" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      ImagePayload.tileMosaicPyramid(images, "lat", "lon", 2, 5)
+        .select("z", "zx", "zy", "n_images", "n_decoded")
+    }),
+
+    // per-REGION histogram quantiles: the spatial label join feeds the
+    // mergeable sketch — p50/p95 order value in cents per query region,
+    // fixed-size state, exact integer contract (the sketch + PIP
+    // composition a per-region SLO dashboard runs at 100 TB)
+    "q_region_quantile" -> ((s, dir) => {
+      val hq = udaf(new graft.functions.Sketches.HistQuantile(
+        0L, 1000000L, 60, Seq(0.5, 0.95)))
+      val pts = points(s, dir).select(col("o_orderkey"), col("o_totalprice"),
+        col("lat"), col("lon"))
+      SpatialJoin.pipJoin(pts, "lat", "lon", rectRegions)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy("region_id")
+        .agg(hq(col("cents")).as("qa"))
+        .select(col("region_id"),
+          element_at(col("qa"), 1).as("p50_c"),
+          element_at(col("qa"), 2).as("p95_c"))
+    }),
+
     // interval-overlap join: click activity windows × error windows per
     // user (1-10 h synthetic durations; hour buckets ≈ typical length,
     // so each interval copies ≤ 11×). The first-shared-bucket conjunct
@@ -3278,6 +3307,48 @@ object SparkEntry {
          | FROM c)
          |SELECT zx, zy, count(*) AS n_images, count(*) AS n_decoded
          |FROM g GROUP BY 1, 2""".stripMargin,
+
+    // the z=5 mercator arithmetic once, then each coarser level is integer
+    // division of the tile indices (zx >= 0, so // == the engine's
+    // shiftright); counts gate the decode at every level
+    "q_mosaic_pyramid" -> {
+      val levels = (2 to 5).map { z =>
+        val d = 1 << (5 - z)
+        s"""SELECT $z AS z, zx // $d AS zx, zy // $d AS zy,
+           | count(*) AS n_images, count(*) AS n_decoded FROM g GROUP BY 2, 3""".stripMargin
+      }
+      s"""WITH pts AS (SELECT $PartLatSql AS lat, $PartLonSql AS lon FROM part),
+         |c AS (SELECT least(85.05112878, greatest(-85.05112878, lat)) AS latc, lon FROM pts),
+         |g AS (SELECT
+         |  least(31, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT))) AS zx,
+         |  least(31, greatest(0, CAST(floor((1.0 - ln(tan(latc * pi() / 180.0)
+         |    + 1.0 / cos(latc * pi() / 180.0)) / pi()) / 2.0 * 32.0) AS BIGINT))) AS zy
+         | FROM c)
+         |${levels.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // the PIP label branches feed the exact histogram-quantile replay
+    // (same bucket clamp, same max(1, ceil(q*n)) threshold — identical
+    // IEEE operands both sides, zero tolerance)
+    "q_region_quantile" -> {
+      val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
+        s"""SELECT '$rid' AS region_id, o_totalprice FROM pts
+           | WHERE ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}""".stripMargin
+      }
+      s"""WITH pts AS (SELECT o_orderkey, o_totalprice, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |lab AS (${branches.mkString("\nUNION ALL\n")}),
+         |x AS (SELECT region_id,
+         |  LEAST(59, GREATEST(0, CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 1000000.0) AS BIGINT))) AS b
+         | FROM lab),
+         |c AS (SELECT region_id, b, count(*) AS cnt FROM x GROUP BY 1, 2),
+         |w AS (SELECT region_id, b,
+         |        SUM(cnt) OVER (PARTITION BY region_id ORDER BY b) AS cum,
+         |        SUM(cnt) OVER (PARTITION BY region_id) AS n FROM c)
+         |SELECT region_id,
+         |  CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN b * 1000000 END) AS BIGINT) AS p50_c,
+         |  CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN b * 1000000 END) AS BIGINT) AS p95_c
+         |FROM w GROUP BY 1""".stripMargin
+    },
 
     "q_interval_join" ->
       """WITH a AS (SELECT event_id AS a_id, user_id, ts AS a_s,

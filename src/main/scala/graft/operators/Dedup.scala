@@ -529,6 +529,27 @@ object Dedup {
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Truncate BOTH lineage and stats at an iteration boundary.
+    * `Dataset.localCheckpoint` truncates lineage but PRESERVES the origin
+    * plan's statistics (`LogicalRDD.fromDataset` rewrites the stats of
+    * the plan it replaces), so a loop that checkpoints frames derived
+    * from the previous round's checkpoint COMPOUNDS the sizeInBytes
+    * estimate — ~quartically per round in the min-label loop below (each
+    * round multiplies the labels estimate into itself via the nbrMin
+    * join and the pointer-jump self-join). The estimates are exact
+    * BigInts: by round ~8 the driver burns HOURS multiplying
+    * million-digit numbers inside SizeInBytesOnlyStatsPlanVisitor before
+    * a single task runs (hit by q_dbscan at sf0.1 — sf0.01 converged in
+    * fewer rounds and never tripped it). Rebuilding from the
+    * checkpointed RDD yields a fresh leaf with default stats:
+    * constant-size stats arithmetic at every round, for the price of one
+    * Row decode/encode pass over (id, label) longs per downstream
+    * read. */
+  private def checkpointFreshStats(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** Connected components over a near-duplicate pair graph: every document
     * that appears in a pair gets `cluster_id` = the minimum document id
     * reachable from it, i.e. one canonical representative per duplicate
@@ -544,11 +565,12 @@ object Dedup {
     * localCheckpoint so deep chains cannot accumulate plan depth (use a
     * reliable checkpoint dir instead on a lossy cluster). */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    val edges = checkpointFreshStats(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = checkpointFreshStats(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -560,12 +582,11 @@ object Dedup {
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
       // pointer jumping: label <- label(label) (monotone: a node's label is
       // always the id of a node whose own label is <= it)
-      val jumped = updated
+      val jumped = checkpointFreshStats(updated
         .join(updated.select(col("id").as("__pid"), col("label").as("__pl")),
           col("label") === col("__pid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("__pl"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("__pl"), col("label"))).as("label")))
       changed = jumped
         .join(labels.select(col("id"), col("label").as("__old")), "id")
         .where(col("label") =!= col("__old")).count()

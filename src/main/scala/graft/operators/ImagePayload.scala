@@ -288,6 +288,47 @@ object ImagePayload {
         avg(when(size(col("features")) === 4, element_at(col("features"), 2))).as("mean_g"),
         avg(when(size(col("features")) === 4, element_at(col("features"), 3))).as("mean_b"))
 
+  /** Mosaic PYRAMID: [[tileMosaic]] at EVERY zoom level `minZ..maxZ` from
+    * ONE decode pass — the full atlas a map UI precomputes. Each image is
+    * decoded once and aggregated into the bounded per-tile table at
+    * `maxZ` (sums + counts, pinned with localCheckpoint exactly like
+    * [[graft.operators.Tiling.zxyNeighborhoodCounts]] so the scan runs
+    * once); ancestor levels are integer right-shifts of the tile indices
+    * (the z/x/y pyramid identity: tile (z-1, x>>1, y>>1) is the union of
+    * its 4 children), so the explode runs on <= 4^maxZ rows regardless of
+    * input size. Means stay EXACT at every level: per-image channel means
+    * are multiples of 2^-8, so the double sums are order-independent
+    * exact and each level's mean is one division (ImageMosaicSpec pins
+    * both the rollup identity and bit-equality with tileMosaic per
+    * level). */
+  def tileMosaicPyramid(images: DataFrame, latCol: String, lonCol: String,
+                        minZ: Int, maxZ: Int): DataFrame = {
+    require(0 <= minZ && minZ <= maxZ, s"bad level range: $minZ..$maxZ")
+    val ok = size(col("features")) === 4
+    val base = Tiling.zxyAssign(withFeatures(images), latCol, lonCol, maxZ)
+      .groupBy("zx", "zy")
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(when(ok, 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(ok, element_at(col("features"), 1))).as("__sr"),
+        sum(when(ok, element_at(col("features"), 2))).as("__sg"),
+        sum(when(ok, element_at(col("features"), 3))).as("__sb"))
+      .localCheckpoint()
+    val lifted = base.select(explode(array((minZ to maxZ).map { z =>
+      val k = maxZ - z
+      struct(lit(z).as("z"),
+        shiftright(col("zx"), k).as("zx"), shiftright(col("zy"), k).as("zy"),
+        col("n_images"), col("n_decoded"), col("__sr"), col("__sg"), col("__sb"))
+    }: _*)).as("__t")).select("__t.*")
+    lifted.groupBy("z", "zx", "zy")
+      .agg(sum("n_images").as("n_images"), sum("n_decoded").as("n_decoded"),
+        sum("__sr").as("__sr"), sum("__sg").as("__sg"), sum("__sb").as("__sb"))
+      .select(col("z"), col("zx"), col("zy"), col("n_images"), col("n_decoded"),
+        (col("__sr") / col("n_decoded")).as("mean_r"),
+        (col("__sg") / col("n_decoded")).as("mean_g"),
+        (col("__sb") / col("n_decoded")).as("mean_b"))
+  }
+
   /** Single-call decode+feature sanity gate. Deterministic UDFs get
     * duplicated by Catalyst when a filter references their output several
     * times, so multi-condition gates must run inside ONE udf call. */

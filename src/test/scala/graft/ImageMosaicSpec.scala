@@ -65,6 +65,39 @@ class ImageMosaicSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("tileMosaicPyramid: rollup identity + per-level bit-equality with tileMosaic") {
+    val keysDf = spark.read.parquet(s"${sf("sf0.001")}/part.parquet").select("p_partkey")
+    val images = ImagePayload.synthesize(keysDf, "p_partkey")
+    val pyr = ImagePayload.tileMosaicPyramid(images, "lat", "lon", 2, 5)
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    // each level must equal tileMosaic run independently at that zoom —
+    // same counts AND bit-identical means (the pyramid's shifted rollup
+    // sums the identical 2^-8-multiple operands, so no tolerance)
+    for (z <- 2 to 5) {
+      val direct = ImagePayload.tileMosaic(images, "lat", "lon", z)
+        .collect()
+        .map(r => ((z, r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+        .toMap
+      val atZ = pyr.filter(_._1._1 == z)
+      assert(atZ == direct, s"pyramid level $z != independent tileMosaic")
+    }
+    // the pyramid identity: a parent's counts are the sum of its children's
+    for (((z, zx, zy), (n, nd, _, _, _)) <- pyr if z > 2) {
+      val (pn, pnd, _, _, _) = pyr((z - 1, zx >> 1, zy >> 1))
+      assert(pn >= n && pnd >= nd)
+    }
+    for (((z, zx, zy), (n, nd, _, _, _)) <- pyr if z < 5) {
+      val kids = (for { dx <- 0 to 1; dy <- 0 to 1 }
+        yield pyr.get((z + 1, zx * 2 + dx, zy * 2 + dy))).flatten
+      assert(kids.map(_._1).sum == n && kids.map(_._2).sum == nd,
+        s"level-$z tile ($zx,$zy) != sum of its children")
+    }
+  }
+
   test("oracle floor margin: no part-key zy fraction within 1e-9 of an in-range boundary (z=5)") {
     val pts = spark.read.parquet(s"${sf("sf0.01")}/part.parquet")
       .select(col("p_partkey"))
