@@ -129,8 +129,14 @@ object Bench {
     // first query's timing is not a JVM-warmup artifact
     for (t <- Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings"))
       spark.read.parquet(s"$sfDir/$t.parquet").count()
+    // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (debugging a single
+    // query inside the bench's exact session shape)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSet).getOrElse(Set.empty)
     val results = if (!doSweep) Seq.empty else
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.isEmpty || only(n) }
+        .map { case (name, fn) =>
       // progress to stderr (stdout stays the single JSON line): the one
       // time the sweep hung (q_dbscan stats blowup, round 3) it was
       // invisible for 45 minutes — never fly blind again
@@ -138,7 +144,11 @@ object Bench {
       System.gc()
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val failed = times.exists(!_._2)

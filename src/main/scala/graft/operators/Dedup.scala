@@ -558,13 +558,20 @@ object Dedup {
     *
     * Iterative min-label propagation WITH pointer jumping: each round takes
     * the minimum label across the symmetrized edge list and then shortcuts
-    * label -> label(label), so convergence is O(log diameter) rounds (a
-    * 2^25-long chain would fit in the default budget; duplicate clusters
-    * are near-cliques, so 2-3 rounds in practice). Every round is one
-    * shuffle of (id, label) pairs; lineage is truncated each round with
-    * localCheckpoint so deep chains cannot accumulate plan depth (use a
-    * reliable checkpoint dir instead on a lossy cluster). */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    * label -> label(label) `jumpsPerRound` times. Duplicate clusters are
+    * near-cliques (2-3 rounds); the worst measured case is a single
+    * continent-spanning eps-graph component in q_dbscan at sf0.1
+    * (~130-hop diameter), which one jump per round closed in 30 rounds
+    * and two jumps close in ~15 — the default budget of 50 leaves margin
+    * over both. Every round is one (id, label) shuffle for the neighbor
+    * min plus `jumpsPerRound` label-table self-joins; lineage AND stats
+    * are truncated each round ([[checkpointFreshStats]] — plain
+    * localCheckpoint would compound the sizeInBytes estimate into
+    * million-digit BigInts by round ~8; use a reliable checkpoint dir
+    * instead on a lossy cluster). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 50,
+                        jumpsPerRound: Int = 2): DataFrame = {
+    require(jumpsPerRound >= 1, s"jumpsPerRound must be >= 1: $jumpsPerRound")
     val edges = checkpointFreshStats(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -580,13 +587,17 @@ object Dedup {
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
-      // pointer jumping: label <- label(label) (monotone: a node's label is
-      // always the id of a node whose own label is <= it)
-      val jumped = checkpointFreshStats(updated
-        .join(updated.select(col("id").as("__pid"), col("label").as("__pl")),
-          col("label") === col("__pid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__pl"), col("label"))).as("label")))
+      // pointer jumping: label <- label(label), repeated (monotone: a
+      // node's label is always the id of a node whose own label is <= it,
+      // so any number of jumps is safe and each compounds the shortcut)
+      var cur = updated
+      for (_ <- 0 until jumpsPerRound)
+        cur = cur
+          .join(cur.select(col("id").as("__pid"), col("label").as("__pl")),
+            col("label") === col("__pid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__pl"), col("label"))).as("label"))
+      val jumped = checkpointFreshStats(cur)
       changed = jumped
         .join(labels.select(col("id"), col("label").as("__old")), "id")
         .where(col("label") =!= col("__old")).count()
