@@ -381,14 +381,23 @@ object ImagePayload {
     * (found <= 2x, deduped by the oriented pair). Exactness: the hamming
     * test runs on every candidate — the spatial key only LIMITS the pair
     * universe; within it the result is exact, not approximate.
+    *
+    * Residual-skew guard: a single pathological CELL (10^6 uploads at
+    * one venue) would still pair quadratically, so cells larger than
+    * `maxCellSize` are dropped LOUDLY via the shared capped-bucket
+    * discipline (stage "geoimage" in [[Dedup.droppedBucketRows]]) — same
+    * contract as the caption join's viral-caption cap.
     * Output: (id_a, id_b, hamming) with a < b. */
   def geoImageNearDup(images: DataFrame, idCol: String, latCol: String, lonCol: String,
-                      level: Int, maxHamming: Int = 3): DataFrame = {
+                      level: Int, maxHamming: Int = 3,
+                      maxCellSize: Int = 100000): DataFrame = {
     import graft.functions.s2functions._
-    val hashed = withPerceptualHash(images)
+    val keyed = withPerceptualHash(images)
       .where(col("dhash").isNotNull)
-      .select(col(idCol), col("dhash"),
-        s2_tile(col(latCol), col(lonCol), level).as("__cell"))
+      .select(col(idCol), col("dhash"), lit(0).as("band"),
+        s2_tile(col(latCol), col(lonCol), level).as("bucket"))
+    val hashed = Dedup.capBuckets(keyed, maxCellSize, "geoimage", idCol)
+      .withColumnRenamed("bucket", "__cell").drop("band")
     val a = hashed.select(col(idCol).as("id_a"), col("dhash").as("__da"), col("__cell"))
     val b = hashed.select(col(idCol).as("id_b"), col("dhash").as("__db"),
       explode(array_union(s2_all_neighbors(col("__cell"), level),
