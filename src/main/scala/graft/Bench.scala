@@ -130,9 +130,13 @@ object Bench {
     for (t <- Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings"))
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (debugging a single
-    // query inside the bench's exact session shape)
+    // query inside the bench's exact session shape). Unknown names fail
+    // LOUDLY: a typo silently matching nothing would emit a green-looking
+    // zero-query JSON line — the flying-blind mode this flag exists to fix
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').toSet).getOrElse(Set.empty)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names no such query: ${unknown.mkString(",")}")
     val results = if (!doSweep) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.isEmpty || only(n) }

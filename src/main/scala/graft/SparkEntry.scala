@@ -56,6 +56,25 @@ object SparkEntry {
     }.mkString("concat(", ", ", ")")
   }
 
+  /** The q_geo_image_neardup population: originals, colocated patched
+    * copies (key % 40, +1e8), antipodally-relocated byte copies
+    * (key % 60, +4e8 — dhash hamming 0 but never spatially adjacent).
+    * ONE definition shared by the catalog query and
+    * GeoImageNearDupSpec's oracle-precondition checks, so the certified
+    * population can never drift from the queried one. */
+  private[graft] def geoImagePopulation(keys: DataFrame): DataFrame = {
+    val images = ImagePayload.synthesize(keys, "p_partkey")
+    val key = col("p_partkey")
+    val planted = ImagePayload.withPatch(images.where(key % 40 === 0), 2, 2, 1)
+      .withColumn("p_partkey", key + 100000000L)
+    val far = images.where(key % 60 === 0)
+      .withColumn("p_partkey", key + 400000000L)
+      .withColumn("lat", -col("lat"))
+      .withColumn("lon",
+        when(col("lon") >= 0, col("lon") - lit(180.0)).otherwise(col("lon") + lit(180.0)))
+    images.unionByName(planted).unionByName(far)
+  }
+
   /** DuckDB replay of [[Dedup.portableHashOf]] for a FIXED-length string
     * expression: the stepwise (h*131 + codepoint) mod P fold, unrolled.
     * Base-32 geohash chars are ASCII, so `ascii()` == the code point. */
@@ -1680,21 +1699,11 @@ object SparkEntry {
     // (no natural <= 3-bit collision in the population; patches stay
     // within 3 bits of their source), and the spatial constraint can only
     // REMOVE pairs from the globally-exact q_image_neardup answer
-    "q_geo_image_neardup" -> ((s, dir) => {
-      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
-      val key = col("p_partkey")
-      val planted = ImagePayload.withPatch(images.where(key % 40 === 0), 2, 2, 1)
-        .withColumn("p_partkey", key + 100000000L)
-      val far = images.where(key % 60 === 0)
-        .withColumn("p_partkey", key + 400000000L)
-        .withColumn("lat", -col("lat"))
-        .withColumn("lon",
-          when(col("lon") >= 0, col("lon") - lit(180.0)).otherwise(col("lon") + lit(180.0)))
+    "q_geo_image_neardup" -> ((s, dir) =>
       ImagePayload.geoImageNearDup(
-        images.unionByName(planted).unionByName(far),
+        geoImagePopulation(part(s, dir).select("p_partkey")),
         "p_partkey", "lat", "lon", level = 6)
-        .select("id_a", "id_b")
-    }),
+        .select("id_a", "id_b")),
 
     // cross-modal caption consistency: among caption-sharing images, split
     // true re-posts (near-identical pixels) from caption collisions with

@@ -62,6 +62,8 @@ object Curation {
                         blockOut: String = "block"): DataFrame = {
     require(!df.columns.contains(blockOut),
       s"spatialBlockSplit: input already has a '$blockOut' column")
+    require(!df.columns.contains("split"),
+      "spatialBlockSplit: input already has a 'split' column (would be silently overwritten)")
     Tiling.geohashEncode(df, latCol, lonCol, precision, blockOut)
       .withColumn("split",
         when((Dedup.portableHash(col(blockOut)) * HashA) % Dedup.HashP
@@ -117,9 +119,12 @@ object Curation {
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(idHash2(col(idCol)), col(idCol))
     val wAll = Window.partitionBy(groupCols.map(col): _*)
+    // rank is IntegerType: cast before the multiply, or groups beyond
+    // Int.MaxValue/den rows overflow the 32-bit product (ANSI: job death;
+    // non-ANSI: silent oversampling)
     df.withColumn("__rank", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
-      .where((col("__rank") - 1) * den < col("__n") * num)
+      .where((col("__rank").cast("long") - 1) * den < col("__n") * num)
       .drop("__rank", "__n")
   }
 

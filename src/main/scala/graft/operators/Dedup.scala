@@ -572,10 +572,13 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 50,
                         jumpsPerRound: Int = 2): DataFrame = {
     require(jumpsPerRound >= 1, s"jumpsPerRound must be >= 1: $jumpsPerRound")
-    val edges = checkpointFreshStats(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .distinct())
+    // plain localCheckpoint: edges' stats are computed ONCE and never
+    // compound (only the labels -> labels recursion does), and the fresh
+    // rewrap would charge a Row decode/re-encode pass over the biggest
+    // frame in the loop on EVERY round's neighbor-min join
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
     var labels = checkpointFreshStats(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var changed = 1L

@@ -21,21 +21,12 @@ class GeoImageNearDupSpec extends SparkTestBase {
   private def adjacent(ca: Long, cb: Long): Boolean =
     ca == cb || S2CellId.allNeighbors(ca, Level).contains(cb)
 
-  /** The exact population q_geo_image_neardup builds over a keys table:
-    * originals, colocated patched copies (key % 40), antipodally-relocated
-    * byte copies (key % 60). */
-  private def geoPopulation(keys: org.apache.spark.sql.DataFrame) = {
-    val images = ImagePayload.synthesize(keys, "p_partkey")
-    val key = col("p_partkey")
-    val planted = ImagePayload.withPatch(images.where(key % 40 === 0), 2, 2, 1)
-      .withColumn("p_partkey", key + 100000000L)
-    val far = images.where(key % 60 === 0)
-      .withColumn("p_partkey", key + 400000000L)
-      .withColumn("lat", -col("lat"))
-      .withColumn("lon",
-        when(col("lon") >= 0, col("lon") - lit(180.0)).otherwise(col("lon") + lit(180.0)))
-    images.unionByName(planted).unionByName(far)
-  }
+  /** The exact population q_geo_image_neardup builds — SHARED with the
+    * catalog query (SparkEntry.geoImagePopulation), so these precondition
+    * checks certify the population the query actually runs, not a copy
+    * that could silently drift. */
+  private def geoPopulation(keys: org.apache.spark.sql.DataFrame) =
+    SparkEntry.geoImagePopulation(keys)
 
   test("geoImageNearDup == brute force (hamming <= 3 AND same-or-adjacent cell) at sf0.001") {
     val keys = spark.read.parquet(s"${sf("sf0.001")}/part.parquet").select("p_partkey")
