@@ -237,11 +237,18 @@ object ImagePayload {
   /** Image near-duplicate pairs: perceptual-hash banding (complete for
     * hamming <= 3 via [[Dedup.hamming64Pairs]]); only (id, dhash) rows
     * enter the join — the image bytes never shuffle. Undecodable images
-    * (null dhash) are excluded rather than clustered together. */
+    * (null dhash) are excluded rather than clustered together.
+    *
+    * The (id, dhash) signature table is MATERIALIZED (localCheckpoint)
+    * before the banded self-join: the decode subtree appears under both
+    * join branches plus the null filter, so without the pin every image
+    * is decoded 3-4x (the hexRing re-execution lesson, BENCH.md). 16
+    * bytes/row regardless of image size — at 100 TB this is the
+    * signature table an ingest pipeline persists anyway. */
   def imageNearDup(images: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
     Dedup.hamming64Pairs(
       withPerceptualHash(images).select(col(idCol), col("dhash"))
-        .where(col("dhash").isNotNull),
+        .where(col("dhash").isNotNull).localCheckpoint(),
       idCol, "dhash", maxHamming)
 
   private val resizeUdf = udf((bytes: Array[Byte], w: Int, h: Int) => resizeImage(bytes, w, h))
@@ -351,10 +358,13 @@ object ImagePayload {
     * (null dhash) are excluded. */
   def captionConsistency(images: DataFrame, idCol: String,
                          maxHamming: Int = 3, maxGroupSize: Int = 10000): DataFrame = {
+    // materialized for the same reason as imageNearDup: the decode
+    // subtree sits under the cap count and both pair-join branches
     val keyed = withPerceptualHash(images)
       .select(col(idCol), lit(0).as("band"), xxhash64(col("caption")).as("bucket"),
         col("dhash"))
       .where(col("dhash").isNotNull)
+      .localCheckpoint()
     val capped = Dedup.capBuckets(keyed, maxGroupSize, "caption", idCol)
     capped.select(col(idCol).as("id_a"), col("band"), col("bucket"), col("dhash").as("__da"))
       .join(capped.select(col(idCol).as("id_b"), col("band"), col("bucket"),
@@ -392,10 +402,15 @@ object ImagePayload {
                       level: Int, maxHamming: Int = 3,
                       maxCellSize: Int = 100000): DataFrame = {
     import graft.functions.s2functions._
+    // materialized before cap + self-join: the decode subtree otherwise
+    // re-executes under the cap's per-cell count, the null filter, and
+    // BOTH join branches (see imageNearDup) — (id, dhash, cell) is ~24
+    // bytes/row regardless of image size
     val keyed = withPerceptualHash(images)
       .where(col("dhash").isNotNull)
       .select(col(idCol), col("dhash"), lit(0).as("band"),
         s2_tile(col(latCol), col(lonCol), level).as("bucket"))
+      .localCheckpoint()
     val hashed = Dedup.capBuckets(keyed, maxCellSize, "geoimage", idCol)
       .withColumnRenamed("bucket", "__cell").drop("band")
     val a = hashed.select(col(idCol).as("id_a"), col("dhash").as("__da"), col("__cell"))
