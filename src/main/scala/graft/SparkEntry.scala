@@ -113,6 +113,13 @@ object SparkEntry {
     * `head()` job just to discover the vector width. */
   private val EmbeddingDim = 64
 
+  /** Variance-of-Laplacian gate for q_image_sharpness, in (integer-luma)²
+    * units (luma = 299r+587g+114b). Pinned between the measured
+    * populations — sharp independent-pixel noise ~5e10, bilinear low-pass
+    * copies orders of magnitude below — with >= 4x clearance on both
+    * sides (ImageSharpnessSpec). */
+  val SharpnessThreshold: Double = 3e9
+
   /** Build-once fixture for queries whose point is the READ path over a
     * persisted layout (clustered table, IVF index): the layout is written
     * the first time a query needs it for a given sf dir and reused after,
@@ -935,6 +942,13 @@ object SparkEntry {
     "q_hotspots" -> ((s, dir) =>
       Tiling.hotspotScores(points(s, dir), "lat", "lon", 6)),
 
+    // global Moran's I over the same zoom-6 grid: is the corpus spatially
+    // clustered at all? Every formula operand is an integer (tile counts,
+    // moments, directed-edge count, adjacency cross/degree sums), so the
+    // single output double is bit-exact against the oracle
+    "q_morans_i" -> ((s, dir) =>
+      Tiling.moransI(points(s, dir), "lat", "lon", 6)),
+
     // --- clustered storage layout, exercised end to end: write the points
     // spatially clustered (hive-partitioned by coarse tile, sorted by leaf
     // cell), read back ONLY the partitions/row-ranges overlapping the
@@ -1280,6 +1294,18 @@ object SparkEntry {
           .select("id_a", "id_b"))
         .select("doc_id", "cluster_id")),
 
+    // deduplicated-corpus keep list: the dedup pipeline's actual output —
+    // every doc that is a singleton or its cluster's canonical (min) id;
+    // non-canonical near-dup cluster members are dropped via one anti join
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      Dedup.dedupKeep(docs, "doc_id",
+        Dedup.nearDupPairs(docs, "doc_id", "text",
+          numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
+          .select("id_a", "id_b"))
+        .select("doc_id")
+    }),
+
     // --- curation: reproducible splits + token-budget packing ---
     "q_split" -> ((s, dir) =>
       Curation.hashSplit(documents(s, dir).select("doc_id"), "doc_id", valFrac = 0.2)
@@ -1570,6 +1596,20 @@ object SparkEntry {
         .select("query_id", "neighbor_id")
     }),
 
+    // IVF-PQ: the two persisted-index halves composed (FAISS-IVFPQ shape) —
+    // partition-pruned probe of nprobe lists, vector-free ADC shortlist
+    // over the m-int codes, exact re-rank within the pruned partitions.
+    // Rows-only; recall >= 0.9 and both plan contracts (partition pruning,
+    // codes-not-vec shortlist schema) are EmbeddingRecallSpec-pinned
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val idx = fixture(dir, "ivfpq_index") { p =>
+        Similarity.buildIvfPqIndex(embeddings(s, dir), "vec_id", "embedding", p)
+      }
+      Similarity.queryIvfPq(s, idx,
+        embeddings(s, dir).where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // embedding-cosine near-duplicate pairs: exact all-pairs form (small
     // vector tables; oracle-checked) and the LSH-bucketed scale path
     "q_embed_neardup" -> ((s, dir) => {
@@ -1666,6 +1706,19 @@ object SparkEntry {
       ImagePayload.verifyPayload(images, "p_partkey")
         .where(col("psnr_ok") && col("caption_ok"))
         .select("p_partkey")
+    }),
+
+    // variance-of-Laplacian blur gate: every 8th image is replaced by its
+    // bilinear low-pass copy and the gate must flag exactly those — a
+    // planted-id oracle, exact because the sharp (independent-pixel noise)
+    // and blurred (piecewise-linear) populations straddle the threshold
+    // with >= 4x margin on both sides (ImageSharpnessSpec)
+    "q_image_sharpness" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val mixed = images.where(col("p_partkey") % 8 =!= 0)
+        .unionByName(ImagePayload.withBlur(images.where(col("p_partkey") % 8 === 0)))
+      ImagePayload.withSharpness(mixed)
+        .select(col("p_partkey"), (col("sharpness") > lit(SharpnessThreshold)).as("sharp"))
     }),
 
     // real PNG decode + feature extraction must succeed for every row
@@ -2358,6 +2411,33 @@ object SparkEntry {
          |FROM h CROSS JOIN s""".stripMargin
     },
 
+    // moransI replayed bit for bit: per-tile counts, directed queen
+    // adjacency over occupied tiles (x wrap, self excluded), then the SAME
+    // IEEE expression I = N·(C − 2mD + m²W) / (W·(S2 − N·m²)) — every
+    // operand an exact integer, so no tolerance
+    "q_morans_i" -> {
+      val mu = "CAST(sn AS DOUBLE) / CAST(nt AS DOUBLE)"
+      val num = s"CAST(cc AS DOUBLE) - 2.0 * ($mu) * CAST(d AS DOUBLE) + ($mu) * ($mu) * CAST(we AS DOUBLE)"
+      val den = s"CAST(snn AS DOUBLE) - CAST(nt AS DOUBLE) * ($mu) * ($mu)"
+      s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
+         |c AS (SELECT least(85.05112878, greatest(-85.05112878, lat)) AS latc, lon FROM pts),
+         |g AS (SELECT
+         |  least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) AS zx,
+         |  least(63, greatest(0, CAST(floor((1.0 - ln(tan(latc * pi() / 180.0)
+         |    + 1.0 / cos(latc * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT))) AS zy
+         | FROM c),
+         |t AS (SELECT zx, zy, count(*) AS n FROM g GROUP BY 1, 2),
+         |e AS (SELECT a.n AS na, b.n AS nb FROM t a JOIN t b
+         |      ON ((b.zx - a.zx + 64) % 64) IN (0, 1, 63) AND abs(b.zy - a.zy) <= 1
+         |         AND NOT (b.zx = a.zx AND b.zy = a.zy)),
+         |s AS (SELECT count(*) AS nt, sum(n) AS sn, sum(n * n) AS snn FROM t),
+         |w AS (SELECT count(*) AS we, COALESCE(sum(na * nb), 0) AS cc, COALESCE(sum(na), 0) AS d FROM e)
+         |SELECT nt AS n_tiles, we AS w_edges,
+         |  CASE WHEN we = 0 OR ($den) = 0.0 THEN NULL
+         |       ELSE (CAST(nt AS DOUBLE) * ($num)) / (CAST(we AS DOUBLE) * ($den)) END AS morans_i
+         |FROM s CROSS JOIN w""".stripMargin
+    },
+
     // geohashEncode replayed bit for bit: same floor arithmetic (pure IEEE
     // +, /, * by a power of two — no transcendentals, so no margin needed),
     // same static lon-first bit interleave, same base-32 alphabet lookup
@@ -2750,6 +2830,14 @@ object SparkEntry {
       s"""WITH RECURSIVE $TriCte,
          |${ccCte(0.9)}
          |SELECT doc_id, cluster_id FROM cc""".stripMargin,
+
+    // keep list = corpus minus non-canonical cluster members, over the same
+    // reachability closure as q_dup_clusters
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $TriCte,
+         |${ccCte(0.9)}
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin,
 
     // curation oracles: the id-hash split arithmetic is integer-exact and
     // mirrored literally (P = 2^31-1, A = Curation.HashA, threshold from
@@ -3264,6 +3352,10 @@ object SparkEntry {
     "q_image_payload" -> "SELECT p_partkey FROM part",
 
     "q_image_features" -> "SELECT p_partkey FROM part",
+
+    // the planted blur set IS the exact answer: ImageSharpnessSpec pins the
+    // >= 4x threshold clearance of both populations
+    "q_image_sharpness" -> "SELECT p_partkey, (p_partkey % 8 <> 0) AS sharp FROM part",
 
     "q_audio_features" -> "SELECT p_partkey FROM part",
 

@@ -611,6 +611,25 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Materialize the DEDUPLICATED corpus — the end product every dedup
+    * pipeline actually ships: keep each document that is either untouched
+    * by the near-dup pair graph or the canonical (minimum-id)
+    * representative of its duplicate cluster; drop the rest. Composes
+    * [[duplicateClusters]] (min-label connected components over the pair
+    * graph) with one anti join.
+    *
+    * Scale shape: the drop list holds ONLY non-canonical cluster members —
+    * a small fraction of the corpus even at heavy duplication rates — so
+    * AQE plans the anti join as a broadcast when it fits and a (id)-only
+    * shuffle otherwise; document payloads are never re-shuffled (the keep
+    * filter runs where the corpus already lives). */
+  def dedupKeep(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = duplicateClusters(pairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact word n-gram Jaccard for given candidate pairs (id_a, id_b). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {

@@ -198,6 +198,75 @@ object ImagePayload {
     Some(bits)
   }
 
+  /** Real decode + SHARPNESS: variance of the 3x3 Laplacian of the integer
+    * luma over interior pixels — the standard variance-of-Laplacian blur
+    * detector an image-curation pipeline gates on (crisp detail has large
+    * second derivatives; low-pass content — blurs, upscales, out-of-focus
+    * shots — collapses toward zero). Determinism contract: luma is the
+    * INTEGER 299r + 587g + 114b (no division), the Laplacian
+    * 4·l(x,y) − l(x±1,y) − l(x,y±1) is integer, and the variance comes
+    * from integer moments — bit-identical across JVMs, partitions and
+    * orders (sums fit a Long for any raster under ~9M interior pixels;
+    * far above this pipeline's thumbnails). None for undecodable payloads
+    * or rasters smaller than 3x3. */
+  def sharpness(bytes: Array[Byte]): Option[Double] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth < 3 || img.getHeight < 3) return None
+    val w = img.getWidth; val h = img.getHeight
+    val lum = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        lum(y * w + x) = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var s = 0L; var s2 = 0L; var n = 0L
+    y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val lap = 4L * lum(y * w + x) - lum(y * w + x - 1) - lum(y * w + x + 1) -
+          lum((y - 1) * w + x) - lum((y + 1) * w + x)
+        s += lap; s2 += lap * lap; n += 1
+        x += 1
+      }
+      y += 1
+    }
+    val mean = s.toDouble / n
+    Some(s2.toDouble / n - mean * mean)
+  }
+
+  /** Deterministic LOW-PASS filter: bilinear downsample by `down`, bilinear
+    * upsample back — the stand-in for real-world blurs (defocus, heavy
+    * re-compression, upscaled thumbnails) the sharpness gate must catch. */
+  def blurImage(bytes: Array[Byte], down: Int = 4): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null) return Array.emptyByteArray
+    val w = src.getWidth; val h = src.getHeight
+    resizeImage(resizeImage(bytes, math.max(1, w / down), math.max(1, h / down)), w, h)
+  }
+
+  private val sharpnessUdf = udf((bytes: Array[Byte]) => sharpness(bytes))
+  private val blurUdf = udf((bytes: Array[Byte], down: Int) => blurImage(bytes, down))
+
+  /** Sharpness column via real decode (see [[sharpness]]); null for
+    * undecodable payloads. */
+  def withSharpness(images: DataFrame): DataFrame =
+    images.withColumn("sharpness", sharpnessUdf(col("bytes")))
+
+  /** Blurred-copy column (see [[blurImage]]); `phash` recomputed like
+    * [[withPatch]] so the row stays internally consistent. */
+  def withBlur(images: DataFrame, down: Int = 4): DataFrame = {
+    val blurred = images.withColumn("bytes", blurUdf(col("bytes"), lit(down)))
+    if (blurred.columns.contains("phash")) blurred.withColumn("phash", xxhash64(col("bytes")))
+    else blurred
+  }
+
   /** Data-augmentation primitive: paint a small black patch at (x, y) and
     * re-encode — a deterministic stand-in for crop/occlusion augmentations
     * (and the near-duplicate generator in specs/queries). */

@@ -520,6 +520,134 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  // --- IVF-PQ: coarse quantizer + per-row PQ codes, the FAISS-IVFPQ shape ---
+
+  /** Build a persisted IVF-PQ index: the [[buildIvfIndex]] layout with a
+    * PQ `codes` column on every list row and the codebook persisted next
+    * to the coarse centroids. [[queryIvfPq]]'s shortlist scan then reads
+    * ONLY (id, codes) from the probed list partitions — m small ints per
+    * row instead of the full vector — and the exact re-rank re-reads
+    * vectors for shortlistFactor×k rows per query: the standard
+    * memory-bounded ANN layout for corpora whose vectors don't fit the
+    * scan budget. Codes encode RAW vectors (FAISS's by_residual=false
+    * variant): encoding stays independent of list assignment, so
+    * [[appendToIvfIndex]]-style incremental appends need no residual
+    * recompute; recall on the harness embeddings is
+    * EmbeddingRecallSpec-pinned.
+    *
+    * Layout: `indexDir/centroids` (list, centroid), `indexDir/codebook`
+    * (sub, code, centroid), `indexDir/lists/list=<k>/` (id, vec, norm,
+    * codes). */
+  def buildIvfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                      indexDir: String, nlist: Int = 64, m: Int = 8,
+                      kc: Int = 256, iters: Int = 5,
+                      trainLimit: Int = 20000): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters, trainLimit)
+    centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val codebook = trainPqCodebook(embeddings, idCol, vecCol, m, kc, iters, trainLimit)
+    (for { sub <- codebook.indices; code <- codebook(sub).indices }
+      yield (sub, code, codebook(sub)(code).toSeq))
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val assign = assignUdf(spark, centroids)
+    val enc = encodeUdf(spark, codebook)
+    embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("norm"))
+      .withColumn("codes", enc(col("vec")))
+      .withColumn("list", assign(col("vec")))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/lists")
+  }
+
+  /** PQ encoder UDF over a broadcast codebook (shared by [[pqEncode]] and
+    * the IVF-PQ index build). */
+  private def encodeUdf(spark: org.apache.spark.sql.SparkSession,
+                        codebook: Array[Array[Array[Double]]]) = {
+    val bc = spark.sparkContext.broadcast(codebook)
+    udf { v: Seq[Float] =>
+      val cb = bc.value
+      val subDim = cb(0)(0).length
+      Array.tabulate(cb.length) { sub =>
+        val s = Array.tabulate(subDim)(j => v(sub * subDim + j).toDouble)
+        nearestSq(cb(sub), s)
+      }
+    }
+  }
+
+  private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$indexDir/codebook").collect()
+      .map(r => ((r.getAs[Int]("sub"), r.getAs[Int]("code")),
+        r.getAs[Seq[Double]]("centroid").toArray)).toMap
+    val m = rows.keys.map(_._1).max + 1
+    val kc = rows.keys.map(_._2).max + 1
+    Array.tabulate(m)(sub => Array.tabulate(kc)(code => rows((sub, code))))
+  }
+
+  /** Query a persisted IVF-PQ index: partition-pruned probe of the
+    * `nprobe` nearest lists per query (the [[queryIvf]] IN-list pruning),
+    * asymmetric-distance shortlist over the probed rows' CODES (the scan
+    * projects (id, codes, list) — column pruning keeps the vectors on
+    * disk), then the exact cosine re-rank over shortlistFactor×k rows per
+    * query via an id equi-join back into the same pruned partitions.
+    * Queries are the small broadcast side by contract (one bounded
+    * collect builds the per-query LUTs, m×kc doubles each). Output:
+    * (query_id, neighbor_id, cosine, rank). */
+  def queryIvfPq(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                 queries: DataFrame, idCol: String, vecCol: String,
+                 k: Int, nprobe: Int = 20, shortlistFactor: Int = 10): DataFrame = {
+    val centroids = loadCentroids(spark, indexDir)
+    val codebook = loadCodebook(spark, indexDir)
+    val subDim = codebook(0)(0).length
+    val qRows = queries.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { case (qid, v) =>
+      qid -> Array.tabulate(codebook.length) { sub =>
+        codebook(sub).map { cent =>
+          var d = 0.0; var j = 0
+          while (j < subDim) { d += v(sub * subDim + j) * cent(j); j += 1 }
+          d
+        }
+      }
+    }.toMap
+    val bcLut = spark.sparkContext.broadcast(luts)
+    val adc = udf { (codes: Seq[Int], qid: Long) =>
+      val lut = bcLut.value(qid)
+      var s = 0.0; var sub = 0
+      while (sub < lut.length) { s += lut(sub)(codes(sub)); sub += 1 }
+      s
+    }
+    val probes = probeUdf(spark, centroids, nprobe)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        norm(col(vecCol)).as("__qnorm"))
+      .withColumn("list", explode(probes(col("__qvec"))))
+    val probedLists = q.select("list").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .where(col("list").isin(probedLists: _*))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("__adc").desc, col("neighbor_id"))
+    val shortlist = lists.select(col("id").as("neighbor_id"), col("codes"), col("list"))
+      .join(broadcast(q.select("query_id", "list")), Seq("list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adc(col("codes"), col("query_id")))
+      .withColumn("__r", row_number().over(wAdc))
+      .where(col("__r") <= shortlistFactor * k)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist
+      .join(lists.select(col("id").as("neighbor_id"), col("vec").as("__vec"),
+        col("norm").as("__vnorm")), "neighbor_id")
+      .join(broadcast(q.select("query_id", "__qvec", "__qnorm").dropDuplicates("query_id")),
+        "query_id")
+      .withColumn("cosine", cosineFast(col("__vec"), col("__qvec"), col("__vnorm"), col("__qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket in any
     * table: (id_a, id_b, cosine) with cosine >= minCosine.
     *

@@ -492,6 +492,61 @@ object Tiling {
       .select("zx", "zy", "n", "n_hood", "gi_z")
   }
 
+  /** Global Moran's I spatial autocorrelation of the per-tile point counts
+    * on the zoom-`z` web-mercator grid — the single-number answer to "is
+    * this corpus geographically clustered, random, or dispersed?" (> 0
+    * clustered, ~0 random, < 0 checkerboard). Weights are binary queen
+    * 8-adjacency between OCCUPIED tiles (x wraps at the antimeridian, y
+    * clamps at the mercator cut; empty tiles excluded — the same
+    * study-area convention as [[hotspotScores]], documented rather than
+    * the all-cells-in-frame textbook choice).
+    *
+    * Exactness contract: every operand of the final scalar formula is an
+    * INTEGER — tile counts n_i, their global sum / sum-of-squares /
+    * cardinality, the directed-edge count W = Σw_ij, the adjacency cross
+    * sum C = Σ_ij w_ij·n_i·n_j and degree-weighted sum D = Σ_i deg_i·n_i —
+    * and Σ_ij w_ij (n_i−m)(n_j−m) expands to C − 2mD + m²W exactly, so
+    * I = N·(C − 2mD + m²W) / (W·(S2 − N·m²)) is ONE fixed IEEE expression
+    * the DuckDB oracle reproduces bit for bit with no tolerance. W = 0
+    * (no two occupied tiles adjacent) or zero variance yields null.
+    *
+    * Scale shape: one partial+final hash aggregation over the points (the
+    * only pass that sees data rows), then the bounded occupied-tile table
+    * (≤4^z rows) explodes x8 into neighbor probes and equi-joins itself —
+    * the [[zxyNeighborhoodCounts]] shape — and everything reduces to one
+    * global row. Output: (n_tiles, w_edges, morans_i). */
+  def moransI(df: DataFrame, latCol: String, lonCol: String, z: Int): DataFrame = {
+    require(z >= 2 && z <= 30, s"zoom out of range for a 3x3 kernel: $z")
+    val n = 1L << z
+    // pinned for the same reason as zxyNeighborhoodCounts: the per-tile
+    // table feeds both the moments branch and both self-join branches
+    val tiles = zxyAssign(df, latCol, lonCol, z)
+      .groupBy("zx", "zy").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 } yield
+      struct(((col("zx") + lit(dx.toLong) + lit(n)) % lit(n)).as("zx"),
+        (col("zy") + lit(dy.toLong)).as("zy"), col("n").as("na"))
+    val probes = tiles
+      .select(explode(array(offsets: _*)).as("__c"))
+      .select(col("__c.zx"), col("__c.zy"), col("__c.na"))
+    val edges = probes.join(tiles, Seq("zx", "zy")) // (na = n_i, n = n_j) per directed edge
+      .agg(count(lit(1)).as("__w"),
+        sum(col("na") * col("n")).as("__cc"),
+        sum(col("na")).as("__d"))
+    val moments = tiles.agg(
+      count(lit(1)).as("__t"), sum("n").as("__sn"),
+      sum(col("n") * col("n")).as("__snn"))
+    val mu = col("__sn").cast("double") / col("__t").cast("double")
+    val num = col("__cc").cast("double") - lit(2.0) * mu * col("__d").cast("double") +
+      mu * mu * col("__w").cast("double")
+    val den = col("__snn").cast("double") - col("__t").cast("double") * mu * mu
+    moments.crossJoin(edges)
+      .select(col("__t").as("n_tiles"), col("__w").as("w_edges"),
+        when(col("__w") === 0L || den === lit(0.0), lit(null).cast("double"))
+          .otherwise((col("__t").cast("double") * num) /
+            (col("__w").cast("double") * den)).as("morans_i"))
+  }
+
   /** Geohash decode to the CELL CENTER: inverts [[geohashEncode]]'s bit
     * layout (chars → 5-bit values → de-interleaved axis indices → center
     * of the axis interval). Same pure-arithmetic contract; unknown

@@ -70,6 +70,24 @@ class DedupSkewSpec extends SparkTestBase {
     assert(chainGot.size == 60 && chainGot.values.forall(_ == 100L))
   }
 
+  test("dedupKeep: keeps singletons plus one canonical representative per cluster") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),             // chain cluster {1,2,3} -> keep 1
+      (10L, 11L), (11L, 12L), (10L, 12L), // clique {10,11,12} -> keep 10
+      (21L, 20L))                     // pair {20,21} -> keep 20
+      .toDF("id_a", "id_b")
+    val kept = Dedup.dedupKeep(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = Set(2L, 3L, 11L, 12L, 21L)
+    assert(kept === (1L to 30L).toSet -- dropped)
+    // payload survives the anti join untouched
+    val row = Dedup.dedupKeep(docs, "doc_id", pairs)
+      .where(col("doc_id") === 10L).head()
+    assert(row.getString(row.fieldIndex("text")) === "doc 10")
+  }
+
   test("bucket cap drops residual oversized buckets of near-identical-but-distinct docs") {
     import spark.implicits._
     // 300 DISTINCT docs sharing most shingles: collapse cannot merge them,

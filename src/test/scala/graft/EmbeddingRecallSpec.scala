@@ -87,6 +87,32 @@ class EmbeddingRecallSpec extends SparkTestBase {
     assert(approx.exists(_._2 % 2 == 1), "appended (odd) rows must be retrievable")
   }
 
+  test("persisted IVF-PQ index: recall@5 >= 0.9, probe scan partition-pruned and vector-free") {
+    val queries = 0L until 20L
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", idx)
+    val q = Similarity.queryIvfPq(spark, idx,
+      emb.where(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    // both contracts in the executed plan: the lists scan is
+    // partition-pruned by the literal probe IN-list, and the SHORTLIST
+    // branch's read schema carries codes but no vec column
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list#"),
+      s"expected a partition-pruned lists scan, got:\n$plan")
+    val shortlistScans = plan.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("codes")).toSeq
+    assert(shortlistScans.nonEmpty && shortlistScans.forall(!_.contains("vec")),
+      s"shortlist scan must not read vectors:\n${shortlistScans.mkString("\n")}")
+    val approx = q.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"persisted IVF-PQ recall@5 = $recall%.3f (nlist=64, nprobe=20, m=8, shortlist 10k)")
+    assert(recall >= 0.9, f"IVF-PQ recall $recall%.3f below 0.9")
+  }
+
   test("pqAnn recall@5 >= 0.9 vs brute force; shortlist never reads vectors") {
     val queries = 0L until 20L
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)

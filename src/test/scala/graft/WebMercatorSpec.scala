@@ -148,6 +148,62 @@ class WebMercatorSpec extends SparkTestBase {
     assert(got.values.exists(_._3.exists(_ > 1.0)), "fixture produced no hotspot")
   }
 
+  test("moransI == driver-side replay, bit for bit (z=4)") {
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon")
+    val row = Tiling.moransI(pts, "lat", "lon", 4).head()
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (r <- pts.collect()) {
+      val (x, y, _) = zxyRef(r.getDouble(0), r.getDouble(1), 4)
+      counts((x, y)) = counts.getOrElse((x, y), 0L) + 1L
+    }
+    val nt = counts.size.toLong
+    val sn = counts.values.sum
+    val snn = counts.values.map(n => n * n).sum
+    var we = 0L; var cc = 0L; var d = 0L
+    for (((x, y), n) <- counts; dx <- -1L to 1L; dy <- -1L to 1L
+         if dx != 0L || dy != 0L) {
+      val ny = y + dy
+      if (ny >= 0 && ny < 16) counts.get(((x + dx + 16L) % 16L, ny)).foreach { nb =>
+        we += 1L; cc += n * nb; d += n
+      }
+    }
+    // the engine's exact IEEE order: I = nt·(cc − 2mD + m²W) / (W·(S2 − nt·m²))
+    val mu = sn.toDouble / nt.toDouble
+    val num = cc.toDouble - 2.0 * mu * d.toDouble + mu * mu * we.toDouble
+    val den = snn.toDouble - nt.toDouble * mu * mu
+    val want = (nt.toDouble * num) / (we.toDouble * den)
+    assert(row.getLong(0) == nt && row.getLong(1) == we)
+    assert(!row.isNullAt(2) && row.getDouble(2) == want, // bit-exact, no tolerance
+      s"got ${row.getDouble(2)}, want $want")
+  }
+
+  test("moransI signs: stripes < 0 < clustered (planted z=2 grids)") {
+    import spark.implicits._
+    // deterministic representatives of all 16 zoom-2 tiles
+    val lats = Seq(70.0, 30.0, -30.0, -70.0) // rows y=0..3
+    val lons = Seq(-135.0, -45.0, 45.0, 135.0) // cols x=0..3
+    def grid(weight: (Int, Int) => Int) = (for {
+      xi <- 0 until 4; yi <- 0 until 4
+      _ <- 0 until weight(xi, yi)
+    } yield (lats(yi), lons(xi))).toDF("lat", "lon")
+
+    // vertical stripes: under queen adjacency each interior cell has 6
+    // opposite-value and only 2 same-value neighbors (a checkerboard would
+    // tie 4-4 via the diagonals — sign not guaranteed), so I < 0
+    val stripes = Tiling.moransI(
+      grid((x, _) => if (x % 2 == 0) 10 else 1), "lat", "lon", 2).head()
+    assert(stripes.getLong(0) == 16 && !stripes.isNullAt(2))
+    assert(stripes.getDouble(2) < 0.0, s"stripes I = ${stripes.getDouble(2)}")
+
+    val clustered = Tiling.moransI(
+      grid((x, y) => if (x < 2 && y < 2) 10 else 1), "lat", "lon", 2).head()
+    assert(clustered.getDouble(2) > 0.0, s"clustered I = ${clustered.getDouble(2)}")
+
+    // zero variance -> null statistic, counts still reported
+    val flat = Tiling.moransI(grid((_, _) => 3), "lat", "lon", 2).head()
+    assert(flat.getLong(0) == 16 && flat.isNullAt(2))
+  }
+
   test("quadkey has z digits and nests: the zoom-5 quadkey prefixes the zoom-8 one") {
     val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon").limit(500)
     val joined = Tiling.zxyAssign(pts, "lat", "lon", 5)
