@@ -699,6 +699,19 @@ object SparkEntry {
         .select("user_id", "event_id", "seg_m", "dt_micros", "is_jump")
     }),
 
+    // per-segment compass bearing + signed turn along each user's track:
+    // bearing is the great-circle initial heading rounded to WHOLE degrees
+    // (the only fp boundary — TrajectorySpec pins the fixture's ~1e-5 deg
+    // margin vs ~1e-12 engine/oracle trig divergence); turn is pure
+    // integer arithmetic over the rounded bearings, exact by construction
+    "q_headings" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.headings(pts, "user_id", "ts", "event_id", "lat", "lon")
+        .select("user_id", "event_id", "bearing_deg", "turn_deg")
+    }),
+
     // trajectory-similarity self-join: user pairs within 3400 km symmetric
     // discrete Hausdorff distance (the fixture's tracks are global scatter,
     // so pair distances sit at continental scale; 3400 km splits the
@@ -2237,6 +2250,33 @@ object SparkEntry {
 
     // the streaming twin has identical semantics, so the identical oracle
     "q_speed_flags_stream" -> SpeedFlagsOracleSql,
+
+    // the initial-heading formula, normalized to [0, 360), rounded to whole
+    // degrees (boundary margin TrajectorySpec-pinned), then the integer
+    // turn arithmetic over the rounded bearings
+    "q_headings" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val deg = "degrees(atan2(sin(radians(lon - plon)) * cos(radians(lat)), " +
+        "cos(radians(plat)) * sin(radians(lat)) - " +
+        "sin(radians(plat)) * cos(radians(lat)) * cos(radians(lon - plon))))"
+      s"""WITH p AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events),
+         |s AS (SELECT user_id, ts, event_id, lat, lon,
+         |        lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+         |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |b AS (SELECT user_id, ts, event_id,
+         |        CASE WHEN plat IS NULL THEN NULL
+         |             ELSE CAST(round((($deg % 360.0) + 360.0) % 360.0) AS BIGINT) % 360
+         |        END AS bearing_deg
+         |      FROM s),
+         |t AS (SELECT user_id, event_id, bearing_deg,
+         |        lag(bearing_deg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pb
+         |      FROM b)
+         |SELECT user_id, event_id, bearing_deg,
+         |  CASE WHEN pb IS NULL OR bearing_deg IS NULL THEN NULL
+         |       ELSE ((bearing_deg - pb + 540) % 360) - 180 END AS turn_deg
+         |FROM t""".stripMargin
+    },
 
     // brute-force symmetric Hausdorff: max-of-min over all cross point
     // pairs per user pair — min/max pick elements, so the only fp-order

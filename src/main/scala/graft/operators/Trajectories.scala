@@ -219,6 +219,50 @@ object Trajectories {
       .drop("__plat", "__plon", "__pus")
   }
 
+  /** Per-segment compass BEARING (integer degrees 0..359) and signed TURN
+    * angle vs the previous segment (integer degrees -180..179) along each
+    * entity's track — the heading/turn features mobility models consume
+    * (map-matching emission scores, transport-mode inference, track
+    * smoothing, sinuosity).
+    *
+    * Exactness contract: the bearing is the great-circle initial-heading
+    * formula `atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ)`
+    * normalized to [0, 360) and rounded to WHOLE degrees — the only fp
+    * hazard is the half-degree rounding boundary, and engine/oracle trig
+    * disagreement is ~1e-12 deg while the fixture's closest approach to a
+    * boundary is ~1e-5 deg (TrajectorySpec pins the margin) — and the
+    * turn is pure INTEGER arithmetic over two already-rounded bearings
+    * (`((b − prev + 540) mod 360) − 180`), exact given the bearings.
+    * First point per entity: null bearing; first two: null turn. A
+    * zero-length segment (identical consecutive points) bears 0 by the
+    * shared atan2(0,0) = 0 convention.
+    *
+    * ONE shuffle: both lag windows share the (entity, ts, order) sort. */
+  def headings(points: DataFrame, idCol: String, tsCol: String, orderCol: String,
+               latCol: String, lonCol: String): DataFrame = {
+    val reserved = Seq("__plat", "__plon", "__pb", "bearing_deg", "turn_deg")
+    val clash = points.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"headings reserves ${reserved.mkString(", ")}; rename: " +
+      clash.mkString(", "))
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(orderCol))
+    val phi1 = radians(col("__plat")); val phi2 = radians(col(latCol))
+    val dl = radians(col(lonCol) - col("__plon"))
+    val deg = degrees(atan2(sin(dl) * cos(phi2),
+      cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dl)))
+    points
+      .withColumn("__plat", lag(col(latCol), 1).over(w))
+      .withColumn("__plon", lag(col(lonCol), 1).over(w))
+      .withColumn("bearing_deg",
+        when(col("__plat").isNull, lit(null))
+          .otherwise(round((deg % lit(360.0) + lit(360.0)) % lit(360.0))
+            .cast("long") % lit(360L)))
+      .withColumn("__pb", lag(col("bearing_deg"), 1).over(w))
+      .withColumn("turn_deg",
+        when(col("__pb").isNull || col("bearing_deg").isNull, lit(null))
+          .otherwise((col("bearing_deg") - col("__pb") + lit(540L)) % lit(360L) - lit(180L)))
+      .drop("__plat", "__plon", "__pb")
+  }
+
   /** Trajectory-similarity self-join: entity pairs whose point sets are
     * within `maxHausdorffM` meters symmetric discrete Hausdorff distance
     * (max over either track's points of the distance to the other track's

@@ -99,6 +99,67 @@ class TrajectorySpec extends SparkTestBase {
       "fixture must populate both flag classes")
   }
 
+  test("headings == per-user brute force; turn integer-exact over rounded bearings") {
+    val pts = geo(spark.read.parquet(s"${sf("sf0.001")}/events.parquet"))
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val got = Trajectories.headings(pts, "user_id", "ts", "event_id", "lat", "lon")
+      .select("user_id", "event_id", "bearing_deg", "turn_deg")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((opt(r, 2), opt(r, 3)))).toMap
+
+    def bearing(plat: Double, plon: Double, lat: Double, lon: Double): Long = {
+      val phi1 = math.toRadians(plat); val phi2 = math.toRadians(lat)
+      val dl = math.toRadians(lon - plon)
+      val deg = math.toDegrees(math.atan2(math.sin(dl) * math.cos(phi2),
+        math.cos(phi1) * math.sin(phi2) - math.sin(phi1) * math.cos(phi2) * math.cos(dl)))
+      math.round(((deg % 360.0) + 360.0) % 360.0) % 360L
+    }
+    val rows = pts.select("user_id", "ts", "event_id", "lat", "lon").collect().map { r =>
+      val inst = r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC)
+      (r.getLong(0), (inst.getEpochSecond, inst.getNano), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))
+    }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val bs = sorted.zipWithIndex.map { case (cur, i) =>
+        if (i == 0) None
+        else Some(bearing(sorted(i - 1)._4, sorted(i - 1)._5, cur._4, cur._5))
+      }
+      sorted.zipWithIndex.map { case (cur, i) =>
+        val turn = for { b <- bs(i); p <- if (i == 0) None else bs(i - 1) }
+          yield ((b - p + 540L) % 360L) - 180L
+        (uid, cur._3) -> ((bs(i), turn))
+      }
+    }.toMap
+    assert(got === expected)
+    val turns = got.values.flatMap(_._2)
+    assert(turns.exists(_ > 0) && turns.exists(_ < 0), "fixture must bend both ways")
+    assert(got.values.flatMap(_._1).forall(b => b >= 0 && b < 360))
+  }
+
+  test("bearing rounding margin at sf0.01: no heading near a half-degree boundary") {
+    // engine and oracle compute the same heading formula with potentially
+    // different trig libraries (~1e-12 deg divergence); the whole-degree
+    // oracle is exact iff no heading sits that close to a x.5 boundary
+    val pts = geo(spark.read.parquet(s"${sf("sf0.01")}/events.parquet"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val phi1 = radians(col("__plat")); val phi2 = radians(col("lat"))
+    val dl = radians(col("lon") - col("__plon"))
+    val deg = degrees(atan2(sin(dl) * cos(phi2),
+      cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dl)))
+    val margin = pts
+      .withColumn("__plat", lag(col("lat"), 1).over(w))
+      .withColumn("__plon", lag(col("lon"), 1).over(w))
+      .where(col("__plat").isNotNull)
+      .select(((deg % 360.0 + 360.0) % 360.0).as("h"))
+      .select(abs(col("h") - floor(col("h")) - 0.5).as("margin"))
+      .agg(min("margin")).head().getDouble(0)
+    info(f"min heading distance to a rounding boundary = $margin%.3e deg")
+    assert(margin > 1e-7, f"heading within $margin%.3e deg of a half-degree boundary " +
+      "- the whole-degree oracle would be fp-order-sensitive")
+  }
+
   private def bruteHausdorff(rows: Array[(Long, Double, Double)]): Map[(Long, Long), Double] = {
     val byUser = rows.groupBy(_._1).view
       .mapValues(_.map(e => S2LatLng.fromDegrees(e._2, e._3))).toMap
