@@ -110,6 +110,15 @@ object ExecBench {
       val cells = Tiling.geohashEncode(pts.toDF(), "lat", "lon", 2, out = "cell")
       Curation.proportionalGroupSample(cells, Seq("cell"), "id", 1, 8).count()
     }
+    // wave-8 additions at the same scale: Moran's I is one point shuffle +
+    // bounded-grid arithmetic; headings is one entity shuffle + two windows
+    t("moransI z10       ") {
+      graft.operators.Tiling.moransI(pts.toDF(), "lat", "lon", 10).count(); 100000000L
+    }
+    t("headings 1M ents  ") {
+      Trajectories.headings(trk.toDF(), "user_id", "ts", "id", "lat", "lon")
+        .agg(sum("bearing_deg"), sum("turn_deg")).collect(); 100000000L
+    }
     spark.stop()
   }
 }
