@@ -1645,6 +1645,25 @@ object SparkEntry {
         dim = EmbeddingDim)
         .select("id_a", "id_b")),
 
+    // SemDeDup-style semantic keep list: connected components over the
+    // exact embedding-cosine near-dup graph (the oracle-grade pair path of
+    // q_embed_neardup), keep each cluster's canonical (min) vec_id plus
+    // all singletons. At 100 TB the same dedupKeep composes with the LSH
+    // pair path (q_embed_neardup_lsh) instead of the cartesian baseline
+    "q_semantic_keep" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val a = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id_a"), col("embedding").as("vec_a"),
+          Similarity.norm(col("embedding")).as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"),
+        Similarity.norm(col("embedding")).as("nb"))
+      val pairs = a.crossJoin(b)
+        .where(col("id_a") < col("id_b"))
+        .where(Similarity.cosineFast(col("vec_a"), col("vec_b"), col("na"), col("nb")) >= 0.3)
+        .select("id_a", "id_b")
+      Dedup.dedupKeep(emb.select("vec_id"), "vec_id", pairs)
+    }),
+
     "q_embed_stats" -> ((s, dir) =>
       embeddings(s, dir)
         .groupBy("label")
@@ -1919,6 +1938,43 @@ object SparkEntry {
         .select("id_a", "id_b")
       Dedup.duplicateClusters(pairs)
         .select(col("doc_id").as("image_key"), col("cluster_id"))
+    }),
+
+    // STREAMING image dedup: patched re-uploads of every 40th image arrive
+    // over a real 2-batch MemoryStream (batch 2 re-posts batch 1's patched
+    // raster under a new id); each micro-batch's signatures probe the
+    // persisted dhash store and are folded in. The accumulated pairs must
+    // be exactly the planted structure: each copy pairs with its corpus
+    // source (<= 3 bits, ImageNearDupSpec-pinned) and batch 2's copy pairs
+    // with batch 1's (identical bytes, hamming 0) — a CROSS-BATCH discovery
+    // only the store probe can make; bytes never enter the store or a join
+    "q_stream_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_imgdedup").toString
+      graft.streaming.StreamingImageDedup.initStore(s, storeDir, images, "p_partkey")
+      val planted = ImagePayload.withPatch(images.where(col("p_partkey") % 40 === 0), 2, 2, 1)
+      val rows = planted.select(col("p_partkey"), col("bytes"))
+        .as[(Long, Array[Byte])].collect()
+      val batch1 = rows.map { case (k, bs) => (k + 100000000L, bs) }
+      val batch2 = rows.map { case (k, bs) => (k + 200000000L, bs) }
+      val acc = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = graft.streaming.StreamingImageDedup.nearDupStream(
+        input.toDF().toDF("p_partkey", "bytes"), storeDir, "p_partkey",
+        (pairs, _) => acc.synchronized {
+          acc ++= pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+        })
+      try {
+        input.addData(batch1.toSeq)
+        q.processAllAvailable()
+        input.addData(batch2.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      acc.toSeq.toDF("id_a", "id_b")
     }),
 
     // STREAMING corpus dedup: the %10==0 docs arrive over a real 2-batch
@@ -3292,6 +3348,23 @@ object SparkEntry {
       """SELECT label, count(*) AS cnt, min(embedding[1]) AS min_e1, max(embedding[1]) AS max_e1
         |FROM embeddings GROUP BY label""".stripMargin,
 
+    // the q_embed_neardup pair graph closed into components (reachability
+    // CTE, same shape as the q_dup_clusters oracle), keep list = corpus
+    // minus non-canonical members
+    "q_semantic_keep" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst),
+        |cc AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM cc WHERE vec_id <> cluster_id)""".stripMargin,
+
     // each rule's violation predicate recomputed as a CASE sum; UNION ALL
     // branch per rule (text is ASCII here so length() agrees; the engine
     // rule is null-safe the same way)
@@ -3529,6 +3602,19 @@ object SparkEntry {
         |FROM part WHERE p_partkey % 40 = 0
         |UNION ALL
         |SELECT p_partkey + 200000000 AS image_key, p_partkey AS cluster_id
+        |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
+
+    // the planted re-upload structure IS the exact answer (the
+    // q_image_neardup preconditions — no natural <= 3-bit collision,
+    // patches within 3 bits of their source — plus hamming-0 byte-identity
+    // between the two re-posts of each source)
+    "q_stream_image_dedup" ->
+      """SELECT p_partkey AS id_a, p_partkey + 100000000 AS id_b
+        |FROM part WHERE p_partkey % 40 = 0
+        |UNION ALL
+        |SELECT p_partkey, p_partkey + 200000000 FROM part WHERE p_partkey % 40 = 0
+        |UNION ALL
+        |SELECT p_partkey + 100000000, p_partkey + 200000000
         |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
 
     // identical pair semantics to q_incremental_dedup by construction

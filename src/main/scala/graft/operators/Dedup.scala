@@ -338,6 +338,36 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Asymmetric banded hamming probe: pairs within `maxHamming` bits
+    * BETWEEN a stored signature table and a new batch — the incremental
+    * twin of [[hamming64Pairs]] (daily image ingest probes the corpus
+    * dhash store; the store is never self-paired). Same 4x16-bit
+    * pigeonhole completeness; the bucket cap counts BOTH sides of each
+    * bucket (stage "hamming64probe"), so a hot bucket is dropped
+    * consistently whichever side grew it. Output: (id_a, id_b, hamming)
+    * normalized to id_a < id_b; rows whose ids coincide are dropped
+    * (re-sent signatures are not pairs). */
+  def hamming64Probe(stored: DataFrame, batch: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+    require(maxHamming <= 3, s"4x16-bit banding is only complete for hamming <= 3, got $maxHamming")
+    def banded(df: DataFrame, side: String) =
+      simhashBanded(df.select(col(idCol), col(hashCol).as("simhash")), idCol)
+        .withColumn("__side", lit(side))
+    val capped = capBuckets(banded(stored, "s").unionByName(banded(batch, "b")),
+      maxBucketSize, "hamming64probe", idCol)
+    val s = capped.where(col("__side") === "s")
+      .select(col(idCol).as("__sid"), col("simhash").as("__sh"), col("band"), col("bucket"))
+    val b = capped.where(col("__side") === "b")
+      .select(col(idCol).as("__bid"), col("simhash").as("__bh"), col("band"), col("bucket"))
+    s.join(b, Seq("band", "bucket"))
+      .where(col("__sid") =!= col("__bid"))
+      .select(least(col("__sid"), col("__bid")).as("id_a"),
+        greatest(col("__sid"), col("__bid")).as("id_b"),
+        bit_count(col("__sh").bitwiseXOR(col("__bh"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** SimHash banded candidates over an already-collapsed table. */
   def bandedSimhashPairs(reps: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int, maxBucketSize: Int): DataFrame =
