@@ -113,6 +113,9 @@ object SparkEntry {
     * `head()` job just to discover the vector width. */
   private val EmbeddingDim = 64
 
+  /** Ripley's-K radii of q_ripleys_k (meters), shared with the oracle. */
+  private val RipleyRadiiM: Seq[Long] = Seq(125000L, 250000L, 500000L, 1000000L)
+
   /** Variance-of-Laplacian gate for q_image_sharpness, in (integer-luma)²
     * units (luma = 299r+587g+114b). Pinned between the measured
     * populations — sharp independent-pixel noise ~5e10, bilinear low-pass
@@ -961,6 +964,23 @@ object SparkEntry {
     // single output double is bit-exact against the oracle
     "q_morans_i" -> ((s, dir) =>
       Tiling.moransI(points(s, dir), "lat", "lon", 6)),
+
+    // Geary's C — the locally-sensitive sibling over the identical grid
+    // and weights, same all-integer-operand bit-exact contract
+    "q_gearys_c" -> ((s, dir) =>
+      Tiling.gearysC(points(s, dir), "lat", "lon", 6)),
+
+    // Ripley's K at four radii over the customer point pattern: ONE
+    // bucketed distance self-join at the largest radius, every radius a
+    // conditional sum over the pair table; pair membership is the integer
+    // round_m(d) <= r test (margin spec-pinned) and k_est is a fixed IEEE
+    // expression over integers — bit-exact oracle
+    "q_ripleys_k" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      SpatialJoin.ripleysK(pts, "lat", "lon", "c_custkey", RipleyRadiiM)
+    }),
 
     // --- clustered storage layout, exercised end to end: write the points
     // spatially clustered (hive-partitioned by coarse tile, sorted by leaf
@@ -2532,6 +2552,54 @@ object SparkEntry {
          |  CASE WHEN we = 0 OR ($den) = 0.0 THEN NULL
          |       ELSE (CAST(nt AS DOUBLE) * ($num)) / (CAST(we AS DOUBLE) * ($den)) END AS morans_i
          |FROM s CROSS JOIN w""".stripMargin
+    },
+
+    // gearysC replayed bit for bit: same grid/adjacency CTEs as q_morans_i
+    // plus the D2 = Σ deg_i·n_i² integer sum, then the SAME IEEE expression
+    // C = (N−1)·(2D2 − 2C) / (2W·(S2 − N·m²))
+    "q_gearys_c" -> {
+      val mu = "CAST(sn AS DOUBLE) / CAST(nt AS DOUBLE)"
+      val num = s"(CAST(nt AS DOUBLE) - 1.0) * (2.0 * CAST(d2 AS DOUBLE) - 2.0 * CAST(cc AS DOUBLE))"
+      val den = s"2.0 * CAST(we AS DOUBLE) * (CAST(snn AS DOUBLE) - CAST(nt AS DOUBLE) * ($mu) * ($mu))"
+      s"""WITH pts AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
+         |c AS (SELECT least(85.05112878, greatest(-85.05112878, lat)) AS latc, lon FROM pts),
+         |g AS (SELECT
+         |  least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) AS zx,
+         |  least(63, greatest(0, CAST(floor((1.0 - ln(tan(latc * pi() / 180.0)
+         |    + 1.0 / cos(latc * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT))) AS zy
+         | FROM c),
+         |t AS (SELECT zx, zy, count(*) AS n FROM g GROUP BY 1, 2),
+         |e AS (SELECT a.n AS na, b.n AS nb FROM t a JOIN t b
+         |      ON ((b.zx - a.zx + 64) % 64) IN (0, 1, 63) AND abs(b.zy - a.zy) <= 1
+         |         AND NOT (b.zx = a.zx AND b.zy = a.zy)),
+         |s AS (SELECT count(*) AS nt, sum(n) AS sn, sum(n * n) AS snn FROM t),
+         |w AS (SELECT count(*) AS we, COALESCE(sum(na * nb), 0) AS cc,
+         |             COALESCE(sum(na * na), 0) AS d2 FROM e)
+         |SELECT nt AS n_tiles, we AS w_edges,
+         |  CASE WHEN we = 0 OR ($den) = 0.0 THEN NULL
+         |       ELSE ($num) / ($den) END AS gearys_c
+         |FROM s CROSS JOIN w""".stripMargin
+    },
+
+    // ripleysK replayed: all-pairs integer-meter distances (the
+    // q_distance_join brute-force shape), per-radius integer counts, and
+    // the identical IEEE k_est expression over the shared sphere-area
+    // literal
+    "q_ripleys_k" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      val a = SpatialJoin.SphereAreaM2
+      val branches = RipleyRadiiM.map(r =>
+        s"SELECT $r AS r_m, (SELECT count(*) FROM d WHERE dm <= $r) AS n_pairs")
+        .mkString("\n|", "\n|UNION ALL\n|", "")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |d AS (SELECT CAST(round($d) AS BIGINT) AS dm
+         |      FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey),
+         |n AS (SELECT count(*) AS nn FROM pts),
+         |c AS ($branches)
+         |SELECT r_m, n_pairs,
+         |  (CAST('$a' AS DOUBLE) * 2.0 * CAST(n_pairs AS DOUBLE)) /
+         |  (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) AS k_est
+         |FROM c CROSS JOIN n""".stripMargin
     },
 
     // geohashEncode replayed bit for bit: same floor arithmetic (pure IEEE

@@ -229,6 +229,48 @@ object SpatialJoin {
       .select("id_a", "id_b", "distance_m")
   }
 
+  /** Sphere surface area at the haversine radius (4π·6367000²) — ONE
+    * literal shared with the Ripley's-K SQL oracle so both engines parse
+    * the identical double. */
+  val SphereAreaM2: Double =
+    4.0 * math.Pi * S2LatLng.EarthRadiusMeters * S2LatLng.EarthRadiusMeters
+
+  /** Ripley's K-function of a spherical point pattern at multiple radii —
+    * the standard point-pattern statistic (K(r) above the CSR baseline
+    * ⇒ clustering at scale r, below ⇒ inhibition/regularity); the study
+    * area is the WHOLE sphere at the haversine radius, so
+    * `k_est(r) = A · 2·n_pairs(r) / (N·(N−1))` with A = [[SphereAreaM2]].
+    *
+    * Exactness contract: pair membership at radius r is the integer test
+    * `round_m(d) <= r` (the one rounding boundary; RipleysKSpec pins the
+    * fixture's half-meter margin), counts are integers, and k_est is one
+    * fixed IEEE expression — the oracle matches bit for bit.
+    *
+    * Scale shape: ONE bucketed distance self-join at the LARGEST radius
+    * ([[distanceJoin]]'s neighbor-cell completeness argument), then every
+    * radius is a conditional partial sum over the pair table — additional
+    * radii never rescan points or re-join. Output: (r_m, n_pairs, k_est),
+    * one row per radius. */
+  def ripleysK(points: DataFrame, latCol: String, lonCol: String, idCol: String,
+               radiiM: Seq[Long]): DataFrame = {
+    require(radiiM.nonEmpty && radiiM.forall(_ > 0), s"radii must be positive: $radiiM")
+    val rMax = radiiM.max
+    // + 0.5: keep every pair whose ROUNDED distance can still be <= rMax
+    val pairs = distanceJoin(points, latCol, lonCol, idCol, rMax.toDouble + 0.5)
+      .select(round(col("distance_m")).cast("long").as("__dm"))
+    val cnt = points.agg(count(lit(1)).as("__n"))
+    val sums = radiiM.map(r =>
+      sum(when(col("__dm") <= r, 1L).otherwise(0L)).as(s"__c$r"))
+    pairs.agg(sums.head, sums.tail: _*)
+      .crossJoin(broadcast(cnt))
+      .select(explode(array(radiiM.map(r => struct(lit(r).as("r_m"),
+        coalesce(col(s"__c$r"), lit(0L)).as("n_pairs"), col("__n"))): _*)).as("__t"))
+      .select(col("__t.r_m").as("r_m"), col("__t.n_pairs").as("n_pairs"),
+        (lit(SphereAreaM2) * lit(2.0) * col("__t.n_pairs").cast("double") /
+          (col("__t.__n").cast("double") * (col("__t.__n").cast("double") - lit(1.0))))
+          .as("k_est"))
+  }
+
   /** Longitude scale constant for the planar metric of [[idwInterpolate]]:
     * cos(45 deg), embedded as one literal so the Spark plan and any SQL
     * oracle parse the IDENTICAL double. */

@@ -516,10 +516,45 @@ object Tiling {
     * the [[zxyNeighborhoodCounts]] shape — and everything reduces to one
     * global row. Output: (n_tiles, w_edges, morans_i). */
   def moransI(df: DataFrame, latCol: String, lonCol: String, z: Int): DataFrame = {
+    val mu = col("__sn").cast("double") / col("__t").cast("double")
+    val num = col("__cc").cast("double") - lit(2.0) * mu * col("__d").cast("double") +
+      mu * mu * col("__w").cast("double")
+    val den = col("__snn").cast("double") - col("__t").cast("double") * mu * mu
+    gridAutocorrMoments(df, latCol, lonCol, z)
+      .select(col("__t").as("n_tiles"), col("__w").as("w_edges"),
+        when(col("__w") === 0L || den === lit(0.0), lit(null).cast("double"))
+          .otherwise((col("__t").cast("double") * num) /
+            (col("__w").cast("double") * den)).as("morans_i"))
+  }
+
+  /** Geary's C over the same grid and weights as [[moransI]] — the
+    * locally-sensitive sibling statistic (C < 1 clustered, ~1 random,
+    * > 1 dispersed). Same integer-operand contract:
+    * Σ_ij w_ij (n_i−n_j)² expands to 2·D2 − 2·C with D2 = Σ_i deg_i·n_i²
+    * and the cross sum C both exact integers, so
+    * `C = (N−1)·(2D2 − 2C) / (2W·(S2 − N·m²))` is one fixed IEEE
+    * expression the oracle reproduces bit for bit. Same scale shape. */
+  def gearysC(df: DataFrame, latCol: String, lonCol: String, z: Int): DataFrame = {
+    val mu = col("__sn").cast("double") / col("__t").cast("double")
+    val num = (col("__t").cast("double") - lit(1.0)) *
+      (lit(2.0) * col("__d2").cast("double") - lit(2.0) * col("__cc").cast("double"))
+    val den = lit(2.0) * col("__w").cast("double") *
+      (col("__snn").cast("double") - col("__t").cast("double") * mu * mu)
+    gridAutocorrMoments(df, latCol, lonCol, z)
+      .select(col("__t").as("n_tiles"), col("__w").as("w_edges"),
+        when(col("__w") === 0L || den === lit(0.0), lit(null).cast("double"))
+          .otherwise(num / den).as("gearys_c"))
+  }
+
+  /** Shared single-row moment table of the grid-autocorrelation statistics:
+    * per-tile counts (pinned — the table feeds the moments branch and both
+    * self-join branches), directed queen adjacency over occupied tiles
+    * (x-wrap, y-clamp, self excluded), and the integer sums
+    * (N, S, S2, W, C = Σw_ij·n_i·n_j, D = Σdeg_i·n_i, D2 = Σdeg_i·n_i²). */
+  private def gridAutocorrMoments(df: DataFrame, latCol: String, lonCol: String,
+                                  z: Int): DataFrame = {
     require(z >= 2 && z <= 30, s"zoom out of range for a 3x3 kernel: $z")
     val n = 1L << z
-    // pinned for the same reason as zxyNeighborhoodCounts: the per-tile
-    // table feeds both the moments branch and both self-join branches
     val tiles = zxyAssign(df, latCol, lonCol, z)
       .groupBy("zx", "zy").agg(count(lit(1)).as("n"))
       .localCheckpoint()
@@ -532,19 +567,12 @@ object Tiling {
     val edges = probes.join(tiles, Seq("zx", "zy")) // (na = n_i, n = n_j) per directed edge
       .agg(count(lit(1)).as("__w"),
         sum(col("na") * col("n")).as("__cc"),
-        sum(col("na")).as("__d"))
+        sum(col("na")).as("__d"),
+        sum(col("na") * col("na")).as("__d2"))
     val moments = tiles.agg(
       count(lit(1)).as("__t"), sum("n").as("__sn"),
       sum(col("n") * col("n")).as("__snn"))
-    val mu = col("__sn").cast("double") / col("__t").cast("double")
-    val num = col("__cc").cast("double") - lit(2.0) * mu * col("__d").cast("double") +
-      mu * mu * col("__w").cast("double")
-    val den = col("__snn").cast("double") - col("__t").cast("double") * mu * mu
     moments.crossJoin(edges)
-      .select(col("__t").as("n_tiles"), col("__w").as("w_edges"),
-        when(col("__w") === 0L || den === lit(0.0), lit(null).cast("double"))
-          .otherwise((col("__t").cast("double") * num) /
-            (col("__w").cast("double") * den)).as("morans_i"))
   }
 
   /** Geohash decode to the CELL CENTER: inverts [[geohashEncode]]'s bit

@@ -204,6 +204,50 @@ class WebMercatorSpec extends SparkTestBase {
     assert(flat.getLong(0) == 16 && flat.isNullAt(2))
   }
 
+  test("gearysC == driver-side replay, bit for bit (z=4); textbook signs on planted grids") {
+    import spark.implicits._
+    val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon")
+    val row = Tiling.gearysC(pts, "lat", "lon", 4).head()
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (r <- pts.collect()) {
+      val (x, y, _) = zxyRef(r.getDouble(0), r.getDouble(1), 4)
+      counts((x, y)) = counts.getOrElse((x, y), 0L) + 1L
+    }
+    val nt = counts.size.toLong
+    val sn = counts.values.sum
+    val snn = counts.values.map(n => n * n).sum
+    var we = 0L; var cc = 0L; var d2 = 0L
+    for (((x, y), n) <- counts; dx <- -1L to 1L; dy <- -1L to 1L
+         if dx != 0L || dy != 0L) {
+      val ny = y + dy
+      if (ny >= 0 && ny < 16) counts.get(((x + dx + 16L) % 16L, ny)).foreach { nb =>
+        we += 1L; cc += n * nb; d2 += n * n
+      }
+    }
+    val mu = sn.toDouble / nt.toDouble
+    val num = (nt.toDouble - 1.0) * (2.0 * d2.toDouble - 2.0 * cc.toDouble)
+    val den = 2.0 * we.toDouble * (snn.toDouble - nt.toDouble * mu * mu)
+    assert(row.getLong(0) == nt && row.getLong(1) == we)
+    assert(!row.isNullAt(2) && row.getDouble(2) == num / den, // bit-exact
+      s"got ${row.getDouble(2)}, want ${num / den}")
+
+    // planted z=2 grids, same fixtures as the Moran's I sign test:
+    // stripes disperse (C > 1), a block clusters (C < 1), flat is null
+    val lats = Seq(70.0, 30.0, -30.0, -70.0)
+    val lons = Seq(-135.0, -45.0, 45.0, 135.0)
+    def grid(weight: (Int, Int) => Int) = (for {
+      xi <- 0 until 4; yi <- 0 until 4
+      _ <- 0 until weight(xi, yi)
+    } yield (lats(yi), lons(xi))).toDF("lat", "lon")
+    val stripes = Tiling.gearysC(
+      grid((x, _) => if (x % 2 == 0) 10 else 1), "lat", "lon", 2).head()
+    assert(stripes.getDouble(2) > 1.0, s"stripes C = ${stripes.getDouble(2)}")
+    val clustered = Tiling.gearysC(
+      grid((x, y) => if (x < 2 && y < 2) 10 else 1), "lat", "lon", 2).head()
+    assert(clustered.getDouble(2) < 1.0, s"clustered C = ${clustered.getDouble(2)}")
+    assert(Tiling.gearysC(grid((_, _) => 3), "lat", "lon", 2).head().isNullAt(2))
+  }
+
   test("quadkey has z digits and nests: the zoom-5 quadkey prefixes the zoom-8 one") {
     val pts = SparkEntry.points(spark, sf("sf0.001")).select("lat", "lon").limit(500)
     val joined = Tiling.zxyAssign(pts, "lat", "lon", 5)
