@@ -360,17 +360,29 @@ object Similarity {
     * construction); candidates get the exact cosine re-rank against the
     * index's precomputed norms. Output: (query_id, neighbor_id, cosine,
     * rank). */
-  def queryIvf(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-               queries: DataFrame, idCol: String, vecCol: String,
-               k: Int, nprobe: Int = 20): DataFrame = {
+  /** Shared probe preamble of [[queryIvf]]/[[queryIvfPq]]: the query frame
+    * (query_id, __qvec, __qnorm, list) with probes exploded — PINNED so
+    * the norm + centroid-probe UDFs evaluate once, not once per plan
+    * branch that broadcasts it — and the partition-pruned lists scan. */
+  private def probePreamble(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                            queries: DataFrame, idCol: String, vecCol: String,
+                            nprobe: Int): (DataFrame, DataFrame) = {
     val centroids = loadCentroids(spark, indexDir)
     val probes = probeUdf(spark, centroids, nprobe)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
         norm(col(vecCol)).as("__qnorm"))
       .withColumn("list", explode(probes(col("__qvec"))))
+      .localCheckpoint()
     val probedLists = q.select("list").distinct().collect().map(_.getInt(0)).toSeq
     val lists = spark.read.parquet(s"$indexDir/lists")
       .where(col("list").isin(probedLists: _*))
+    (q, lists)
+  }
+
+  def queryIvf(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+               queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, nprobe: Int = 20): DataFrame = {
+    val (q, lists) = probePreamble(spark, indexDir, queries, idCol, vecCol, nprobe)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
     lists
       .join(broadcast(q), Seq("list"))
@@ -438,15 +450,7 @@ object Similarity {
     * full float vectors (codebook broadcast in the closure). */
   def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
                codebook: Array[Array[Array[Double]]]): DataFrame = {
-    val bc = embeddings.sparkSession.sparkContext.broadcast(codebook)
-    val enc = udf { v: Seq[Float] =>
-      val cb = bc.value
-      val subDim = cb(0)(0).length
-      Array.tabulate(cb.length) { sub =>
-        val s = Array.tabulate(subDim)(j => v(sub * subDim + j).toDouble)
-        nearestSq(cb(sub), s)
-      }
-    }
+    val enc = encodeUdf(embeddings.sparkSession, codebook)
     embeddings.select(col(idCol), enc(col(vecCol)).as("codes"))
   }
 
@@ -472,28 +476,11 @@ object Similarity {
     val spark = embeddings.sparkSession
     val codebook = codebookOpt.getOrElse(
       trainPqCodebook(embeddings, idCol, vecCol, m, kc))
-    val subDim = codebook(0)(0).length
     val codes = pqEncode(embeddings, idCol, vecCol, codebook)
-    // per-query LUT: lut(sub)(code) = dot(query slice, centroid)
     val qRows = embeddings.where(col(idCol).isin(queryIds: _*))
       .select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
-    val luts: Map[Long, Array[Array[Double]]] = qRows.map { case (qid, v) =>
-      qid -> Array.tabulate(codebook.length) { sub =>
-        codebook(sub).map { cent =>
-          var d = 0.0; var j = 0
-          while (j < subDim) { d += v(sub * subDim + j) * cent(j); j += 1 }
-          d
-        }
-      }
-    }.toMap
-    val bcLut = spark.sparkContext.broadcast(luts)
-    val adc = udf { (codes: Seq[Int], qid: Long) =>
-      val lut = bcLut.value(qid)
-      var s = 0.0; var sub = 0
-      while (sub < lut.length) { s += lut(sub)(codes(sub)); sub += 1 }
-      s
-    }
+    val adc = adcUdf(spark, codebook, qRows.toMap)
     val spark0 = spark
     import spark0.implicits._
     val qids = queryIds.toDF("query_id")
@@ -578,6 +565,32 @@ object Similarity {
     }
   }
 
+  /** Per-query ADC lookup tables over a codebook (lut(sub)(code) =
+    * dot(query slice, centroid), built driver-side — m×kc doubles per
+    * query — and broadcast); the returned udf scores a codes array for a
+    * query id. Shared by [[pqAnn]] and [[queryIvfPq]]. */
+  private def adcUdf(spark: org.apache.spark.sql.SparkSession,
+                     codebook: Array[Array[Array[Double]]],
+                     qVecs: Map[Long, Array[Double]]) = {
+    val subDim = codebook(0)(0).length
+    val luts: Map[Long, Array[Array[Double]]] = qVecs.map { case (qid, v) =>
+      qid -> Array.tabulate(codebook.length) { sub =>
+        codebook(sub).map { cent =>
+          var d = 0.0; var j = 0
+          while (j < subDim) { d += v(sub * subDim + j) * cent(j); j += 1 }
+          d
+        }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    udf { (codes: Seq[Int], qid: Long) =>
+      val lut = bc.value(qid)
+      var s = 0.0; var sub = 0
+      while (sub < lut.length) { s += lut(sub)(codes(sub)); sub += 1 }
+      s
+    }
+  }
+
   private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$indexDir/codebook").collect()
@@ -600,34 +613,14 @@ object Similarity {
   def queryIvfPq(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                  queries: DataFrame, idCol: String, vecCol: String,
                  k: Int, nprobe: Int = 20, shortlistFactor: Int = 10): DataFrame = {
-    val centroids = loadCentroids(spark, indexDir)
     val codebook = loadCodebook(spark, indexDir)
-    val subDim = codebook(0)(0).length
-    val qRows = queries.select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
-    val luts: Map[Long, Array[Array[Double]]] = qRows.map { case (qid, v) =>
-      qid -> Array.tabulate(codebook.length) { sub =>
-        codebook(sub).map { cent =>
-          var d = 0.0; var j = 0
-          while (j < subDim) { d += v(sub * subDim + j) * cent(j); j += 1 }
-          d
-        }
-      }
-    }.toMap
-    val bcLut = spark.sparkContext.broadcast(luts)
-    val adc = udf { (codes: Seq[Int], qid: Long) =>
-      val lut = bcLut.value(qid)
-      var s = 0.0; var sub = 0
-      while (sub < lut.length) { s += lut(sub)(codes(sub)); sub += 1 }
-      s
-    }
-    val probes = probeUdf(spark, centroids, nprobe)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
-        norm(col(vecCol)).as("__qnorm"))
-      .withColumn("list", explode(probes(col("__qvec"))))
-    val probedLists = q.select("list").distinct().collect().map(_.getInt(0)).toSeq
-    val lists = spark.read.parquet(s"$indexDir/lists")
-      .where(col("list").isin(probedLists: _*))
+    val (q, lists) = probePreamble(spark, indexDir, queries, idCol, vecCol, nprobe)
+    // the PINNED probe frame already holds the query vectors: one
+    // driver-side pass over its nprobe-per-query rows builds the LUTs
+    val qVecs = q.select(col("query_id"), col("__qvec")).dropDuplicates("query_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toMap
+    val adc = adcUdf(spark, codebook, qVecs)
     val wAdc = Window.partitionBy("query_id").orderBy(col("__adc").desc, col("neighbor_id"))
     val shortlist = lists.select(col("id").as("neighbor_id"), col("codes"), col("list"))
       .join(broadcast(q.select("query_id", "list")), Seq("list"))

@@ -254,7 +254,14 @@ object SpatialJoin {
   def ripleysK(points: DataFrame, latCol: String, lonCol: String, idCol: String,
                radiiM: Seq[Long]): DataFrame = {
     require(radiiM.nonEmpty && radiiM.forall(_ > 0), s"radii must be positive: $radiiM")
+    require(radiiM.distinct.size == radiiM.size, s"duplicate radii: $radiiM")
     val rMax = radiiM.max
+    // surface the candidate-generation bound as OUR contract, not a
+    // confusing inner failure: the bucketing level exists only while the
+    // search radius respects level-0 cell adjacency (~3000 km)
+    require((rMax + 0.5) / S2LatLng.EarthRadiusMeters <=
+      S2Projections.MinWidth.getValue(0),
+      s"largest radius $rMax m exceeds the level-0 adjacency guarantee (~3000 km)")
     // + 0.5: keep every pair whose ROUNDED distance can still be <= rMax
     val pairs = distanceJoin(points, latCol, lonCol, idCol, rMax.toDouble + 0.5)
       .select(round(col("distance_m")).cast("long").as("__dm"))

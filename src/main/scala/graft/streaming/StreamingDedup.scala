@@ -66,7 +66,11 @@ object StreamingDedup {
         val pairs = Dedup.incrementalNearDupStored(
           storedSigs, storedDocs, b, idCol, textCol,
           numHashes, bands, shingleN, minJaccard, minEstJaccard, maxBucketSize)
-        onBatch(pairs, batchId)
+        // PIN before the callback: the pair plan reads the live store
+        // directories the fold below appends to, so a lazily-evaluated
+        // DataFrame held past this callback would pair the batch against
+        // its own just-folded signatures
+        onBatch(pairs.localCheckpoint(), batchId)
         // fold the batch into the store AFTER emitting; a replayed batch
         // rewrites only its own partition
         val conf = spark.conf

@@ -30,9 +30,13 @@ import graft.operators.{Dedup, ImagePayload}
   * i, b in batch j>i) surfaces at batch j via the store probe, a
   * within-batch pair at its own batch, corpus-corpus pairs never — so the
   * accumulated pair stream is exactly the near-dup pairs touching the
-  * streamed images, each once (the probe's id-normalized output and the
-  * self-band's a<b convention cannot double-emit across the two paths:
-  * one side of every probe pair is always the new batch). */
+  * streamed images, each once. The per-batch emission is deduped across
+  * the two paths (a batch that RE-SENDS an id already folded into the
+  * store would otherwise surface that id's within-batch pairs twice —
+  * once from the probe, once from the self-band), and it is MATERIALIZED
+  * before `onBatch` runs: the pair plan reads the live store directory,
+  * which the fold overwrites right after the callback returns, so a lazy
+  * DataFrame evaluated later would pair the batch against itself. */
 object StreamingImageDedup {
 
   /** Seed the store with the existing corpus's signatures (ONE decode
@@ -70,7 +74,10 @@ object StreamingImageDedup {
           maxHamming, maxBucketSize)
         val within = Dedup.hamming64Pairs(sigs, idCol, "dhash",
           maxHamming, maxBucketSize)
-        onBatch(cross.unionByName(within), batchId)
+        // dedup re-sent-id double emissions, then PIN before the callback:
+        // the plan reads the store path the fold below overwrites
+        onBatch(cross.unionByName(within).dropDuplicates("id_a", "id_b")
+          .localCheckpoint(), batchId)
         // fold AFTER emitting; a replayed batch rewrites only its own partition
         val conf = spark.conf
         val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
