@@ -1603,6 +1603,14 @@ object SparkEntry {
         queryIds = 0L until 10L, k = 5)
         .select("query_id", "neighbor_id")),
 
+    // hard-negative mining: per anchor, the 5 most-similar CROSS-label
+    // rows (the contrastive-training negatives that sit just across the
+    // decision boundary); q_ann_brute's shape plus the label predicate
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(embeddings(s, dir), "vec_id", "embedding", "label",
+        queryIds = 0L until 10L, k = 5)
+        .select("query_id", "neighbor_id")),
+
     "q_ann_bucketed" -> ((s, dir) =>
       Similarity.bucketedAnn(embeddings(s, dir), "vec_id", "embedding",
         queryIds = 0L until 10L, k = 5, dim = EmbeddingDim)
@@ -2589,7 +2597,7 @@ object SparkEntry {
       val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
       val a = SpatialJoin.SphereAreaM2
       val branches = RipleyRadiiM.map(r =>
-        s"SELECT $r AS r_m, (SELECT count(*) FROM d WHERE dm <= $r) AS n_pairs")
+        s"SELECT CAST($r AS BIGINT) AS r_m, (SELECT count(*) FROM d WHERE dm <= $r) AS n_pairs")
         .mkString("\n|", "\n|UNION ALL\n|", "")
       s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
          |d AS (SELECT CAST(round($d) AS BIGINT) AS dm
@@ -3405,6 +3413,15 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk
         | FROM embeddings e, embeddings q
         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t WHERE rnk <= 5""".stripMargin,
+
+    // q_ann_brute's oracle restricted to cross-label rows
+    "q_hard_negatives" ->
+      """SELECT query_id, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, embeddings q
+        | WHERE q.vec_id < 10 AND e.label <> q.label) t WHERE rnk <= 5""".stripMargin,
 
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

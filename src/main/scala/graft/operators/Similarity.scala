@@ -62,6 +62,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** HARD-NEGATIVE mining for contrastive training data: for each anchor,
+    * the k most-similar rows whose LABEL DIFFERS — the negatives that
+    * actually teach a contrastive model (random negatives are trivially
+    * far; these sit just across the decision boundary). Exact form:
+    * anchors broadcast against one table scan, per-anchor (cosine desc,
+    * id) rank window restricted to cross-label rows — the same shape as
+    * [[bruteForceTopK]] plus the label predicate, and at scale the same
+    * candidate substitution applies (probe a persisted IVF/IVF-PQ index,
+    * filter labels, re-rank). Output: (query_id, neighbor_id, cosine,
+    * rank). */
+  def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = embeddings
+      .where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        norm(col(vecCol)).as("__qnorm"), col(labelCol).as("__qlabel"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    embeddings
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec"),
+        norm(col(vecCol)).as("__vnorm"), col(labelCol).as("__nlabel"))
+      .crossJoin(broadcast(queries))
+      .where(col("__nlabel") =!= col("__qlabel"))
+      .withColumn("cosine", cosineFast(col("__vec"), col("__qvec"), col("__vnorm"), col("__qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Deterministic gaussian hyperplanes for the LSH signature. */
   def randomPlanes(dim: Int, bits: Int, seed: Long = 42L): Seq[IndexedSeq[Double]] = {
     val rnd = new scala.util.Random(seed)

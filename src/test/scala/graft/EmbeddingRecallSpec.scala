@@ -132,6 +132,25 @@ class EmbeddingRecallSpec extends SparkTestBase {
     assert(codes.count() === emb.count())
   }
 
+  test("hardNegatives: 5 cross-label rows per anchor, never beating the unrestricted top-1") {
+    val queries = 0L until 20L
+    val labels = emb.select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length === queries.size * 5)
+    for ((q, n, _, _) <- got)
+      assert(labels(n) !== labels(q), s"neighbor $n shares anchor $q's label ${labels(q)}")
+    // the unrestricted top-1 (any label) is at least as similar as the
+    // best hard negative — the restriction can only lower the ceiling
+    val top1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for (q <- queries) {
+      val bestNeg = got.filter(_._1 == q).map(_._3).max
+      assert(bestNeg <= top1(q) + 1e-12, s"anchor $q: hard negative $bestNeg > top1 ${top1(q)}")
+    }
+  }
+
   test("bucketedAnn recall@5 >= 0.9 vs brute force") {
     val queries = 0L until 20L
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
