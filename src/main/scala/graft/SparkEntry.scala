@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.s2functions._
 import graft.operators._
 import graft.s2.{S2LatLngRect, S2Region, R1Interval, S1Interval}
+import graft.sources.GeoJson
 
 /** Driver contract: one `queries` entry per implemented operator
   * (SURVEY.md section 2), with DuckDB oracle SQL wherever the semantics are
@@ -115,6 +116,22 @@ object SparkEntry {
 
   /** Ripley's-K radii of q_ripleys_k (meters), shared with the oracle. */
   private val RipleyRadiiM: Seq[Long] = Seq(125000L, 250000L, 500000L, 1000000L)
+
+  /** Shared oracle of q_poly_table_join and its GeoJSON-driven twin
+    * q_geojson_poly_join (the roundtrip preserves every coordinate bit,
+    * so the same inlined edge-plane SQL answers both). */
+  private lazy val PolyTableOracleSql: String = {
+    val branches = HexPolys.map { case (k, verts, center) =>
+      s"""SELECT CAST($k AS BIGINT) AS region_id, o_orderkey FROM xyz
+         | WHERE ${convexLoopSql(verts, center)}""".stripMargin
+    }
+    s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+       |xyz AS (SELECT o_orderkey,
+       |  cos(radians(lat))*cos(radians(lon)) AS px,
+       |  cos(radians(lat))*sin(radians(lon)) AS py,
+       |  sin(radians(lat)) AS pz FROM pts)
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** Variance-of-Laplacian gate for q_image_sharpness, in (integer-luma)²
     * units (luma = 299r+587g+114b). Pinned between the measured
@@ -1595,6 +1612,51 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    }),
+
+    // GeoJSON-lines source: the points written as RFC 7946 Point features
+    // (one per line) and read back with an explicit schema. Jackson writes
+    // shortest-roundtrip doubles, so the oracle — the parquet original —
+    // matches every coordinate bit for bit: source-format fidelity proved
+    // end to end, no tolerance
+    "q_geojson_scan" -> ((s, dir) => {
+      val gj = fixture(dir, "points_geojsonl") { p =>
+        GeoJson.writePoints(points(s, dir).select("o_orderkey", "lat", "lon"),
+          "o_orderkey", "lat", "lon", p)
+      }
+      GeoJson.readPoints(s, gj)
+        .select(element_at(col("props"), "id").cast("long").as("o_orderkey"),
+          col("lat"), col("lon"))
+    }),
+
+    // GeoJSON polygons DRIVE the real join: the hexagon catalog roundtrips
+    // through Polygon features (closed rings on disk, reopened by the
+    // reader) and feeds polygonPipJoin — bit-identical coordinates, so the
+    // q_poly_table_join oracle applies verbatim
+    "q_geojson_poly_join" -> ((s, dir) => {
+      val gj = fixture(dir, "hex_geojsonl") { p =>
+        GeoJson.writePolygons(
+          hexPolyTable(s, dir).select(col("region_id"),
+            array(col("lats")).as("latss"), array(col("lons")).as("lonss")),
+          "region_id", "latss", "lonss", p)
+      }
+      val polys = GeoJson.readPolygons(s, gj)
+        .select(element_at(col("props"), "id").cast("long").as("region_id"),
+          element_at(col("latss"), 1).as("lats"),
+          element_at(col("lonss"), 1).as("lons"))
+      SpatialJoin.polygonPipJoin(points(s, dir), "lat", "lon",
+          polys, "region_id", "lats", "lons", level = 6)
+        .select("region_id", "o_orderkey")
+    }),
+
+    // image metadata gate: every 25th row claims a wrong width — the gate
+    // must flag exactly those (decoded dims vs cataloged columns)
+    "q_image_meta_gate" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val mislabeled = images.withColumn("w",
+        when(col("p_partkey") % 25 === 0, col("w") + 1).otherwise(col("w")))
+      ImagePayload.metaGate(mislabeled)
+        .select(col("p_partkey"), col("meta_ok"))
     }),
 
     // --- similarity search over embeddings ---
@@ -3152,18 +3214,21 @@ object SparkEntry {
     // one convex edge-plane branch per hexagon (same exactness argument as
     // q_pip_polygon: normals are kernel-computed doubles inlined as
     // literals; PolygonTableJoinSpec pins the margin precondition)
-    "q_poly_table_join" -> {
-      val branches = HexPolys.map { case (k, verts, center) =>
-        s"""SELECT CAST($k AS BIGINT) AS region_id, o_orderkey FROM xyz
-           | WHERE ${convexLoopSql(verts, center)}""".stripMargin
-      }
-      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
-         |xyz AS (SELECT o_orderkey,
-         |  cos(radians(lat))*cos(radians(lon)) AS px,
-         |  cos(radians(lat))*sin(radians(lon)) AS py,
-         |  sin(radians(lat)) AS pz FROM pts)
-         |${branches.mkString("\nUNION ALL\n")}""".stripMargin
-    },
+    "q_poly_table_join" -> PolyTableOracleSql,
+
+    // bit-identical polygon coordinates after the GeoJSON roundtrip
+    // (shortest-roundtrip doubles, GeoJsonSpec-pinned), so the identical
+    // oracle applies
+    "q_geojson_poly_join" -> PolyTableOracleSql,
+
+    // coordinate/id fidelity through the GeoJSON-lines roundtrip: the
+    // oracle reads the parquet original — exact, no tolerance
+    "q_geojson_scan" ->
+      s"SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders",
+
+    // the planted wrong-width set IS the exact answer
+    "q_image_meta_gate" ->
+      "SELECT p_partkey, (p_partkey % 25 <> 0) AS meta_ok FROM part",
 
     // exact complement of q_poly_table_join: in NO hexagon (same inlined
     // edge-plane normals, same margin precondition)

@@ -411,6 +411,22 @@ object ImagePayload {
   def featureGate(images: DataFrame): DataFrame =
     images.withColumn("features_ok", featureGateUdf(col("bytes")))
 
+  private val metaGateUdf = udf { (bytes: Array[Byte], w: Int, h: Int, fmt: String) =>
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    img != null && fmt == "png" && img.getWidth == w && img.getHeight == h
+  }
+
+  /** METADATA-consistency gate: decoded dimensions must equal the
+    * cataloged (w, h) columns and `fmt` must name the supported codec —
+    * the ingest-time validation that catches corrupt or MISLABELED
+    * payload rows before they poison training (a wrong cataloged width
+    * breaks fixed-shape batch collation downstream, far from the bad
+    * row). One decode per row inside ONE udf call (the featureGate
+    * duplication lesson); undecodable bytes fail the gate. */
+  def metaGate(images: DataFrame): DataFrame =
+    images.withColumn("meta_ok",
+      metaGateUdf(col("bytes"), col("w"), col("h"), col("fmt")))
+
   /** Cross-modal caption-consistency join: among images sharing a caption,
     * split true RE-POSTS (near-identical pixels, dhash hamming <=
     * maxHamming) from caption collisions with DIVERGENT pixels (stale or
