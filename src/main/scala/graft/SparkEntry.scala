@@ -28,6 +28,13 @@ object SparkEntry {
   private val LatSql = latSqlFor("o_orderkey")
   private val LonSql = lonSqlFor("o_orderkey")
 
+  /** Fixed BM25 query set (terms from the synthetic corpus vocabulary) —
+    * one definition shared by q_bm25 and its oracle SQL. */
+  private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"),
+    1L -> Seq("window", "batch"),
+    2L -> Seq("customer", "merge", "slow"))
+
   /** DuckDB replay of `Tiling.geohashEncode`'s axis indices: emits
     * `... AS li, ... AS ti` over columns named lat/lon. Pure floor
     * arithmetic, so the replay is bit-exact at any precision. */
@@ -1407,6 +1414,15 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(documents(s, dir), "doc_id", "text", k = 3)),
 
+    // BM25 full-text retrieval: top-5 docs per query, inverted-index shape
+    // (vocabulary filter inside the scan, only (id, dl, term) shuffles,
+    // ordered-fold score so the float is bit-reproducible); rank-only
+    // contract — the oracle replays the identical addition order, and
+    // RetrievalSpec pins the adjacent-rank margin that makes ranks stable
+    // under cross-engine ln/division ulps
+    "q_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(documents(s, dir), "doc_id", "text", Bm25Queries, k = 5)),
+
     // distributed vector->raster: a TABLE of 25 rect regions (one wraps
     // the antimeridian) is rasterized executor-side to level-5 cells, the
     // raster equi-joins points on their level-5 tile (disjoint same-level
@@ -1912,6 +1928,32 @@ object SparkEntry {
       AudioPayload.featureGate(audio, "p_partkey")
         .where(col("features_ok"))
         .select("p_partkey")
+    }),
+
+    // real VIDEO parse + decode over the GRFV1 container (length-prefixed
+    // real PNG frames, see VideoPayload): header fields, full-decode
+    // validity, and the exact static/dynamic classification (motion == 0
+    // iff all frame buffers equal frame 0's). Every 20th video is planted
+    // static, every 33rd has a truncated last frame (frames_ok false,
+    // is_static unknowable -> null); all three rules are integer-exact, so
+    // the oracle recomputes them from p_partkey alone — VideoPayloadSpec
+    // pins the no-natural-static precondition that makes it exact
+    "q_video_meta" -> ((s, dir) => {
+      val videos = VideoPayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      VideoPayload.metaGate(videos)
+        .select("p_partkey", "n_frames", "fps", "frames_ok", "is_static")
+    }),
+
+    // frame SAMPLING gate: reads + decodes ONLY frames 0, 2, 4, ... —
+    // skipped frames are never copied out of the buffer (the 100-TB
+    // sampling contract). The planted corruption sits in the LAST frame,
+    // sampled iff (n_frames - 1) is even, so sampled_ok flips exactly on
+    // the corrupt videos whose stride lands on the damage — the oracle
+    // replays that parity rule in integer SQL
+    "q_video_frames" -> ((s, dir) => {
+      val videos = VideoPayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      VideoPayload.sampledGate(videos, every = 2)
+        .select("p_partkey", "n_sampled", "sampled_ok")
     }),
 
     "q_image_tile_join" -> ((s, dir) => {
@@ -3146,6 +3188,44 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term)) t
         |WHERE r <= 3""".stripMargin,
 
+    // identical BM25 formula with the identical addition order: per-term
+    // contributions folded in sorted-term order (list(... ORDER BY term)
+    // mirrors Spark's sort_array(collect_list) fold), k1/b spelled as the
+    // same literals so both engines derive the same IEEE constants; the
+    // rank is stable under cross-engine ln ulps by the RetrievalSpec
+    // margin precondition (ties only between docs with identical integer
+    // inputs, which tie identically in both engines and fall to doc_id)
+    "q_bm25" -> {
+      val vocab = Bm25Queries.flatMap(_._2).distinct.sorted
+      val inList = vocab.map(t => s"'$t'").mkString(", ")
+      val qRows = Bm25Queries.flatMap { case (qid, ts) =>
+        ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
+      }.mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |  x -> len(x) > 0)) AS term FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         |q(query_id, term) AS (VALUES $qRows),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ($inList) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |contrib AS (SELECT tf.doc_id, tf.term,
+         |  ln(1.0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+         |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+         |    / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE)
+         |        / (CAST(stats.sumdl AS DOUBLE) / CAST(stats.n AS DOUBLE)))) AS c
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |scored AS (SELECT q.query_id, contrib.doc_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib.c ORDER BY contrib.term)),
+         |    (a, b) -> a + b) AS score
+         |  FROM contrib JOIN q USING (term) GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin
+    },
+
     // the same rect-bound arithmetic and wrap-aware containment, brute
     // force over all (region, point) pairs
     "q_rasterize" ->
@@ -3621,6 +3701,27 @@ object SparkEntry {
     "q_image_sharpness" -> "SELECT p_partkey, (p_partkey % 8 <> 0) AS sharp FROM part",
 
     "q_audio_features" -> "SELECT p_partkey FROM part",
+
+    // all three gate columns are integer rules of p_partkey (header fields
+    // from the synthesis rule; frames_ok = not corrupted; is_static known
+    // only when decodable) — VideoPayloadSpec pins the no-natural-static
+    // precondition that makes the planted classification THE exact answer
+    "q_video_meta" ->
+      """SELECT p_partkey,
+        | CAST(3 + p_partkey % 4 AS INTEGER) AS n_frames,
+        | CAST(2 + p_partkey % 3 AS INTEGER) AS fps,
+        | (p_partkey % 33 <> 0) AS frames_ok,
+        | CASE WHEN p_partkey % 33 = 0 THEN NULL ELSE (p_partkey % 20 = 0) END AS is_static
+        |FROM part""".stripMargin,
+
+    // n_sampled = floor((n_frames-1)/2)+1; the truncated LAST frame (index
+    // n_frames-1 = 2 + key%4) is sampled iff that index is even, i.e. iff
+    // key%4 is even — the stride-lands-on-the-damage parity rule
+    "q_video_frames" ->
+      """SELECT p_partkey,
+        | CAST((2 + p_partkey % 4) // 2 + 1 AS INTEGER) AS n_sampled,
+        | (p_partkey % 33 <> 0 OR (p_partkey % 4) % 2 <> 0) AS sampled_ok
+        |FROM part""".stripMargin,
 
     // exact: the engine must recover precisely the planted patched copies
     // (no natural pair exists within hamming 3 — spec-asserted over the
