@@ -1956,6 +1956,45 @@ object SparkEntry {
         .select("p_partkey", "n_sampled", "sampled_ok")
     }),
 
+    // temporal video near-dup: planted re-posts (every 25th decodable video
+    // copied under id+10^9 with frame 1 corner-patched) recovered by
+    // same-position frame-dhash equality. Frame 1 is never sampled at
+    // stride 2, so a planted pair shares ALL its sampled positions —
+    // shared == n_sampled(src) — and VideoPayloadSpec asserts the base
+    // population has no natural same-position dhash collision reaching
+    // minShared, which makes the planted set THE exact answer
+    "q_video_neardup" -> ((s, dir) => {
+      val videos = VideoPayload.synthesizeReposts(part(s, dir).select("p_partkey"), "p_partkey")
+      VideoPayload.videoNearDup(videos, "p_partkey", every = 2, minShared = 2)
+    }),
+
+    // video -> image-operator bridge: sampled frames exploded to rows and
+    // run through the REAL image feature gate (one PNG decode per sampled
+    // frame). Readable sampled frames pass; frames the truncation damaged
+    // never appear — the survivors are an integer stride/parity rule
+    "q_video_frame_features" -> ((s, dir) => {
+      val videos = VideoPayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val frames = VideoPayload.explodeSampledFrames(videos, every = 2)
+        .withColumnRenamed("frame", "bytes")
+      ImagePayload.featureGate(frames)
+        .where(col("features_ok"))
+        .select("p_partkey", "frame_idx")
+    }),
+
+    // geo x video: the metadata gate's outputs aggregated per spatial
+    // region through the covering PIP join — videos carry the same
+    // key-derived lat/lon as images, so the rect-branch oracle composes
+    // with the integer gate rules
+    "q_video_region_stats" -> ((s, dir) => {
+      val videos = VideoPayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val gated = VideoPayload.metaGate(videos)
+      SpatialJoin.pipJoin(gated, "lat", "lon", rectRegionsForParts)
+        .groupBy("region_id")
+        .agg(count(lit(1)).as("n_videos"),
+          sum(when(col("is_static"), 1L).otherwise(0L)).as("n_static"),
+          sum(when(col("frames_ok"), 0L).otherwise(1L)).as("n_bad"))
+    }),
+
     "q_image_tile_join" -> ((s, dir) => {
       val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
       val tiled = Tiling.tileAssign(images, "lat", "lon", 8)
@@ -3722,6 +3761,38 @@ object SparkEntry {
         | CAST((2 + p_partkey % 4) // 2 + 1 AS INTEGER) AS n_sampled,
         | (p_partkey % 33 <> 0 OR (p_partkey % 4) % 2 <> 0) AS sampled_ok
         |FROM part""".stripMargin,
+
+    // the planted re-post set IS the exact answer (VideoPayloadSpec pins
+    // the no-natural-collision precondition); shared = n_sampled of the
+    // source because the patched frame (idx 1) is never sampled at stride 2
+    "q_video_neardup" ->
+      """SELECT p_partkey AS id_a, p_partkey + 1000000000 AS id_b,
+        | CAST((2 + p_partkey % 4) // 2 + 1 AS BIGINT) AS shared
+        |FROM part WHERE p_partkey % 25 = 0 AND p_partkey % 33 <> 0""".stripMargin,
+
+    // survivors = even frame indices below n_frames, minus the damaged
+    // last frame (idx n-1 = 2 + key%4) of corrupt videos when the stride
+    // lands on it
+    "q_video_frame_features" ->
+      """SELECT p_partkey, CAST(f.idx AS INTEGER) AS frame_idx
+        |FROM part, UNNEST(range(0, CAST(3 + p_partkey % 4 AS BIGINT), 2)) AS f(idx)
+        |WHERE NOT (p_partkey % 33 = 0 AND f.idx = 2 + p_partkey % 4)""".stripMargin,
+
+    // rect-branch region label + the q_video_meta integer gate rules
+    "q_video_region_stats" -> {
+      val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
+        s"""SELECT '$rid' AS region_id, p_partkey FROM pts
+           | WHERE ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}""".stripMargin
+      }
+      s"""WITH pts AS (SELECT p_partkey,
+         |  $PartLatSql AS lat, $PartLonSql AS lon FROM part),
+         |labeled AS (${branches.mkString("\nUNION ALL\n")})
+         |SELECT region_id, count(*) AS n_videos,
+         |  CAST(sum(CASE WHEN p_partkey % 33 = 0 THEN 0
+         |           WHEN p_partkey % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_static,
+         |  CAST(sum(CASE WHEN p_partkey % 33 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+         |FROM labeled GROUP BY 1""".stripMargin
+    },
 
     // exact: the engine must recover precisely the planted patched copies
     // (no natural pair exists within hamming 3 — spec-asserted over the

@@ -55,9 +55,10 @@ object VideoPayload {
   /** Encode one video; `truncateLast` plants a short read in the LAST
     * frame's payload (the length field keeps the true length, so the
     * container is short — the parse-level corruption an ingest gate must
-    * catch). */
+    * catch). `patchFrameIdx` >= 0 blacks a corner patch of that frame
+    * (the re-post plant for near-dup: same content, not byte-identical). */
   def encodeVideo(key: Long, w: Int, h: Int, static: Boolean,
-                  truncateLast: Boolean): Array[Byte] = {
+                  truncateLast: Boolean, patchFrameIdx: Int = -1): Array[Byte] = {
     val n = nFramesFor(key)
     val out = new ByteArrayOutputStream()
     out.write(Magic)
@@ -66,7 +67,8 @@ object VideoPayload {
     out.write(hdr.array())
     var i = 0
     while (i < n) {
-      val png = ImagePayload.encodePng(frameKey(key, i, static), w, h)
+      val png0 = ImagePayload.encodePng(frameKey(key, i, static), w, h)
+      val png = if (i == patchFrameIdx) ImagePayload.patchImage(png0, 0, 0, 3) else png0
       val len = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(png.length)
       out.write(len.array())
       if (truncateLast && i == n - 1) out.write(png, 0, png.length / 2)
@@ -199,13 +201,18 @@ object VideoPayload {
   private val encodeUdf =
     udf((key: Long, w: Int, h: Int, static: Boolean, trunc: Boolean) =>
       encodeVideo(key, w, h, static, trunc))
+  private val encodePatchedUdf =
+    udf((key: Long, w: Int, h: Int, static: Boolean, patchIdx: Int) =>
+      encodeVideo(key, w, h, static, truncateLast = false, patchFrameIdx = patchIdx))
   private val metaUdf = udf((bytes: Array[Byte], w: Int, h: Int) => videoMeta(bytes, w, h))
   private val sampledUdf =
     udf((bytes: Array[Byte], every: Int, w: Int, h: Int) => sampledMeta(bytes, every, w, h))
 
   /** Synthesize the videos table from integer keys: every `staticMod`-th
     * video is static (all frames == frame 0), every `corruptMod`-th has a
-    * truncated last frame. Columns: video_id, bytes, w, h, fmt. */
+    * truncated last frame. Columns: video_id, bytes, w, h, fmt, lat, lon
+    * (geo columns from the same key rules as the images table, so videos
+    * participate in the spatial joins). */
   def synthesize(keys: DataFrame, keyCol: String,
                  width: Int = 16, height: Int = 16,
                  staticMod: Long = 20, corruptMod: Long = 33): DataFrame = {
@@ -217,8 +224,38 @@ object VideoPayload {
       .withColumn("w", lit(width))
       .withColumn("h", lit(height))
       .withColumn("fmt", lit("grfv"))
+      .withColumn("lat", ImagePayload.latFromKey(key))
+      .withColumn("lon", ImagePayload.lonFromKey(key))
       .withColumn("bytes", encodeUdf(key, col("w"), col("h"),
         key % staticMod === 0, key % corruptMod === 0))
+  }
+
+  /** [[synthesize]] plus planted RE-POSTS: for every `repostMod`-th
+    * DECODABLE key, a copy row with id `key + idOffset` whose frames are
+    * the original's rasters with frame `patchFrameIdx` corner-patched —
+    * same content, not the same file. The near-dup fixture. */
+  def synthesizeReposts(keys: DataFrame, keyCol: String,
+                        width: Int = 16, height: Int = 16,
+                        repostMod: Long = 25, patchFrameIdx: Int = 1,
+                        idOffset: Long = 1000000000L,
+                        staticMod: Long = 20, corruptMod: Long = 33): DataFrame = {
+    val base = synthesize(keys, keyCol, width, height, staticMod, corruptMod)
+    val spread = keys.sparkSession.sparkContext.defaultParallelism
+    val copies = keys
+      .where(col(keyCol) % repostMod === 0 && col(keyCol) % corruptMod =!= 0)
+      .repartition(spread)
+      .withColumn("__src", col(keyCol))
+      .withColumn(keyCol, col("__src") + idOffset)
+      .withColumn("video_id", format_string("vid%012d", col(keyCol)))
+      .withColumn("w", lit(width))
+      .withColumn("h", lit(height))
+      .withColumn("fmt", lit("grfv"))
+      .withColumn("lat", ImagePayload.latFromKey(col(keyCol)))
+      .withColumn("lon", ImagePayload.lonFromKey(col(keyCol)))
+      .withColumn("bytes", encodePatchedUdf(col("__src"), col("w"), col("h"),
+        col("__src") % staticMod === 0, lit(patchFrameIdx)))
+      .drop("__src")
+    base.unionByName(copies)
   }
 
   /** Gate a videos table: one decode pass per row, struct exploded to
@@ -238,5 +275,78 @@ object VideoPayload {
     videos.withColumn("__m", m)
       .select(videos.columns.filterNot(_ == "bytes").map(col) :+
         col("__m.n_sampled").as("n_sampled") :+ col("__m.sampled_ok").as("sampled_ok"): _*)
+  }
+
+  final case class FrameSig(frame_idx: Int, dhash: Option[Long])
+
+  private val frameSigsUdf = udf { (bytes: Array[Byte], every: Int) =>
+    parseFrames(bytes, wanted = i => i % every == 0) match {
+      case None => Seq.empty[FrameSig]
+      case Some((hdr, frames)) =>
+        (0 until hdr.nFrames).filter(_ % every == 0).map { i =>
+          FrameSig(i, Option(frames(i)).flatMap(ImagePayload.dhash64))
+        }
+    }
+  }
+
+  /** Temporal signature table: one row per SAMPLED frame — (video columns
+    * sans bytes, frame_idx, dhash) — from ONE parse + decode per video;
+    * skipped frames are never read, damaged sampled frames keep a null
+    * dhash. 12 bytes/frame regardless of resolution: the table a video
+    * ingest pipeline persists. */
+  def frameSignatures(videos: DataFrame, every: Int): DataFrame =
+    videos.withColumn("__sig", explode(frameSigsUdf(col("bytes"), lit(every))))
+      .select(videos.columns.filterNot(_ == "bytes").map(col) :+
+        col("__sig.frame_idx").as("frame_idx") :+ col("__sig.dhash").as("dhash"): _*)
+
+  final case class SampledFrame(frame_idx: Int, frame: Array[Byte])
+
+  private val sampleFramesUdf = udf { (bytes: Array[Byte], every: Int) =>
+    parseFrames(bytes, wanted = i => i % every == 0) match {
+      case None => Seq.empty[SampledFrame]
+      case Some((hdr, frames)) =>
+        (0 until hdr.nFrames).filter(_ % every == 0)
+          .flatMap(i => Option(frames(i)).map(SampledFrame(i, _)))
+    }
+  }
+
+  /** Sampled frames as ROWS — (video columns sans bytes, frame_idx, frame
+    * PNG bytes), readable-frames only: the bridge that feeds strided video
+    * frames into the image operators (features, dhash, mosaic, gates). The
+    * explode runs inside the scan stage; frame bytes exist only between
+    * the parse and whatever per-frame expression consumes them — they
+    * never cross an exchange unless the caller shuffles them. */
+  def explodeSampledFrames(videos: DataFrame, every: Int): DataFrame =
+    videos.withColumn("__f", explode(sampleFramesUdf(col("bytes"), lit(every))))
+      .select(videos.columns.filterNot(_ == "bytes").map(col) :+
+        col("__f.frame_idx").as("frame_idx") :+ col("__f.frame").as("frame"): _*)
+
+  /** Temporal video near-dup: pairs of videos sharing >= `minShared`
+    * sampled frame positions with EQUAL perceptual hashes (same-position
+    * dhash equality — re-posts and re-encodes of the same footage agree
+    * frame-for-frame; a patched or re-titled frame just drops one shared
+    * position). Distributed shape mirrors [[ImagePayload.imageNearDup]]:
+    * the (id, frame_idx, dhash) signature table is MATERIALIZED
+    * (localCheckpoint) so each video is parsed + decoded exactly once
+    * under the self-join's two branches; candidates come from an equi-join
+    * on (frame_idx, dhash) — only 20-byte signature rows shuffle, video
+    * bytes never do; hot (frame_idx, dhash) buckets (boilerplate intro
+    * frames at 100 TB) are capped LOUDLY via the shared banded-cap
+    * discipline (stage "videodup", drop count in
+    * [[Dedup.droppedBucketRows]]). Returns (id_a, id_b, shared). */
+  def videoNearDup(videos: DataFrame, idCol: String, every: Int = 2,
+                   minShared: Int = 2, maxBucketSize: Int = 1024): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val sigs = frameSignatures(videos, every)
+      .where(col("dhash").isNotNull)
+      .select(col(idCol).as("__vid"), col("frame_idx").as("band"), col("dhash").as("bucket"))
+      .localCheckpoint()
+    val capped = Dedup.capBuckets(sigs, maxBucketSize, "videodup", "__vid")
+    val a = capped.select(col("band"), col("bucket"), col("__vid").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("__vid").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
   }
 }

@@ -70,6 +70,46 @@ class VideoPayloadSpec extends SparkTestBase {
     }
   }
 
+  test("videoNearDup recovers exactly the planted re-posts with shared == n_sampled") {
+    import spark.implicits._
+    val videos = VideoPayload.synthesizeReposts((1L to 500L).toDF("k"), "k")
+    val got = VideoPayload.videoNearDup(videos, "k", every = 2, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (1L to 500L)
+      .filter(k => k % 25 == 0 && k % 33 != 0)
+      .map(k => (k, k + 1000000000L, (2 + k % 4) / 2 + 1)).toSet
+    assert(got === expected)
+  }
+
+  test("oracle precondition: no natural same-position dhash collision in the base population") {
+    import spark.implicits._
+    // base table only (no re-posts): ANY pair here would be a natural
+    // collision breaking the planted oracle's exactness — require none at
+    // minShared = 1, stronger than the catalog query's 2
+    val videos = VideoPayload.synthesize((1L to 2000L).toDF("k"), "k")
+    val natural = VideoPayload.videoNearDup(videos, "k", every = 2, minShared = 1).count()
+    assert(natural === 0L, s"natural near-dup pairs in the base population: $natural")
+  }
+
+  test("explodeSampledFrames emits exactly the readable strided frames, all decodable") {
+    import spark.implicits._
+    val videos = VideoPayload.synthesize((1L to 150L).toDF("k"), "k")
+    val frames = VideoPayload.explodeSampledFrames(videos, every = 2)
+    val rows = frames.select("k", "frame_idx", "frame").collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    (1L to 150L).foreach { k =>
+      val n = VideoPayload.nFramesFor(k)
+      val expected = (0 until n by 2).filterNot(i => k % 33 == 0 && i == n - 1).toSet
+      assert(byKey.get(k).map(_.map(_.getInt(1)).toSet).getOrElse(Set.empty) === expected, s"key $k")
+    }
+    // every emitted frame is a real decodable PNG of the cataloged dims
+    rows.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+    }
+  }
+
   test("metaGate / sampledGate over a synthesized table match the planted rules") {
     import spark.implicits._
     val videos = VideoPayload.synthesize((1L to 200L).toDF("k"), "k")
