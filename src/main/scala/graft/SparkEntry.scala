@@ -1930,6 +1930,19 @@ object SparkEntry {
         .select("p_partkey")
     }),
 
+    // temporal audio near-dup: planted re-uploads (every 25th clip copied
+    // under id+10^9 at gain 0.9 with analysis window 1 silenced — every
+    // byte differs) recovered by same-position spectral-fingerprint
+    // equality. The fingerprint is exactly gain-invariant, so a planted
+    // pair shares all 7 un-muted window positions; AudioPayloadSpec pins
+    // the no-natural-collision precondition (zero base-population pairs
+    // even at minShared=1), making the planted set THE exact answer
+    "q_audio_neardup" -> ((s, dir) => {
+      val audio = AudioPayload.synthesizeTonalReposts(
+        part(s, dir).select("p_partkey"), "p_partkey")
+      AudioPayload.audioNearDup(audio, "p_partkey", minShared = 6)
+    }),
+
     // real VIDEO parse + decode over the GRFV1 container (length-prefixed
     // real PNG frames, see VideoPayload): header fields, full-decode
     // validity, and the exact static/dynamic classification (motion == 0
@@ -3740,6 +3753,15 @@ object SparkEntry {
     "q_image_sharpness" -> "SELECT p_partkey, (p_partkey % 8 <> 0) AS sharp FROM part",
 
     "q_audio_features" -> "SELECT p_partkey FROM part",
+
+    // the planted re-upload set IS the exact answer: 8 analysis windows,
+    // window 1 muted in the copy -> 7 shared positions; gain invariance is
+    // exact (energy-ratio bits) and the no-natural-collision precondition
+    // is spec-asserted over the full sf0.01 key population
+    "q_audio_neardup" ->
+      """SELECT p_partkey AS id_a, p_partkey + 1000000000 AS id_b,
+        | CAST(7 AS BIGINT) AS shared
+        |FROM part WHERE p_partkey % 25 = 0""".stripMargin,
 
     // all three gate columns are integer rules of p_partkey (header fields
     // from the synthesis rule; frames_ok = not corrupted; is_static known

@@ -142,4 +142,228 @@ object AudioPayload {
     * same rule as [[ImagePayload.featureGate]]). */
   def featureGate(audio: DataFrame, keyCol: String): DataFrame =
     audio.withColumn("features_ok", gateUdf(col("bytes"), col(keyCol)))
+
+  // ----- temporal fingerprint + near-dup (wave 14) ---------------------
+
+  /** Fingerprint geometry: non-overlapping analysis windows of
+    * [[FpWindow]] samples; within each window, energies at the 64
+    * GRID-ALIGNED frequencies k/[[FpWindow]]*sr for k in [2, 65] (aligned
+    * tones leak zero energy into other bins, so tone bands sit ~10^6 above
+    * the dither noise floor and the fingerprint survives re-quantization
+    * and uniform gain — the Haitsma-Kalker robustness argument with exact
+    * margins instead of probabilistic ones). */
+  val FpWindow = 200
+  val FpBins = 64
+  val FpTones = 8
+
+  // cos/sin lookup tables: cos(2*pi*k*n/FpWindow) = table[(k*n) % FpWindow]
+  private val cosT = Array.tabulate(FpWindow)(i => StrictMath.cos(2 * math.Pi * i / FpWindow))
+  private val sinT = Array.tabulate(FpWindow)(i => StrictMath.sin(2 * math.Pi * i / FpWindow))
+
+  /** The 8 distinct tone bins (in [2, 65]) for window `w` of clip `key` —
+    * deterministic, key+window-hashed, sampled without replacement. */
+  def toneBins(key: Long, w: Int): Array[Int] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var c = 0
+    while (out.size < FpTones) {
+      var h = key * 0x9e3779b97f4a7c15L + w * 0xc2b2ae3d27d4eb4fL + c * 0x165667b19e3779f9L
+      h ^= (h >>> 29); h *= 0xbf58476d1ce4e5b9L; h ^= (h >>> 32)
+      out += (2 + java.lang.Long.remainderUnsigned(h, FpBins).toInt)
+      c += 1
+    }
+    out.toArray
+  }
+
+  /** Deterministic TEMPORAL multi-tone PCM: each [[FpWindow]]-sample
+    * window holds the sum of its 8 key+window-derived grid-aligned tones
+    * (amplitude 0.09 each) plus the same +-1/512 hash dither as
+    * [[samples]]. Unlike the single-sine [[samples]] (whose content
+    * collides across keys mod 800), the per-window 8-of-64 tone sets make
+    * clip content effectively unique — the near-dup fixture. */
+  def tonalSamples(key: Long, n: Int = NumSamples): Array[Short] = {
+    val out = new Array[Short](n)
+    var w = 0
+    while (w * FpWindow < n) {
+      val bins = toneBins(key, w)
+      val base = w * FpWindow
+      val lim = math.min(FpWindow, n - base)
+      var i = 0
+      while (i < lim) {
+        var v = 0.0
+        var j = 0
+        while (j < bins.length) { v += 0.09 * sinT((bins(j) * i) % FpWindow); j += 1 }
+        val g = base + i
+        var h = key * 0x9e3779b97f4a7c15L + g * 0xc2b2ae3d27d4eb4fL
+        h ^= (h >>> 31)
+        v += ((h & 0xff) - 127.5) / 127.5 / 512.0
+        val s = v * Short.MaxValue
+        out(g) = math.max(Short.MinValue.toDouble,
+          math.min(Short.MaxValue.toDouble, math.rint(s))).toShort
+        i += 1
+      }
+      w += 1
+    }
+    out
+  }
+
+  private def wavOf(s: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](s.length * 2)
+    var i = 0
+    while (i < s.length) {
+      pcm(2 * i) = (s(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, s.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real WAV encode of [[tonalSamples]]; `gain` != 1 re-scales (and
+    * re-quantizes) every sample, `muteWindow` >= 0 silences that analysis
+    * window — the re-post plant: same content under a volume change with
+    * one censored segment, not the same bytes anywhere. */
+  def encodeTonalWav(key: Long, gain: Double = 1.0, muteWindow: Int = -1): Array[Byte] = {
+    val s = tonalSamples(key)
+    if (gain != 1.0 || muteWindow >= 0) {
+      var i = 0
+      while (i < s.length) {
+        s(i) =
+          if (i / FpWindow == muteWindow) 0
+          else math.max(Short.MinValue.toDouble,
+            math.min(Short.MaxValue.toDouble, math.rint(s(i) * gain))).toShort
+        i += 1
+      }
+    }
+    wavOf(s)
+  }
+
+  /** Per-window 64-bit spectral fingerprint of decoded PCM: bit (k-2) set
+    * iff the energy at grid frequency k exceeds 1% of the window's max
+    * band energy. Exactly gain-invariant (a pure energy ratio) and robust
+    * to re-quantization by ~10^6 (tone bands vs the dither floor, see
+    * [[FpWindow]]); an all-silent window fingerprints to 0 and is treated
+    * as "no signal" by [[audioSignatures]]. */
+  def fingerprints(s: Array[Short]): Array[Long] = {
+    val nw = s.length / FpWindow
+    val out = new Array[Long](nw)
+    val e = new Array[Double](FpBins)
+    var w = 0
+    while (w < nw) {
+      val base = w * FpWindow
+      var k = 0
+      while (k < FpBins) {
+        var c = 0.0; var si = 0.0
+        var i = 0
+        while (i < FpWindow) {
+          val v = s(base + i) / 32768.0
+          val idx = ((k + 2) * i) % FpWindow
+          c += v * cosT(idx); si += v * sinT(idx)
+          i += 1
+        }
+        e(k) = c * c + si * si
+        k += 1
+      }
+      var mx = 0.0
+      var b = 0
+      while (b < FpBins) { mx = math.max(mx, e(b)); b += 1 }
+      var fp = 0L
+      if (mx > 0.0) {
+        b = 0
+        while (b < FpBins) { if (e(b) > 0.01 * mx) fp |= (1L << b); b += 1 }
+      }
+      out(w) = fp
+      w += 1
+    }
+    out
+  }
+
+  private val encodeTonalUdf = udf((key: Long) => encodeTonalWav(key))
+  private val encodeTonalRepostUdf = udf((key: Long, gain: Double, mute: Int) =>
+    encodeTonalWav(key, gain, mute))
+
+  /** Synthesize the TONAL audio table (columns as [[synthesize]]). */
+  def synthesizeTonal(keys: DataFrame, keyCol: String): DataFrame = {
+    val key = col(keyCol)
+    val spread = keys.sparkSession.sparkContext.defaultParallelism
+    keys
+      .repartition(spread)
+      .withColumn("audio_id", format_string("aud%012d", key))
+      .withColumn("sr", lit(SampleRate.toInt))
+      .withColumn("n_samples", lit(NumSamples))
+      .withColumn("fmt", lit("wav"))
+      .withColumn("bytes", encodeTonalUdf(key))
+  }
+
+  /** [[synthesizeTonal]] plus planted RE-POSTS: every `repostMod`-th key
+    * gains a copy under `key + idOffset` with uniform gain `gain` and
+    * analysis window `muteWindow` silenced — the volume-changed, partly
+    * censored re-upload. Every byte differs from the original; every
+    * un-muted window fingerprint is identical. */
+  def synthesizeTonalReposts(keys: DataFrame, keyCol: String,
+                             repostMod: Long = 25, gain: Double = 0.9,
+                             muteWindow: Int = 1,
+                             idOffset: Long = 1000000000L): DataFrame = {
+    val base = synthesizeTonal(keys, keyCol)
+    val spread = keys.sparkSession.sparkContext.defaultParallelism
+    val copies = keys
+      .where(col(keyCol) % repostMod === 0)
+      .repartition(spread)
+      .withColumn("__src", col(keyCol))
+      .withColumn(keyCol, col("__src") + idOffset)
+      .withColumn("audio_id", format_string("aud%012d", col(keyCol)))
+      .withColumn("sr", lit(SampleRate.toInt))
+      .withColumn("n_samples", lit(NumSamples))
+      .withColumn("fmt", lit("wav"))
+      .withColumn("bytes", encodeTonalRepostUdf(col("__src"), lit(gain), lit(muteWindow)))
+      .drop("__src")
+    base.unionByName(copies)
+  }
+
+  final case class WindowFp(window_idx: Int, fp: Long)
+
+  private val fingerprintsUdf = udf { (bytes: Array[Byte]) =>
+    decodePcm(bytes) match {
+      case None => Seq.empty[WindowFp]
+      case Some(s) => fingerprints(s).zipWithIndex
+        .collect { case (fp, w) if fp != 0L => WindowFp(w, fp) }.toSeq
+    }
+  }
+
+  /** Temporal signature table — (audio columns sans bytes, window_idx,
+    * fp) from ONE decode per clip; silent windows are dropped. 12
+    * bytes/window regardless of sample rate: what an audio ingest
+    * pipeline persists. */
+  def audioSignatures(audio: DataFrame): DataFrame =
+    audio.withColumn("__fp", explode(fingerprintsUdf(col("bytes"))))
+      .select(audio.columns.filterNot(_ == "bytes").map(col) :+
+        col("__fp.window_idx").as("window_idx") :+ col("__fp.fp").as("fp"): _*)
+
+  /** Temporal audio near-dup: pairs of clips sharing >= `minShared`
+    * analysis-window positions with EQUAL spectral fingerprints. The
+    * fingerprint is exactly gain-invariant, so volume-changed re-uploads
+    * match window-for-window while a censored (silenced) segment just
+    * drops its position. Same distributed shape as
+    * [[VideoPayload.videoNearDup]]: signatures materialized
+    * (localCheckpoint — one decode per clip under the self-join), shuffled
+    * equi-join on (window_idx, fp) carrying 20-byte rows — audio bytes
+    * never shuffle; hot buckets (silence-adjacent jingles at 100 TB)
+    * capped loudly via [[Dedup.capBuckets]] (stage "audiodup"). Returns
+    * (id_a, id_b, shared). */
+  def audioNearDup(audio: DataFrame, idCol: String,
+                   minShared: Int = 6, maxBucketSize: Int = 1024): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val sigs = audioSignatures(audio)
+      .select(col(idCol).as("__aid"), col("window_idx").as("band"), col("fp").as("bucket"))
+      .localCheckpoint()
+    val capped = Dedup.capBuckets(sigs, maxBucketSize, "audiodup", "__aid")
+    val a = capped.select(col("band"), col("bucket"), col("__aid").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("__aid").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

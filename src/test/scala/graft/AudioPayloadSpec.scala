@@ -49,4 +49,47 @@ class AudioPayloadSpec extends SparkTestBase {
       .where(size(col("features")) === 4).count()
     assert(feats === 50)
   }
+
+  test("fingerprints are exactly the planted tone-band masks and gain-invariant") {
+    for (key <- Seq(0L, 3L, 777L, 123456L)) {
+      val fp = AudioPayload.fingerprints(AudioPayload.tonalSamples(key))
+      assert(fp.length === 8)
+      fp.zipWithIndex.foreach { case (f, w) =>
+        val expected = AudioPayload.toneBins(key, w).map(k => 1L << (k - 2)).reduce(_ | _)
+        assert(f === expected, s"key $key window $w")
+      }
+      // uniform gain + re-quantization leaves every window bit-identical
+      for (gain <- Seq(0.9, 0.5, 1.3)) {
+        val scaled = AudioPayload.tonalSamples(key).map(s =>
+          math.max(Short.MinValue.toDouble,
+            math.min(Short.MaxValue.toDouble, math.rint(s * gain))).toShort)
+        assert(AudioPayload.fingerprints(scaled).toSeq === fp.toSeq, s"gain $gain key $key")
+      }
+      // a muted window fingerprints to 0 (no-signal), others untouched
+      val muted = AudioPayload.decodePcm(AudioPayload.encodeTonalWav(key, 0.9, 1)).get
+      val mutedFp = AudioPayload.fingerprints(muted)
+      assert(mutedFp(1) === 0L)
+      assert(mutedFp.patch(1, Nil, 1).toSeq === fp.toSeq.patch(1, Nil, 1))
+    }
+  }
+
+  test("audioNearDup recovers exactly the planted re-uploads with shared == 7") {
+    import spark.implicits._
+    val audio = AudioPayload.synthesizeTonalReposts((0L to 500L).toDF("k"), "k")
+    val got = AudioPayload.audioNearDup(audio, "k", minShared = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (0L to 500L).filter(_ % 25 == 0)
+      .map(k => (k, k + 1000000000L, 7L)).toSet
+    assert(got === expected)
+  }
+
+  test("oracle precondition: no natural fingerprint collision in the full sf0.01 key population") {
+    import spark.implicits._
+    // deterministic synthesis over the exact driver-gate key range
+    // (p_partkey 0..1999): ANY base-population pair at even ONE shared
+    // window would threaten the planted oracle's exactness — require none
+    val audio = AudioPayload.synthesizeTonal((0L to 1999L).toDF("k"), "k")
+    val natural = AudioPayload.audioNearDup(audio, "k", minShared = 1).count()
+    assert(natural === 0L, s"natural near-dup pairs in the base population: $natural")
+  }
 }
