@@ -1423,6 +1423,14 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(documents(s, dir), "doc_id", "text", Bm25Queries, k = 5)),
 
+    // CCNet-style LM perplexity quality filter: bigram model trained ON
+    // the corpus, worst-50 documents by avg negative log-likelihood.
+    // Ordered-fold float discipline + rank-only contract (the q_bm25
+    // rules); LanguageModelSpec pins the adjacent-rank margin that makes
+    // ranks stable under cross-engine ln ulps
+    "q_lm_perplexity" -> ((s, dir) =>
+      LanguageModel.perplexityWorstK(documents(s, dir), "doc_id", "text", k = 50)),
+
     // distributed vector->raster: a TABLE of 25 rect regions (one wraps
     // the antimeridian) is rasterized executor-side to level-5 cells, the
     // raster equi-joins points on their level-5 tile (disjoint same-level
@@ -3277,6 +3285,32 @@ object SparkEntry {
          |  FROM scored) t
          |WHERE rank <= 5""".stripMargin
     },
+
+    // identical bigram model (add-one smoothing, same casts and ln-ratio
+    // arithmetic) with the per-doc fold replayed in the same sorted
+    // (w1, w2) order; rank-only output, margin spec-pinned
+    "q_lm_perplexity" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |  x -> len(x) > 0) AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM tk, UNNEST(range(1, len(toks))) AS r(i) WHERE len(toks) >= 2),
+        |docbg AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+        |cnt AS (SELECT w1, w2, sum(m) AS cb FROM docbg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(m) AS cc FROM docbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tk) u),
+        |contrib AS (SELECT docbg.doc_id, docbg.w1, docbg.w2, docbg.m,
+        |  CAST(docbg.m AS DOUBLE)
+        |    * ln(CAST(cnt.cb + 1 AS DOUBLE) / CAST(ctx.cc + v.v AS DOUBLE)) AS c
+        |  FROM docbg JOIN cnt USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+        |scored AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  -list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY w1, w2)),
+        |    (a, b) -> a + b) / CAST(sum(m) AS DOUBLE) AS avg_nll
+        |  FROM contrib GROUP BY 1)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_bigrams FROM (
+        |  SELECT doc_id, n_bigrams,
+        |    row_number() OVER (ORDER BY avg_nll DESC, doc_id ASC) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 50""".stripMargin,
 
     // the same rect-bound arithmetic and wrap-aware containment, brute
     // force over all (region, point) pairs
