@@ -1567,6 +1567,16 @@ object SparkEntry {
           polylineTable(s, dir), "line_id", "lats", "lons", PolylineJoinRadiusM)
         .select("line_id", "o_orderkey")),
 
+    // map-matching snap: nearest line within 150 km per point + nearest
+    // edge index on it (which road, which segment). Candidates from the
+    // polyline raster join, rank-1 window per point, one nearest-edge
+    // refinement per match. SnapJoinSpec pins the margins (winner gap,
+    // radius boundary, edge gap) that make the argmin cross-engine exact
+    "q_snap_join" -> ((s, dir) =>
+      SpatialJoin.snapToPolylines(points(s, dir), "o_orderkey", "lat", "lon",
+          polylineTable(s, dir), "line_id", "lats", "lons", PolylineJoinRadiusM)
+        .select("o_orderkey", "line_id", "edge_idx")),
+
     // the multi-loop (shell + hole) variant: XOR-parity containment at
     // table granularity — covering cells inside the hole never exist, the
     // refine is the exact S2Polygon parity test
@@ -3534,6 +3544,34 @@ object SparkEntry {
          |  cos(radians(lat))*sin(radians(lon)) AS py,
          |  sin(radians(lat)) AS pz FROM pts)
          |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // per-(line, edge) distance rows (same inlined-constant edge formula
+    // as q_polyline_join), global argmin per point by (d, line_id,
+    // edge_idx) — the engine's two-stage argmin (nearest line by
+    // (min-dist, line_id), then first-smallest edge) decides identically
+    // because SnapJoinSpec pins strict winner/edge gaps and the
+    // radius-boundary margin
+    "q_snap_join" -> {
+      val branches = FixturePolylines.flatMap { case (k, verts) =>
+        val pts = verts.map { case (la, lo) => graft.s2.S2LatLng.fromDegrees(la, lo).toPoint }
+        pts.indices.dropRight(1).map { i =>
+          s"""SELECT o_orderkey, CAST($k AS BIGINT) AS line_id,
+             | CAST($i AS INTEGER) AS edge_idx,
+             | ${edgeDistSql(pts(i), pts(i + 1))} * 6367000.0 AS d FROM xyz""".stripMargin
+        }
+      }
+      s"""WITH pts AS (SELECT o_orderkey, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |xyz AS (SELECT o_orderkey,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts),
+         |cand AS (${branches.mkString("\nUNION ALL\n")})
+         |SELECT o_orderkey, line_id, edge_idx FROM (
+         |  SELECT o_orderkey, line_id, edge_idx, d, row_number() OVER (
+         |    PARTITION BY o_orderkey ORDER BY d ASC, line_id ASC, edge_idx ASC) AS rk
+         |  FROM cand) t
+         |WHERE rk = 1 AND d <= $PolylineJoinRadiusM""".stripMargin
     },
 
     // shell-minus-hole edge-plane branches per region (both loops convex;

@@ -693,6 +693,35 @@ case class S2PolylineDistance(first: Expression, second: Expression,
   override def prettyName: String = "s2_polyline_distance_m"
 }
 
+/** `s2_polyline_nearest_edge(latsDeg, lonsDeg, latDeg, lonDeg) -> int` —
+  * the index of the chain edge nearest to the point (first strictly
+  * smallest under `S2EdgeUtil.GetDistance`, the reference's
+  * `S2Polyline.GetNearestEdgeIndex`, `S2Polyline.cs:285-302`): the
+  * map-matching refinement that turns "nearest line" into "nearest road
+  * SEGMENT". Chains cached per task thread. */
+case class S2PolylineNearestEdge(first: Expression, second: Expression,
+                                 third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false), DoubleType, DoubleType)
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(latsAny: Any, lonsAny: Any,
+                                      latAny: Any, lonAny: Any): Any = {
+    val lats = latsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val lons = lonsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val line = PolylineCache.polylineFor(lats, lons)
+    line.getNearestEdgeIndex(S2LatLng.fromDegrees(latAny.asInstanceOf[Double],
+      lonAny.asInstanceOf[Double]).toPoint)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): S2PolylineNearestEdge =
+    copy(f, s, t, q)
+  override def prettyName: String = "s2_polyline_nearest_edge"
+}
+
 /** `S2PolygonCoveringAdaptive(latsDeg, lonsDeg, targetCells)` with a
   * quantized level menu — the heterogeneous-catalog form of
   * [[S2PolygonCovering]]: each ROW picks its own covering level from its

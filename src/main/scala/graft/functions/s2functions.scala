@@ -123,6 +123,12 @@ object s2functions {
                              latDeg: Column, lonDeg: Column): Column =
     expr(S2PolylineDistance(child(latsDeg), child(lonsDeg), child(latDeg), child(lonDeg)))
 
+  /** Index of the chain edge nearest to the point (the map-matching
+    * segment refinement); per-thread chain construction cache. */
+  def s2_polyline_nearest_edge(latsDeg: Column, lonsDeg: Column,
+                               latDeg: Column, lonDeg: Column): Column =
+    expr(S2PolylineNearestEdge(child(latsDeg), child(lonsDeg), child(latDeg), child(lonDeg)))
+
   /** Register all s2_* functions for SQL use on the given session. */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -155,6 +161,7 @@ object s2functions {
     reg("s2_polygon_contains", { case Seq(a, b, c, d) => S2PolygonContainsPoint(a, b, c, d) })
     reg("s2_polyline_covering", { case Seq(a, b, c) => S2PolylineCovering(a, b, c) })
     reg("s2_polyline_distance_m", { case Seq(a, b, c, d) => S2PolylineDistance(a, b, c, d) })
+    reg("s2_polyline_nearest_edge", { case Seq(a, b, c, d) => S2PolylineNearestEdge(a, b, c, d) })
     reg("s2_loops_intersect", { case Seq(a, b, c, d) => S2LoopsIntersect(a, b, c, d) })
     reg("s2_loop_region_distance_m", { case Seq(a, b, c, d) => S2LoopRegionDistance(a, b, c, d) })
     reg("s2_polylines_cross", { case Seq(a, b, c, d) => S2PolylinesCross(a, b, c, d) })

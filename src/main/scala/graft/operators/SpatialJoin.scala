@@ -836,6 +836,42 @@ object SpatialJoin {
       .drop("__pcell", "__bucket", "__llats", "__llons")
   }
 
+  /** Map-matching snap: each point's NEAREST polyline within `radiusM`
+    * (ties by lowest line id) plus the nearest edge index on that line —
+    * "which road, which segment" for every GPS fix. Points with no line in
+    * range emit nothing (the standard max-snap-radius contract).
+    *
+    * Plan: candidates from [[polylineDistanceJoin]] (covering-cell ∪
+    * neighbor raster equi-join — no cross join, bytes-thin rows), then a
+    * per-point rank-1 window (WindowGroupLimit pre-truncates each map
+    * partition to one row per point before the exchange) and ONE
+    * nearest-edge refinement per matched point after an equi-join back to
+    * the line catalog (AQE broadcasts it when small; a continental road
+    * network shuffles as a plain equi-join on line_id). */
+  def snapToPolylines(points: DataFrame, pointIdCol: String,
+                      latCol: String, lonCol: String,
+                      lines: DataFrame, idCol: String,
+                      latsCol: String, lonsCol: String,
+                      radiusM: Double): DataFrame = {
+    val reserved = Seq("__slats", "__slons", "__rk")
+    val collisions = (points.columns ++ lines.columns).filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"snapToPolylines: reserved column name(s) in input: ${collisions.mkString(", ")}")
+    val cands = polylineDistanceJoin(points, latCol, lonCol,
+      lines, idCol, latsCol, lonsCol, radiusM)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pointIdCol)
+      .orderBy(col("distance_m").asc, col("line_id").asc)
+    cands.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk")
+      .join(lines.select(col(idCol).as("line_id"),
+        col(latsCol).as("__slats"), col(lonsCol).as("__slons")), "line_id")
+      .withColumn("edge_idx",
+        s2_polyline_nearest_edge(col("__slats"), col("__slons"), col(latCol), col(lonCol)))
+      .drop("__slats", "__slons")
+  }
+
   /** [[polygonPipJoin]] for MULTI-LOOP polygons (shells + holes, XOR
     * parity — the reference's `S2Polygon.Contains` semantics,
     * `S2Polygon.cs:944-964`, at table granularity). Identical plan shape;
