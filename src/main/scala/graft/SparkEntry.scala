@@ -1423,6 +1423,13 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(documents(s, dir), "doc_id", "text", Bm25Queries, k = 5)),
 
+    // fastText-shaped multinomial Naive Bayes classifier (closed-form
+    // counts training — nothing iterative or order-dependent): trained on
+    // the lang labels, predicts every doc; argmax-only contract, per-doc
+    // class margins spec-pinned over the gate population
+    "q_nb_classify" -> ((s, dir) =>
+      NaiveBayes.trainPredict(documents(s, dir), "doc_id", "text", "lang")),
+
     // CCNet-style LM perplexity quality filter: bigram model trained ON
     // the corpus, worst-50 documents by avg negative log-likelihood.
     // Ordered-fold float discipline + rank-only contract (the q_bm25
@@ -3295,6 +3302,37 @@ object SparkEntry {
          |  FROM scored) t
          |WHERE rank <= 5""".stripMargin
     },
+
+    // identical NB arithmetic: sparse sorted-token fold of m*ln(cnt+1)
+    // (absent class-token pairs contribute ln(1)=0, so the sparse join IS
+    // the dense model), then score = fold - len*lnz + lnprior assembled in
+    // the same order; argmax with the same (score DESC, label ASC) window
+    "q_nb_classify" ->
+      """WITH tk AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'),
+        |  x -> len(x) > 0) AS toks FROM documents),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tk) u),
+        |doctok AS (SELECT doc_id, t AS token, count(*) AS m
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM tk) x GROUP BY 1, 2),
+        |clstok AS (SELECT lang AS label, t AS token, count(*) AS cnt
+        |  FROM (SELECT lang, unnest(toks) AS t FROM tk) x GROUP BY 1, 2),
+        |clsstats AS (SELECT lang AS label, ln(CAST(count(*) AS DOUBLE)) AS lnprior,
+        |  ln(CAST(CAST(sum(len(toks)) AS BIGINT) + (SELECT v FROM v) AS DOUBLE)) AS lnz
+        |  FROM tk GROUP BY 1),
+        |folds AS (SELECT doc_id, label,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(m AS DOUBLE) * ln(CAST(cnt + 1 AS DOUBLE)) ORDER BY token)),
+        |    (a, b) -> a + b) AS fold
+        |  FROM doctok JOIN clstok USING (token) GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM tk),
+        |scores AS (SELECT lens.doc_id, clsstats.label,
+        |  coalesce(folds.fold, 0.0) - CAST(lens.len AS DOUBLE) * clsstats.lnz
+        |    + clsstats.lnprior AS score
+        |  FROM lens CROSS JOIN clsstats
+        |  LEFT JOIN folds ON folds.doc_id = lens.doc_id AND folds.label = clsstats.label)
+        |SELECT doc_id, label AS pred FROM (
+        |  SELECT doc_id, label, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rk FROM scores) t
+        |WHERE rk = 1""".stripMargin,
 
     // identical bigram model (add-one smoothing, same casts and ln-ratio
     // arithmetic) with the per-doc fold replayed in the same sorted
