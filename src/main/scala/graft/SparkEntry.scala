@@ -552,6 +552,23 @@ object SparkEntry {
         .select("user_id", "event_id", "rnk")
     }),
 
+    // Markov transition matrix of event types per user stream: one lag
+    // window + one count aggregate, integer-exact
+    "q_transitions" -> ((s, dir) =>
+      Sequences.transitionCounts(events(s, dir), "user_id", "ts", "event_type", "event_id")),
+
+    // ordered HIGH-INTENT funnel (view -> click -> purchase among value
+    // >= 100 events, as a SUBSEQUENCE): greedy sorted-list fold per user,
+    // integer-exact, non-degenerate depth spread (27/51/38/34 at sf0.01);
+    // the oracle uses the INDEPENDENT iterated min-after formulation —
+    // two different algorithms, same provable answer. SequencesSpec pins
+    // the greedy==min-after equivalence and the no-per-user-ts-tie
+    // precondition that aligns the orderings
+    "q_funnel" -> ((s, dir) =>
+      Sequences.funnelDepths(events(s, dir).where(col("value") >= 100.0),
+        "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click", "purchase"))),
+
     // --- as-of join: each purchase matched to the user's latest click at
     // or before it (ties by event_id, no-match -> -1) ---
     "q_asof_join" -> ((s, dir) => {
@@ -2385,6 +2402,33 @@ object SparkEntry {
         | SELECT user_id, event_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
         | FROM events) t WHERE rnk <= 2""".stripMargin,
+
+    "q_transitions" ->
+      """SELECT prev_type, next_type, count(*) AS n FROM (
+        | SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  event_type AS next_type FROM events) t
+        |WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // iterated min-after step times (the greedy-equivalent formulation):
+    // t1 = first view, t2 = first click after t1, t3 = first purchase
+    // after t2; depth from which steps landed. Strict ts inequalities are
+    // safe because no user has two events at the same timestamp
+    // (spec-pinned)
+    "q_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE value >= 100.0),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM ev GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+        |    THEN e.ts END) AS t2
+        |  FROM ev e JOIN s1 USING (user_id) GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+        |    THEN e.ts END) AS t3
+        |  FROM ev e JOIN s2 USING (user_id) GROUP BY 1),
+        |d AS (SELECT s1.user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
+        |SELECT depth, count(*) AS n_keys FROM d GROUP BY 1""".stripMargin,
 
     "q_asof_join" ->
       """SELECT l.event_id, COALESCE((

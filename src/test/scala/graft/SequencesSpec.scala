@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sequences
+
+/** Event-sequence analytics vs driver-side brute force, the greedy ==
+  * iterated-min-after equivalence the q_funnel oracle relies on, and the
+  * no-ts-tie precondition aligning the two orderings. */
+class SequencesSpec extends SparkTestBase {
+
+  private val steps = Seq("view", "click", "purchase")
+
+  /** (user, ts-as-epoch-micros, event_id, type) — micros preserve the
+    * sub-second ordering the engine sorts on. */
+  private def collected(sfName: String): Array[(Long, Long, Long, String)] =
+    spark.read.parquet(s"${sf(sfName)}/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map { r =>
+        val t = r.getAs[java.time.LocalDateTime](1)
+        val micros = t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+        (r.getLong(0), micros, r.getLong(2), r.getString(3))
+      }
+
+  test("transitionCounts equals brute-force adjacent pairs (sf0.001)") {
+    val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val got = Sequences.transitionCounts(events, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = collected("sf0.001").groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    assert(got === want)
+    assert(want.values.sum > 0)
+  }
+
+  test("funnelDepths: greedy fold == brute greedy == iterated min-after (sf0.001)") {
+    val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val got = Sequences.funnelDepths(events, "user_id", "ts", "event_type", "event_id", steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val byUser = collected("sf0.001").groupBy(_._1)
+    val greedy = byUser.view.mapValues { g =>
+      val sorted = g.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.foldLeft(0)((acc, t) =>
+        if (acc < steps.size && t == steps(acc)) acc + 1 else acc)
+    }.toMap
+    // the oracle's independent formulation: iterated earliest-after
+    val minAfter = byUser.view.mapValues { g =>
+      var depth = 0
+      var after = Long.MinValue
+      var done = false
+      for (s <- steps if !done) {
+        val hit = g.filter(e => e._4 == s && e._2 > after)
+          .map(_._2).sorted.headOption
+        hit match {
+          case Some(t) => depth += 1; after = t
+          case None => done = true
+        }
+      }
+      depth
+    }.toMap
+    assert(greedy === minAfter, "greedy subsequence != iterated min-after")
+    val want = greedy.values.groupBy(identity).map { case (d, o) => d -> o.size.toLong }
+    assert(got === want)
+    assert(got.values.sum === byUser.size.toLong, "funnel must cover every user")
+  }
+
+  test("oracle precondition: no user has two events at the same timestamp (sf0.01)") {
+    val dups = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+      .groupBy("user_id", "ts").count().where(col("count") > 1).count()
+    assert(dups === 0L, s"$dups (user, ts) collisions — strict-inequality oracle unsafe")
+  }
+}
