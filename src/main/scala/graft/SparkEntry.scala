@@ -552,6 +552,12 @@ object SparkEntry {
         .select("user_id", "event_id", "rnk")
     }),
 
+    // cohort retention triangle: users grouped by first-activity day,
+    // distinct-active counted per (cohort, day offset) — dates and counts
+    // only, integer-exact
+    "q_retention" -> ((s, dir) =>
+      Sequences.cohortRetention(events(s, dir), "user_id", "ts")),
+
     // Markov transition matrix of event types per user stream: one lag
     // window + one count aggregate, integer-exact
     "q_transitions" -> ((s, dir) =>
@@ -2402,6 +2408,14 @@ object SparkEntry {
         | SELECT user_id, event_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
         | FROM events) t WHERE rnk <= 2""".stripMargin,
+
+    "q_retention" ->
+      """WITH cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |  FROM events GROUP BY 1),
+        |activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events)
+        |SELECT cohort_date, CAST(date_diff('day', cohort_date, active_date) AS INTEGER) AS offset_days,
+        |  count(DISTINCT user_id) AS n_keys
+        |FROM activity JOIN cohorts USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "q_transitions" ->
       """SELECT prev_type, next_type, count(*) AS n FROM (

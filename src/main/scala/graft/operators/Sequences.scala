@@ -54,4 +54,26 @@ object Sequences {
             .otherwise(acc)))
     perKey.groupBy("depth").agg(count(lit(1)).as("n_keys"))
   }
+
+  /** Cohort retention: keys grouped by their FIRST-activity day, counted
+    * distinct-active per (cohort_date, day offset). Returns (cohort_date,
+    * offset_days, n_keys) — the classic retention triangle, all dates and
+    * counts (integer-exact).
+    *
+    * Shape: the cohort table is one partial-aggregated min per key; the
+    * activity table one distinct per (key, day); the join is an equi-join
+    * on the key (the cohort side is exactly one row per key — broadcast
+    * when it fits, plain shuffle otherwise) and the final rollup a
+    * partial+final count-distinct. Nothing is ever per-event after the
+    * first two aggregates. */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val cohorts = events.groupBy(keyCol)
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    val activity = events
+      .select(col(keyCol), to_date(col(tsCol)).as("active_date")).distinct()
+    activity.join(cohorts, keyCol)
+      .withColumn("offset_days", datediff(col("active_date"), col("cohort_date")))
+      .groupBy("cohort_date", "offset_days")
+      .agg(count_distinct(col(keyCol)).as("n_keys"))
+  }
 }

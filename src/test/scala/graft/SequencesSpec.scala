@@ -66,6 +66,23 @@ class SequencesSpec extends SparkTestBase {
     assert(got.values.sum === byUser.size.toLong, "funnel must cover every user")
   }
 
+  test("cohortRetention equals brute-force first-day cohorts (sf0.001)") {
+    val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val got = Sequences.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    val byUser = collected("sf0.001").groupBy(_._1)
+    val dayOf = (micros: Long) => micros / 86400000000L
+    val want = byUser.toSeq.flatMap { case (u, g) =>
+      val cohort = g.map(e => dayOf(e._2)).min
+      g.map(e => dayOf(e._2)).distinct.map(d => (u, cohort, (d - cohort).toInt))
+    }.groupBy { case (_, c, o) => (c, o) }
+      .map { case ((c, o), rows) =>
+        (java.time.LocalDate.ofEpochDay(c).toString, o) -> rows.map(_._1).distinct.size.toLong
+      }
+    assert(got === want)
+    assert(got.keys.map(_._2).max > 10, "retention triangle degenerate (no late offsets)")
+  }
+
   test("oracle precondition: no user has two events at the same timestamp (sf0.01)") {
     val dups = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
       .groupBy("user_id", "ts").count().where(col("count") > 1).count()
