@@ -1446,6 +1446,23 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(documents(s, dir), "doc_id", "text", Bm25Queries, k = 5)),
 
+    // context-window chunking (50 tokens, overlap 10): array transform +
+    // explode inside the scan, no UDF, text never shuffles; integer
+    // boundaries and space-rejoined slices are mirrored exactly in SQL
+    "q_chunks" -> ((s, dir) =>
+      Curation.chunkDocs(documents(s, dir).select("doc_id", "text"), "text",
+          maxTokens = 50, overlap = 10)
+        .select("doc_id", "chunk_idx", "n_tokens", "chunk")),
+
+    // deterministic quality-weighted importance sampling: keep iff
+    // idHash(id) < P * w div w_max — pure int64, reproducible, no RNG
+    "q_importance_sample" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val wMax = docs.agg(max("n_chars")).head().getLong(0)
+      Curation.importanceSample(docs, "doc_id", "n_chars", wMax)
+        .select("doc_id", "n_chars")
+    }),
+
     // fastText-shaped multinomial Naive Bayes classifier (closed-form
     // counts training — nothing iterative or order-dependent): trained on
     // the lang labels, predicts every doc; argmax-only contract, per-doc
@@ -3359,6 +3376,25 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
          |  FROM scored) t
          |WHERE rank <= 5""".stripMargin
+    },
+
+    // identical slice boundaries (1-based inclusive list slicing == Spark
+    // slice(arr, i+1, max)), same single-space rejoin
+    "q_chunks" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |  x -> len(x) > 0) AS toks FROM documents)
+        |SELECT doc_id, CAST(i // 40 AS INTEGER) AS chunk_idx,
+        | CAST(least(50, len(toks) - i) AS INTEGER) AS n_tokens,
+        | array_to_string(toks[i + 1 : i + 50], ' ') AS chunk
+        |FROM tk, UNNEST(range(0, CAST(len(toks) AS BIGINT), 40)) AS r(i)
+        |WHERE len(toks) >= 1""".stripMargin,
+
+    // the same affine hash and integer threshold, literally
+    "q_importance_sample" -> {
+      val (p, a) = (Dedup.HashP, Curation.HashA)
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ((doc_id % $p) * $a) % $p
+         |  < ($p * n_chars) // (SELECT max(n_chars) FROM documents)""".stripMargin
     },
 
     // identical NB arithmetic: sparse sorted-token fold of m*ln(cnt+1)

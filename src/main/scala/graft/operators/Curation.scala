@@ -150,4 +150,51 @@ object Curation {
         expr(s"(__cum - $tokenCol) div CAST($budgetTokens AS BIGINT)"))
       .drop("__cum")
   }
+
+  /** Fixed-token-budget document chunking with overlap — the context-window
+    * preprocessing step every training pipeline runs on long documents.
+    * Whitespace tokens; chunk starts advance by `maxTokens - overlap`;
+    * each chunk is its token slice rejoined with single spaces (the
+    * normalized form a tokenizer consumes). Tail chunks may be shorter;
+    * empty documents emit nothing. Runs entirely inside the scan stage
+    * (array transform + explode, codegen'd — no UDF, text never shuffles).
+    * Returns the doc columns sans `textCol` plus (chunk_idx, n_tokens,
+    * chunk). */
+  def chunkDocs(docs: DataFrame, textCol: String,
+                maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens: maxTokens=$maxTokens overlap=$overlap")
+    val stride = maxTokens - overlap
+    val reserved = Seq("__toks", "__c")
+    require(!docs.columns.exists(reserved.contains),
+      s"chunkDocs: reserved column name in input")
+    docs
+      .withColumn("__toks", filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+      .where(size(col("__toks")) >= 1)
+      .withColumn("__c", explode(transform(
+        sequence(lit(0), size(col("__toks")) - 1, lit(stride)),
+        i => struct(
+          (i / stride).cast("int").as("chunk_idx"),
+          least(lit(maxTokens), size(col("__toks")) - i).cast("int").as("n_tokens"),
+          array_join(slice(col("__toks"), i + 1, lit(maxTokens)), " ").as("chunk")))))
+      .select(docs.columns.filterNot(_ == textCol).map(col) :+
+        col("__c.chunk_idx") :+ col("__c.n_tokens") :+ col("__c.chunk"): _*)
+  }
+
+  /** Deterministic importance sampling: keep a row with probability
+    * `weightCol / max(weightCol)` (integer weights), decided by the shared
+    * affine id hash — keep iff idHash(id) < (P * w) div w_max, ALL integer
+    * arithmetic, so the sample is exactly reproducible, stable under
+    * corpus growth of lighter rows, and mirrored literally by the SQL
+    * oracle. The quality-weighted data-selection step (heavier = likelier
+    * kept), with none of the RNG-state nondeterminism of `sample()`.
+    * `wMax` is the corpus max (one tiny aggregate, snapshot metadata). */
+  def importanceSample(df: DataFrame, idCol: String, weightCol: String,
+                       wMax: Long): DataFrame = {
+    require(wMax > 0, s"wMax must be positive: $wMax")
+    // `div`, not `/`: Spark's Column `/` is double division — the
+    // threshold must stay in exact int64 like the oracle's `//`
+    df.where(idHash(col(idCol)) <
+      expr(s"(${Dedup.HashP}L * CAST($weightCol AS BIGINT)) div ${wMax}L"))
+  }
 }

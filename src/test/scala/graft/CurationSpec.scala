@@ -105,4 +105,54 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(packed.forall { case (id, _, _, b) => again(id) == b })
   }
+
+  test("chunkDocs reproduces brute-force token slices with overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 123).map(i => s"t$i").mkString(" ")), // 123 tokens
+      (2L, "alpha  beta\tgamma"),                      // messy separators
+      (3L, "solo"),
+      (4L, ""), (5L, "   ")                            // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocs(docs, "text", maxTokens = 50, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    val want = Seq((1L, "1to123"), (2L, "abc"), (3L, "s")).flatMap {
+      case (id, _) =>
+        val toks = id match {
+          case 1L => (1 to 123).map(i => s"t$i")
+          case 2L => Seq("alpha", "beta", "gamma")
+          case _ => Seq("solo")
+        }
+        (0 until toks.size by 40).map { i =>
+          (id, i / 40, math.min(50, toks.size - i),
+            toks.slice(i, i + 50).mkString(" "))
+        }
+    }
+    assert(got.toSeq === want)
+    // coverage invariant: the chunk windows [40*idx, 40*idx + n_tokens)
+    // jointly cover every token position of doc 1 exactly
+    val covered = got.filter(_._1 == 1L)
+      .flatMap { case (_, idx, n, _) => (40 * idx) until (40 * idx + n) }.toSet
+    assert(covered === (0 until 123).toSet)
+  }
+
+  test("importanceSample keeps exactly the integer-threshold rows, monotone in weight") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i, 1L + i % 400)).toDF("doc_id", "w")
+    val wMax = 400L
+    val kept = Curation.importanceSample(df, "doc_id", "w", wMax)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p = graft.operators.Dedup.HashP
+    val a = 2654435761L
+    val want = (0L until 5000L).map(i => i -> (1L + i % 400))
+      .filter { case (i, w) => ((i % p) * a) % p < (p * w) / wMax }.toMap
+    assert(kept === want)
+    // max-weight rows are always kept; rates grow with weight
+    assert(want.nonEmpty)
+    val rateLow = want.count(_._2 <= 100).toDouble / 5000 * 4
+    val rateHigh = want.count(_._2 > 300).toDouble / 5000 * 4
+    assert(rateHigh > rateLow * 2,
+      f"sampling not monotone in weight: high $rateHigh%.3f vs low $rateLow%.3f")
+  }
 }
