@@ -552,6 +552,14 @@ object SparkEntry {
         .select("user_id", "event_id", "rnk")
     }),
 
+    // conversion-window funnel (view -> click -> purchase, every later
+    // step within 12 h of SOME view anchor, steps ordered): per-step
+    // interval-shaped joins + per-anchor min aggregates, depth = max over
+    // anchors; 14/100/36 spread at sf0.01. Integer/timestamp-exact
+    "q_funnel_windowed" -> ((s, dir) =>
+      Sequences.windowedFunnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 43200L)),
+
     // cohort retention triangle: users grouped by first-activity day,
     // distinct-active counted per (cohort, day offset) — dates and counts
     // only, integer-exact
@@ -1947,6 +1955,25 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    // SSIM pixel-verify stage over a candidate-pair table: every 40th key
+    // pairs with its corner-patched copy (true near-dup, SSIM ~1), every
+    // (40k+20)th with its NEIGHBOR key's unrelated raster (decoy, SSIM ~0).
+    // The 0.8 gate keeps exactly the planted copies; ImageSsimSpec pins
+    // the two-sided margin that makes the planted rule the exact answer
+    "q_image_ssim" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val src = images.select(col("p_partkey").as("id_a"), col("bytes").as("__ba"))
+      val trueB = ImagePayload.withPatch(images.where(col("p_partkey") % 40 === 0), 2, 2, 1)
+        .select(col("p_partkey").as("id_a"),
+          (col("p_partkey") + 100000000L).as("id_b"), col("bytes").as("__bb"))
+      val decoyB = images.select((col("p_partkey") - 1).as("id_a"),
+          (col("p_partkey") + 200000000L).as("id_b"), col("bytes").as("__bb"))
+        .where(pmod(col("id_a"), lit(40)) === 20)
+      ImagePayload.ssimGate(
+          src.join(trueB.unionByName(decoyB), "id_a"), "__ba", "__bb", tau = 0.8)
+        .select("id_a", "id_b")
+    }),
+
     // GEO-constrained image near-dup: patched near-copies planted AT their
     // source's location must pair; byte-identical copies relocated to the
     // ANTIPODE (dhash hamming 0 but 180 deg away — level-6 cells are
@@ -2425,6 +2452,22 @@ object SparkEntry {
         | SELECT user_id, event_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
         | FROM events) t WHERE rnk <= 2""".stripMargin,
+
+    // the same per-anchor min-after-within-window formulation
+    "q_funnel_windowed" ->
+      """WITH a AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
+        |d2 AS (SELECT a.user_id, a.t1, min(e.ts) AS t2 FROM a JOIN events e
+        |  ON e.user_id = a.user_id AND e.event_type = 'click'
+        |  AND e.ts > a.t1 AND e.ts <= a.t1 + INTERVAL 43200 SECOND GROUP BY 1, 2),
+        |d3 AS (SELECT d2.user_id, d2.t1, min(e.ts) AS t3 FROM d2 JOIN events e
+        |  ON e.user_id = d2.user_id AND e.event_type = 'purchase'
+        |  AND e.ts > d2.t2 AND e.ts <= d2.t1 + INTERVAL 43200 SECOND GROUP BY 1, 2),
+        |depth AS (SELECT u.user_id,
+        |  CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+        |       WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+        |       WHEN u.user_id IN (SELECT user_id FROM a) THEN 1 ELSE 0 END AS depth
+        |  FROM (SELECT DISTINCT user_id FROM events) u)
+        |SELECT depth, count(*) AS n_keys FROM depth GROUP BY 1""".stripMargin,
 
     "q_retention" ->
       """WITH cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
@@ -4019,6 +4062,12 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN p_partkey % 33 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
          |FROM labeled GROUP BY 1""".stripMargin
     },
+
+    // the gate keeps exactly the true planted pairs (two-sided SSIM margin
+    // spec-pinned over the full population)
+    "q_image_ssim" ->
+      """SELECT p_partkey AS id_a, p_partkey + 100000000 AS id_b
+        |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
 
     // exact: the engine must recover precisely the planted patched copies
     // (no natural pair exists within hamming 3 — spec-asserted over the

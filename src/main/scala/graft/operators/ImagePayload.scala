@@ -521,4 +521,53 @@ object ImagePayload {
         col("caption") === concat(lit("caption of "), col("image_id"),
           lit(" at "), col("lat"), lit(","), col("lon")))
   }
+
+  /** Global (single-window) SSIM between two images on BT.601 luma — the
+    * structural-similarity verification metric pair-candidate pipelines
+    * run AFTER cheap hash blocking: near-dups score ~1, unrelated rasters
+    * near 0. Standard constants C1=(0.01*255)^2, C2=(0.03*255)^2; biased
+    * (1/N) moments. None when either side is undecodable or dimensions
+    * differ. */
+  def ssim(a: Array[Byte], b: Array[Byte]): Option[Double] = {
+    val ia = ImageIO.read(new ByteArrayInputStream(a))
+    val ib = ImageIO.read(new ByteArrayInputStream(b))
+    if (ia == null || ib == null) return None
+    if (ia.getWidth != ib.getWidth || ia.getHeight != ib.getHeight) return None
+    val n = ia.getWidth * ia.getHeight
+    def lum(img: BufferedImage, x: Int, y: Int): Double = {
+      val rgb = img.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+    }
+    var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+    var y = 0
+    while (y < ia.getHeight) {
+      var x = 0
+      while (x < ia.getWidth) {
+        val lx = lum(ia, x, y); val ly = lum(ib, x, y)
+        sx += lx; sy += ly; sxx += lx * lx; syy += ly * ly; sxy += lx * ly
+        x += 1
+      }
+      y += 1
+    }
+    val mx = sx / n; val my = sy / n
+    val vx = sxx / n - mx * mx; val vy = syy / n - my * my
+    val cov = sxy / n - mx * my
+    val c1 = math.pow(0.01 * 255, 2); val c2 = math.pow(0.03 * 255, 2)
+    Some(((2 * mx * my + c1) * (2 * cov + c2)) /
+      ((mx * mx + my * my + c1) * (vx + vy + c2)))
+  }
+
+  private val ssimUdf = udf((a: Array[Byte], b: Array[Byte]) => ssim(a, b))
+
+  /** SSIM verification gate over a CANDIDATE-PAIR table carrying both byte
+    * columns: keeps pairs with ssim >= `tau` (undecodable/mismatched ->
+    * dropped). One decode of each side per pair, single UDF call. At scale
+    * the bytes shuffle is candidate-width (post-blocking), never
+    * corpus-width — the verify stage of a two-phase hash-block ->
+    * pixel-verify dedup. */
+  def ssimGate(pairs: DataFrame, bytesACol: String, bytesBCol: String,
+               tau: Double): DataFrame =
+    pairs.withColumn("__ssim", ssimUdf(col(bytesACol), col(bytesBCol)))
+      .where(col("__ssim").isNotNull && col("__ssim") >= tau)
+      .drop("__ssim")
 }

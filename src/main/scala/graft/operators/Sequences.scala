@@ -55,6 +55,52 @@ object Sequences {
     perKey.groupBy("depth").agg(count(lit(1)).as("n_keys"))
   }
 
+  /** CONVERSION-WINDOW funnel: depth reached through `steps` where every
+    * later step must land in `(anchor, anchor + windowSec]` of SOME
+    * first-step occurrence (the anchor), and steps stay ordered — the
+    * product-analytics semantics ("converted within 12 h of a view").
+    * Greedy-earliest matching within a fixed window is optimal, and a
+    * later anchor can succeed where the first fails, so depth is the max
+    * over anchors. Returns (depth, n_keys) over ALL keys.
+    *
+    * Shape: one equi-join on the key per step, each with range predicates
+    * (the interval-join shape) and an immediate (key, anchor) min
+    * aggregate — candidate fan is per-anchor events inside the window,
+    * never a cross join. The SQL oracle replays this same formulation;
+    * SequencesSpec cross-checks it against an independent per-anchor
+    * driver-side brute force. */
+  def windowedFunnel(events: DataFrame, keyCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String],
+                     windowSec: Long): DataFrame = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      s"need >= 2 distinct steps: $steps")
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val ev = events.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      col(typeCol).as("__t"))
+    val allKeys = ev.select(col("__k")).distinct()
+    val anchors = ev.where(col("__t") === steps.head)
+      .select(col("__k"), col("__ts").as("__t1"))
+    val deadline = col("__t1") + expr(s"INTERVAL $windowSec SECOND")
+
+    var cur = anchors.withColumn("__prev", col("__t1"))
+    var reached = anchors.select(col("__k")).distinct()
+      .withColumn("depth", lit(1))
+    for ((st, i) <- steps.drop(1).zipWithIndex) {
+      val nxt = ev.where(col("__t") === st)
+        .select(col("__k").as("__k2"), col("__ts").as("__ts2"))
+      cur = cur.join(nxt, col("__k") === col("__k2") &&
+          col("__ts2") > col("__prev") && col("__ts2") <= deadline)
+        .groupBy(col("__k"), col("__t1"))
+        .agg(min(col("__ts2")).as("__prev"))
+      reached = reached.unionByName(
+        cur.select(col("__k")).distinct().withColumn("depth", lit(i + 2)))
+    }
+    val perKey = allKeys.join(
+        reached.groupBy("__k").agg(max("depth").as("depth")), Seq("__k"), "left")
+      .withColumn("depth", coalesce(col("depth"), lit(0)))
+    perKey.groupBy("depth").agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Cohort retention: keys grouped by their FIRST-activity day, counted
     * distinct-active per (cohort_date, day offset). Returns (cohort_date,
     * offset_days, n_keys) — the classic retention triangle, all dates and

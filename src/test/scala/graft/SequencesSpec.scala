@@ -66,6 +66,36 @@ class SequencesSpec extends SparkTestBase {
     assert(got.values.sum === byUser.size.toLong, "funnel must cover every user")
   }
 
+  test("windowedFunnel equals per-anchor brute force (sf0.001 and sf0.01)") {
+    val wSec = 43200L
+    for (sfName <- Seq("sf0.001", "sf0.01")) {
+      val events = spark.read.parquet(s"${sf(sfName)}/events.parquet")
+      val got = Sequences.windowedFunnel(events, "user_id", "ts", "event_type", steps, wSec)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val byUser = collected(sfName).groupBy(_._1)
+      val want = byUser.view.mapValues { g =>
+        val anchors = g.filter(_._4 == steps.head).map(_._2)
+        if (anchors.isEmpty) 0
+        else anchors.map { a =>
+          var depth = 1
+          var prev = a
+          var done = false
+          for (s <- steps.drop(1) if !done) {
+            g.filter(e => e._4 == s && e._2 > prev && e._2 <= a + wSec * 1000000L)
+              .map(_._2).sorted.headOption match {
+              case Some(t) => depth += 1; prev = t
+              case None => done = true
+            }
+          }
+          depth
+        }.max
+      }.toMap.values.groupBy(identity).map { case (d, o) => d -> o.size.toLong }
+      assert(got === want, s"$sfName diverged")
+      if (sfName == "sf0.01")
+        assert(got.size >= 3, s"$sfName: degenerate windowed-funnel spread $got")
+    }
+  }
+
   test("cohortRetention equals brute-force first-day cohorts (sf0.001)") {
     val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
     val got = Sequences.cohortRetention(events, "user_id", "ts")
