@@ -2253,6 +2253,42 @@ object SparkEntry {
       acc.toSeq.toDF("id_a", "id_b")
     }),
 
+    // STREAMING video near-dedup vs the growing frame-signature store:
+    // two MemoryStream batches of patched re-posts (+10^9, then +2*10^9)
+    // probe the corpus store and each other — batch1-source pairs at
+    // batch 1, batch2-source AND batch2-batch1 pairs at batch 2 (the
+    // second only findable through the store fold). Exact planted oracle
+    "q_stream_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val keys = part(s, dir).select("p_partkey")
+      val corpus = VideoPayload.synthesize(keys, "p_partkey")
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_viddedup").toString
+      graft.streaming.StreamingVideoDedup.initStore(s, storeDir, corpus, "p_partkey")
+      def reposts(offset: Long): Array[(Long, Array[Byte])] =
+        VideoPayload.synthesizeReposts(keys, "p_partkey", idOffset = offset)
+          .where(col("p_partkey") >= offset)
+          .select(col("p_partkey"), col("bytes"))
+          .as[(Long, Array[Byte])].collect()
+      val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = graft.streaming.StreamingVideoDedup.nearDupStream(
+        input.toDF().toDF("p_partkey", "bytes"), storeDir, "p_partkey",
+        (pairs, _) => acc.synchronized {
+          acc ++= pairs.select("id_a", "id_b", "shared").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        })
+      try {
+        input.addData(reposts(1000000000L).toSeq)
+        q.processAllAvailable()
+        input.addData(reposts(2000000000L).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      acc.toSeq.toDF("id_a", "id_b", "shared")
+    }),
+
     // STREAMING corpus dedup: the %10==0 docs arrive over a real 2-batch
     // MemoryStream; each micro-batch probes the persisted signature store
     // and is folded in, so the accumulated pair stream must equal the
@@ -4030,6 +4066,18 @@ object SparkEntry {
         | CAST((2 + p_partkey % 4) // 2 + 1 AS INTEGER) AS n_sampled,
         | (p_partkey % 33 <> 0 OR (p_partkey % 4) % 2 <> 0) AS sampled_ok
         |FROM part""".stripMargin,
+
+    // the accumulated pair stream is exactly the three planted relations
+    // per decodable re-posted key, each with shared = n_sampled(source)
+    "q_stream_video_dedup" ->
+      """WITH k AS (SELECT p_partkey AS src,
+        |  CAST((2 + p_partkey % 4) // 2 + 1 AS BIGINT) AS shared
+        | FROM part WHERE p_partkey % 25 = 0 AND p_partkey % 33 <> 0)
+        |SELECT src AS id_a, src + 1000000000 AS id_b, shared FROM k
+        |UNION ALL
+        |SELECT src AS id_a, src + 2000000000 AS id_b, shared FROM k
+        |UNION ALL
+        |SELECT src + 1000000000 AS id_a, src + 2000000000 AS id_b, shared FROM k""".stripMargin,
 
     // the planted re-post set IS the exact answer (VideoPayloadSpec pins
     // the no-natural-collision precondition); shared = n_sampled of the

@@ -341,11 +341,40 @@ object VideoPayload {
       .where(col("dhash").isNotNull)
       .select(col(idCol).as("__vid"), col("frame_idx").as("band"), col("dhash").as("bucket"))
       .localCheckpoint()
-    val capped = Dedup.capBuckets(sigs, maxBucketSize, "videodup", "__vid")
+    sigSelfPairs(sigs, minShared, maxBucketSize, "videodup")
+  }
+
+  /** Self-pairs over a (__vid, band, bucket) signature table: shared
+    * same-position fingerprint counts >= minShared. */
+  private[graft] def sigSelfPairs(sigs: DataFrame, minShared: Int,
+                                  maxBucketSize: Int, stage: String): DataFrame = {
+    val capped = Dedup.capBuckets(sigs, maxBucketSize, stage, "__vid")
     val a = capped.select(col("band"), col("bucket"), col("__vid").as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col("__vid").as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
+  /** Asymmetric probe: batch signatures vs a stored corpus signature
+    * table (both in (__vid, band, bucket) form) — the store is never
+    * self-paired. Returns (id_a, id_b, shared) with ids normalized
+    * (least, greatest). */
+  private[graft] def sigProbe(stored: DataFrame, batch: DataFrame, minShared: Int,
+                              maxBucketSize: Int, stage: String): DataFrame = {
+    val capped = Dedup.capBuckets(
+      stored.withColumn("__side", lit("s")).unionByName(
+        batch.withColumn("__side", lit("b"))),
+      maxBucketSize, stage, "__vid")
+    val s = capped.where(col("__side") === "s")
+      .select(col("band"), col("bucket"), col("__vid").as("__sid"))
+    val b = capped.where(col("__side") === "b")
+      .select(col("band"), col("bucket"), col("__vid").as("__bid"))
+    s.join(b, Seq("band", "bucket"))
+      .where(col("__sid") =!= col("__bid"))
+      .select(least(col("__sid"), col("__bid")).as("id_a"),
+        greatest(col("__sid"), col("__bid")).as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }
