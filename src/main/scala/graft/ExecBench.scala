@@ -119,6 +119,33 @@ object ExecBench {
       Trajectories.headings(trk.toDF(), "user_id", "ts", "id", "lat", "lon")
         .agg(sum("bearing_deg"), sum("turn_deg")).collect(); 100000000L
     }
+    // wave 16-22 additions at the same scale: snap is the polyline join +
+    // a rank-1 window; the behavior ops are one key-shuffle each; the
+    // curation ops are pure scan-stage maps/filters
+    import graft.operators.Sequences
+    def evs = trk.withColumn("event_type",
+      element_at(array(lit("view"), lit("click"), lit("purchase"),
+        lit("signup"), lit("error")), (pmod(col("id") * 7919L, lit(5)) + 1).cast("int")))
+    t("snapToPolylines 25") {
+      SpatialJoin.snapToPolylines(pts.toDF(), "id", "lat", "lon",
+        lineDf, "line_id", "lats", "lons", SparkEntry.PolylineJoinRadiusM).count()
+    }
+    t("transitions 1M ent") {
+      Sequences.transitionCounts(evs.toDF(), "user_id", "ts", "event_type", "id").count()
+      100000000L
+    }
+    t("funnel fold 1M ent") {
+      Sequences.funnelDepths(evs.toDF(), "user_id", "ts", "event_type", "id",
+        Seq("view", "click", "purchase")).count(); 100000000L
+    }
+    t("retention 1M ents ") {
+      Sequences.cohortRetention(evs.toDF(), "user_id", "ts").count(); 100000000L
+    }
+    t("importanceSample  ") {
+      Curation.importanceSample(
+        pts.withColumn("w", pmod(col("id"), lit(400L)) + 1L).toDF(), "id", "w", 400L)
+        .count(); 100000000L
+    }
     spark.stop()
   }
 }
