@@ -48,25 +48,28 @@ object NaiveBayes {
     * Empty documents score on priors + lengths alone (fold 0). */
   def trainPredict(docs: DataFrame, idCol: String, textCol: String,
                    labelCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
-      tokens(col(textCol)).as("toks"))
-
-    // vocabulary size: one tiny distinct-count job (snapshot metadata)
-    val v = base.select(explode(col("toks")).as("t"))
-      .agg(count_distinct(col("t"))).head().getLong(0)
-
-    val docTok = base
-      .select(col("doc_id"), explode(col("toks")).as("token"))
+    // ONE tokenization pass, materialized (the decode-once discipline):
+    // every downstream consumer — vocabulary, class counts, doc lengths,
+    // scoring — derives from this table or the thin (id, label) scan
+    val docTok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    // thin column-pruned scan: ids + labels only, no text
+    val labels = docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"))
 
-    // class model: per-class token counts + per-class totals and priors
-    val clsTok = base
-      .select(col("label"), explode(col("toks")).as("token"))
-      .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
-    val clsStats = base.groupBy("label")
-      .agg(count(lit(1)).as("n_c"), sum(size(col("toks"))).as("tot_c"))
+    // vocabulary size: one tiny distinct-count of the materialized table
+    // (zero-token docs contribute no tokens by definition)
+    val v = docTok.agg(count_distinct(col("token"))).head().getLong(0)
+
+    // class model: exact long re-aggregations of the per-doc table
+    val clsTok = docTok.join(labels, "doc_id")
+      .groupBy("label", "token").agg(sum("m").as("cnt"))
+    val clsStats = labels.groupBy("label").agg(count(lit(1)).as("n_c"))
+      .join(clsTok.groupBy("label").agg(sum("cnt").as("tot_c")), Seq("label"), "left")
       .withColumn("lnprior", log(col("n_c").cast("double")))
-      .withColumn("lnz", log((col("tot_c") + lit(v)).cast("double")))
+      .withColumn("lnz", log((coalesce(col("tot_c"), lit(0L)) + lit(v)).cast("double")))
       .select("label", "lnprior", "lnz")
 
     // sparse per-(doc, class) fold of m * ln(cnt + 1) in sorted token order
@@ -79,8 +82,10 @@ object NaiveBayes {
       .select("doc_id", "label", "fold")
 
     // dense (doc x class) frame: fan the doc lengths out by the tiny
-    // class list, left-join the sparse folds
-    val lens = base.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
+    // class list, left-join the sparse folds; zero-token docs keep len 0
+    val lens = labels.select("doc_id")
+      .join(docTok.groupBy("doc_id").agg(sum("m").as("len")), Seq("doc_id"), "left")
+      .withColumn("len", coalesce(col("len"), lit(0L)))
     val scores = lens
       .crossJoin(broadcast(clsStats))
       .join(folds, Seq("doc_id", "label"), "left")
