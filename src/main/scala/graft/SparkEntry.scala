@@ -91,7 +91,7 @@ object SparkEntry {
       s"(($acc) * 131 + ascii(substr($strExpr, $i, 1))) % ${Dedup.HashP}"
     }
 
-  private def orders(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def orders(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/orders.parquet")
 
   private[graft] def points(spark: SparkSession, dir: String): DataFrame =
@@ -931,6 +931,21 @@ object SparkEntry {
     "q_zxy_tiles" -> ((s, dir) =>
       Tiling.zxyAssign(points(s, dir), "lat", "lon", 6)
         .groupBy("zx", "zy", "quadkey").agg(count(lit(1)).as("n"))),
+
+    // spatial change detection between snapshot A (all orders) and
+    // snapshot B (a third deleted, every 5th re-inserted elsewhere):
+    // per-tile count diff at zoom 6, changed tiles only. Two partial
+    // aggregates + a tile-bounded full-outer join; integer-exact under
+    // the pinned zxy floor margin
+    "q_tile_diff" -> ((s, dir) => {
+      val before = points(s, dir)
+      val after = points(s, dir).where(col("o_orderkey") % 3 =!= 0)
+        .unionByName(orders(s, dir).where(col("o_orderkey") % 5 === 0)
+          .withColumn("lat", expr(latSqlFor("(o_orderkey * 7 + 3)")))
+          .withColumn("lon", expr(lonSqlFor("(o_orderkey * 7 + 3)"))))
+      Tiling.tileChangeCounts(before.select("lat", "lon"), after.select("lat", "lon"),
+        "lat", "lon", 6)
+    }),
 
     // 3x3 neighborhood rollup on the zoom-6 mercator grid (the heatmap
     // convolution): per occupied tile, own count + 9-tile total with
@@ -2827,6 +2842,31 @@ object SparkEntry {
          | FROM c)
          |SELECT zx, zy, $quadkey AS quadkey, count(*) AS n FROM t GROUP BY 1, 2, 3""".stripMargin
     },
+
+    // the same zoom-6 arithmetic per snapshot CTE, then a COALESCE'd
+    // full-outer count diff — the engine's full_outer join replayed as a
+    // two-sided aggregate over the unioned labeled counts
+    "q_tile_diff" ->
+      s"""WITH a AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders),
+         |b AS (SELECT $LatSql AS lat, $LonSql AS lon FROM orders WHERE o_orderkey % 3 <> 0
+         |  UNION ALL
+         |  SELECT ${latSqlFor("(o_orderkey * 7 + 3)")} AS lat,
+         |    ${lonSqlFor("(o_orderkey * 7 + 3)")} AS lon FROM orders WHERE o_orderkey % 5 = 0),
+         |ta AS (SELECT
+         |  least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) AS zx,
+         |  least(63, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)
+         |    + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT))) AS zy,
+         |  count(*) AS n FROM a GROUP BY 1, 2),
+         |tb AS (SELECT
+         |  least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) AS zx,
+         |  least(63, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)
+         |    + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT))) AS zy,
+         |  count(*) AS n FROM b GROUP BY 1, 2),
+         |u AS (SELECT zx, zy, n AS na, CAST(0 AS BIGINT) AS nb FROM ta
+         |  UNION ALL SELECT zx, zy, CAST(0 AS BIGINT) AS na, n AS nb FROM tb)
+         |SELECT zx, zy, CAST(sum(na) AS BIGINT) AS n_before, CAST(sum(nb) AS BIGINT) AS n_after,
+         |  CAST(sum(nb) - sum(na) AS BIGINT) AS delta
+         |FROM u GROUP BY 1, 2 HAVING sum(nb) <> sum(na)""".stripMargin,
 
     // the same zoom-6 tile arithmetic as q_zxy_tiles, then the 3x3
     // neighborhood as a self-join: x adjacency modulo 64 (wrap), y

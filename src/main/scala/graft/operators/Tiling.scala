@@ -94,6 +94,27 @@ object Tiling {
       .withColumn("quadkey", zxyQuadkey(col("zx"), col("zy"), z))
   }
 
+  /** Spatial CHANGE DETECTION between two snapshots: per-tile point
+    * counts at zoom `z`, full-outer joined, returning (zx, zy, n_before,
+    * n_after, delta) for tiles whose count CHANGED — the
+    * "what moved since yesterday's snapshot" query over any two table
+    * versions. Each side is one partial+final aggregate (per-tile rows,
+    * never points, reach the join); the join is tile-count-bounded
+    * (<= 4^z rows per side), so at 10^12 points the cost is two scans +
+    * two tiny aggregates. Integer-exact given the zxyAssign floor-margin
+    * precondition (WebMercatorSpec). */
+  def tileChangeCounts(before: DataFrame, after: DataFrame,
+                       latCol: String, lonCol: String, z: Int): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      zxyAssign(df, latCol, lonCol, z).groupBy("zx", "zy").agg(count(lit(1)).as(out))
+    counts(before, "n_before")
+      .join(counts(after, "n_after"), Seq("zx", "zy"), "full_outer")
+      .withColumn("n_before", coalesce(col("n_before"), lit(0L)))
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+      .withColumn("delta", col("n_after") - col("n_before"))
+      .where(col("delta") =!= 0)
+  }
+
   /** Base-4 quadkey of a (zx, zy) tile at zoom `z`: most-significant bit
     * first, digit = 2·ybit + xbit. Pure bit arithmetic — exact in any
     * engine. */

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tiling
+
+/** Tile change detection: toy exactness, global invariants at the gate
+  * scale, and the floor-margin precondition for the INSERTED points'
+  * distinct lat/lon derivation (the base derivation's margin is pinned in
+  * WebMercatorSpec). */
+class TileChangeSpec extends SparkTestBase {
+
+  test("toy snapshots: disjoint moves produce exactly the expected deltas") {
+    import spark.implicits._
+    // tile centers far from any z=6 boundary: (0,0) is mid-tile-safe? use
+    // clearly interior points: lon -177.1 -> zx 0; lon 177.1 -> zx 63
+    val before = Seq((10.3, -177.1), (10.3, -177.1), (10.3, 177.1)).toDF("lat", "lon")
+    val after = Seq((10.3, -177.1), (45.2, 2.3)).toDF("lat", "lon")
+    val got = Tiling.tileChangeCounts(before, after, "lat", "lon", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // (-177.1): 2 -> 1; (177.1): 1 -> 0; (2.3): 0 -> 1
+    assert(got.map(t => (t._3, t._4, t._5)) === Set((2L, 1L, -1L), (1L, 0L, -1L), (0L, 1L, 1L)))
+  }
+
+  test("gate-scale invariants: delta sums to the snapshot size difference, no zero rows") {
+    val before = SparkEntry.points(spark, sf("sf0.01")).select("lat", "lon")
+    val after = before.limit(0).unionByName(
+      SparkEntry.points(spark, sf("sf0.01")).where(col("o_orderkey") % 3 =!= 0)
+        .select("lat", "lon"))
+    val diff = Tiling.tileChangeCounts(before, after, "lat", "lon", 6).collect()
+    assert(diff.forall(_.getLong(4) != 0L))
+    val (nb, na) = (before.count(), after.count())
+    assert(diff.map(_.getLong(4)).sum === na - nb)
+  }
+
+  test("oracle floor margin holds for the inserted-point derivation too (z=6)") {
+    val Cut = 85.05112878
+    val lats = SparkEntry.orders(spark, sf("sf0.01"))
+      .where(col("o_orderkey") % 5 === 0)
+      .withColumn("lat", expr(SparkEntry.latSqlFor("(o_orderkey * 7 + 3)")))
+      .select("lat").collect()
+    var minMargin = Double.MaxValue
+    var equator = 0
+    for (r <- lats) {
+      val lat = r.getDouble(0)
+      val latc = math.min(Cut, math.max(-Cut, lat))
+      val phi = latc * math.Pi / 180.0
+      val yf = (1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.Pi) / 2.0 * 64.0
+      val nearest = math.rint(yf)
+      if (lat == 0.0) equator += 1
+      else if (nearest >= 1.0 && nearest <= 63.0) {
+        val m = math.abs(yf - nearest)
+        if (m < minMargin) minMargin = m
+      }
+    }
+    info(f"min insert-derivation |yf - rint(yf)| = $minMargin%.3e ($equator equator rows)")
+    assert(minMargin > 1e-9)
+  }
+}
