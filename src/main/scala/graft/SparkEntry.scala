@@ -1469,6 +1469,14 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(documents(s, dir), "doc_id", "text", Bm25Queries, k = 5)),
 
+    // distributed BPE tokenizer training (3 merges for the oracle; the
+    // spec trains 8 against a driver-side reference): corpus scanned once
+    // into the distinct-word freq table, each round = one pair count +
+    // TakeOrdered argmax + one map. Integer counts + lexicographic ties —
+    // exact, no floats
+    "q_bpe_train" -> ((s, dir) =>
+      Bpe.train(documents(s, dir), "text", numMerges = 3)),
+
     // context-window chunking (50 tokens, overlap 10): array transform +
     // explode inside the scan, no UDF, text never shuffles; integer
     // boundaries and space-rejoined slices are mirrored exactly in SQL
@@ -3495,6 +3503,40 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
          |  FROM scored) t
          |WHERE rank <= 5""".stripMargin
+    },
+
+    // the 3 merge rounds unrolled: pair counts from the double-delimited
+    // symbol string, argmax by (cnt DESC, l, r), greedy merge application
+    // as replace(R, '|l||r|', '|lr|') — boundary-safe (symbols never
+    // contain '|', the pattern's outer bars pin true symbol boundaries)
+    // and run-correct (adjacent matches don't share delimiter chars), so
+    // SQL's left-to-right non-overlapping replace IS BPE's greedy rule
+    "q_bpe_train" -> {
+      def sy(r: String) = s"list_filter(string_split($r, '||'), x -> len(x) > 0)"
+      def pairs(r: String) =
+        s"list_transform(range(1, len(${sy(r)})), i -> struct_pack(l := ${sy(r)}[i], r := ${sy(r)}[i + 1]))"
+      def pcnt(it: String, r: String) =
+        s"SELECT u.p.l AS l, u.p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM $it, UNNEST(${pairs(r)}) AS u(p) GROUP BY 1, 2"
+      def argmax(p: String) = s"SELECT l, r FROM $p ORDER BY cnt DESC, l ASC, r ASC LIMIT 1"
+      def apply(it: String, r: String, m: String, out: String) =
+        s"SELECT replace($r, '|' || $m.l || '||' || $m.r || '|', '|' || $m.l || $m.r || '|') AS $out, freq FROM $it CROSS JOIN $m"
+      s"""WITH w AS (SELECT t AS word, count(*) AS freq FROM (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0)) AS t FROM documents) u GROUP BY 1),
+         |it0 AS (SELECT '||' || array_to_string(
+         |    list_transform(range(1, len(word) + 1), i -> word[i:i]), '||') || '||' AS r0,
+         |  freq FROM w),
+         |p1 AS (${pcnt("it0", "r0")}),
+         |m1 AS (${argmax("p1")}),
+         |it1 AS (${apply("it0", "r0", "m1", "r1")}),
+         |p2 AS (${pcnt("it1", "r1")}),
+         |m2 AS (${argmax("p2")}),
+         |it2 AS (${apply("it1", "r1", "m2", "r2")}),
+         |p3 AS (${pcnt("it2", "r2")}),
+         |m3 AS (${argmax("p3")})
+         |SELECT CAST(1 AS INTEGER) AS rank, l AS "left", r AS "right" FROM m1
+         |UNION ALL SELECT CAST(2 AS INTEGER), l, r FROM m2
+         |UNION ALL SELECT CAST(3 AS INTEGER), l, r FROM m3""".stripMargin
     },
 
     // identical slice boundaries (1-based inclusive list slicing == Spark
