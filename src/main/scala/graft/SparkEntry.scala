@@ -1477,6 +1477,16 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       Bpe.train(documents(s, dir), "text", numMerges = 3)),
 
+    // BPE encoding under the 3 learned merges: per-doc token count — the
+    // number that prices a document into a training budget. The merge
+    // list is driver state from train; the encode is a scan-stage map +
+    // one aggregate
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = Bpe.train(documents(s, dir), "text", numMerges = 3)
+        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeCounts(documents(s, dir), "doc_id", "text", merges)
+    }),
+
     // context-window chunking (50 tokens, overlap 10): array transform +
     // explode inside the scan, no UDF, text never shuffles; integer
     // boundaries and space-rejoined slices are mirrored exactly in SQL
@@ -3537,6 +3547,42 @@ object SparkEntry {
          |SELECT CAST(1 AS INTEGER) AS rank, l AS "left", r AS "right" FROM m1
          |UNION ALL SELECT CAST(2 AS INTEGER), l, r FROM m2
          |UNION ALL SELECT CAST(3 AS INTEGER), l, r FROM m3""".stripMargin
+    },
+
+    // the same trained merges applied per (doc, word) with the same
+    // double-delimiter replace chain, token counts summed per doc
+    "q_bpe_encode" -> {
+      def sy(r: String) = s"list_filter(string_split($r, '||'), x -> len(x) > 0)"
+      def pairs(r: String) =
+        s"list_transform(range(1, len(${sy(r)})), i -> struct_pack(l := ${sy(r)}[i], r := ${sy(r)}[i + 1]))"
+      def pcnt(it: String, r: String) =
+        s"SELECT u.p.l AS l, u.p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM $it, UNNEST(${pairs(r)}) AS u(p) GROUP BY 1, 2"
+      def argmax(p: String) = s"SELECT l, r FROM $p ORDER BY cnt DESC, l ASC, r ASC LIMIT 1"
+      def apply(it: String, r: String, m: String, out: String, keep: String) =
+        s"SELECT replace($r, '|' || $m.l || '||' || $m.r || '|', '|' || $m.l || $m.r || '|') AS $out$keep FROM $it CROSS JOIN $m"
+      s"""WITH w AS (SELECT t AS word, count(*) AS freq FROM (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0)) AS t FROM documents) u GROUP BY 1),
+         |it0 AS (SELECT '||' || array_to_string(
+         |    list_transform(range(1, len(word) + 1), i -> word[i:i]), '||') || '||' AS r0,
+         |  freq FROM w),
+         |p1 AS (${pcnt("it0", "r0")}),
+         |m1 AS (${argmax("p1")}),
+         |it1 AS (${apply("it0", "r0", "m1", "r1", ", freq")}),
+         |p2 AS (${pcnt("it1", "r1")}),
+         |m2 AS (${argmax("p2")}),
+         |it2 AS (${apply("it1", "r1", "m2", "r2", ", freq")}),
+         |p3 AS (${pcnt("it2", "r2")}),
+         |m3 AS (${argmax("p3")}),
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |  x -> len(x) > 0)) AS word FROM documents),
+         |d0 AS (SELECT doc_id, '||' || array_to_string(
+         |    list_transform(range(1, len(word) + 1), i -> word[i:i]), '||') || '||' AS r0 FROM dw),
+         |d1 AS (${apply("d0", "r0", "m1", "r1", ", doc_id")}),
+         |d2 AS (${apply("d1", "r1", "m2", "r2", ", doc_id")}),
+         |d3 AS (${apply("d2", "r2", "m3", "r3", ", doc_id")})
+         |SELECT doc_id, CAST(sum(len(${sy("r3")})) AS BIGINT) AS n_bpe_tokens
+         |FROM d3 GROUP BY 1""".stripMargin
     },
 
     // identical slice boundaries (1-based inclusive list slicing == Spark

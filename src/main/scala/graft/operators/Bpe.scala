@@ -95,4 +95,36 @@ object Bpe {
     }
     merges.toSeq.toDF("rank", "left", "right")
   }
+
+  private val encodeCountUdf = udf { (w: String, ls: Seq[String], rs: Seq[String]) =>
+    var syms: Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toSeq
+    }
+    var m = 0
+    while (m < ls.length) { syms = applyMerge(syms, ls(m), rs(m)); m += 1 }
+    syms.length
+  }
+
+  /** BPE ENCODING with a learned merge list (rank order): per-document
+    * token count under the trained tokenizer — the number that actually
+    * prices a document into a training budget. One scan, merges inlined
+    * as literals (tokenizers are tiny driver/broadcast state), the whole
+    * thing a scan-stage map + one aggregate. Documents with no tokens
+    * emit nothing (same universe rule as the other tokenized ops). */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val ls = array(merges.map(m => lit(m._1)): _*)
+    val rs = array(merges.map(m => lit(m._2)): _*)
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("word"))
+      .withColumn("__n", encodeCountUdf(col("word"), ls, rs))
+      .groupBy("doc_id").agg(sum("__n").as("n_bpe_tokens"))
+  }
 }

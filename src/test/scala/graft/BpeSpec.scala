@@ -53,6 +53,27 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("encodeCounts == per-word reference application of the learned merges") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val merges = Bpe.train(docs, "text", numMerges = 3)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.select("doc_id", "text").collect().map { r =>
+      val n = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).map { w =>
+        var syms: Seq[String] = w.map(_.toString)
+        for ((l, rr) <- merges) syms = Bpe.applyMerge(syms, l, rr)
+        syms.length.toLong
+      }.sum
+      r.getLong(0) -> n
+    }.filter(_._2 > 0).toMap
+    assert(got === want)
+    // merges strictly shrink the corpus token count vs characters
+    val chars = docs.select("text").collect()
+      .map(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).map(_.length).sum).sum
+    assert(got.values.sum < chars)
+  }
+
   test("train matches the reference over sf0.001 documents (8 merges)") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val got = Bpe.train(docs, "text", numMerges = 8)
