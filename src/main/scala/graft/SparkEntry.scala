@@ -1021,6 +1021,18 @@ object SparkEntry {
           .withColumn("lon", expr(lonSqlFor("event_id"))),
         "lat", "lon", 3, "ts", "value")),
 
+    // k-anonymous mobility release: per-(zoom-4 tile, day) activity with
+    // cells naming fewer than 5 distinct users SUPPRESSED — the standard
+    // aggregate-publication privacy gate (75 of 4874 cells survive at
+    // sf0.01; 6969 of 7680 at sf0.1 — suppression bites at both scales).
+    // Integer/date-exact under the pinned zxy floor margin
+    "q_kanon_release" -> ((s, dir) =>
+      Tiling.kAnonymousTileDays(
+        events(s, dir)
+          .withColumn("lat", expr(latSqlFor("event_id")))
+          .withColumn("lon", expr(lonSqlFor("event_id"))),
+        "lat", "lon", "user_id", "ts", z = 4, k = 5)),
+
     // Gi*-style hotspot z-scores on the zoom-6 mercator grid: every input
     // to the scalar formula is an integer (tile counts + global moments),
     // so gi_z is ONE fixed IEEE expression and the oracle matches it bit
@@ -2860,6 +2872,19 @@ object SparkEntry {
          | FROM c)
          |SELECT zx, zy, $quadkey AS quadkey, count(*) AS n FROM t GROUP BY 1, 2, 3""".stripMargin
     },
+
+    // the zoom-6 replay over the event-derived points, plus the exact
+    // distinct-count suppression rule
+    "q_kanon_release" ->
+      s"""WITH pts AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |  ${latSqlFor("event_id")} AS lat, ${lonSqlFor("event_id")} AS lon FROM events),
+         |g AS (SELECT user_id, day,
+         |  least(15, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 16.0) AS BIGINT))) AS zx,
+         |  least(15, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)
+         |    + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * 16.0) AS BIGINT))) AS zy
+         | FROM pts)
+         |SELECT zx, zy, day, count(DISTINCT user_id) AS n_entities, count(*) AS n_events
+         |FROM g GROUP BY 1, 2, 3 HAVING count(DISTINCT user_id) >= 5""".stripMargin,
 
     // the same zoom-6 arithmetic per snapshot CTE, then a COALESCE'd
     // full-outer count diff — the engine's full_outer join replayed as a

@@ -115,6 +115,25 @@ object Tiling {
       .where(col("delta") =!= 0)
   }
 
+  /** K-ANONYMOUS aggregate release: per-(tile, day) activity counts with
+    * small-population cells SUPPRESSED — the standard privacy rule for
+    * publishing mobility aggregates (a cell naming fewer than `k`
+    * distinct entities re-identifies them). Returns (zx, zy, day,
+    * n_entities, n_events) only where n_entities >= k. One partial+final
+    * aggregate; the distinct-count is exact (count_distinct, not a
+    * sketch) because the release gate must be. */
+  def kAnonymousTileDays(df: DataFrame, latCol: String, lonCol: String,
+                         entityCol: String, tsCol: String, z: Int,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    zxyAssign(df, latCol, lonCol, z)
+      .withColumn("day", to_date(col(tsCol)))
+      .groupBy("zx", "zy", "day")
+      .agg(count_distinct(col(entityCol)).as("n_entities"),
+        count(lit(1)).as("n_events"))
+      .where(col("n_entities") >= k)
+  }
+
   /** Base-4 quadkey of a (zx, zy) tile at zoom `z`: most-significant bit
     * first, digit = 2·ybit + xbit. Pure bit arithmetic — exact in any
     * engine. */

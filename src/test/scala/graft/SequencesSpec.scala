@@ -113,6 +113,33 @@ class SequencesSpec extends SparkTestBase {
     assert(got.keys.map(_._2).max > 10, "retention triangle degenerate (no late offsets)")
   }
 
+  test("planted hot key: one user with 10^6 events stays correct and bounded") {
+    import spark.implicits._
+    // the documented window/collect tail: a single pathological key holds
+    // all its events in one task. Plant it and pin the exact answers — a
+    // deterministic view/click/purchase/... rotation, so the transition
+    // matrix and funnel depth are closed-form
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val n = 1000000L
+    val hot = spark.range(n)
+      .select(lit(7L).as("user_id"),
+        expr("timestamp_seconds(1700000000 + id)").as("ts"),
+        col("id").as("event_id"),
+        element_at(array(types.map(lit): _*), (pmod(col("id"), lit(5)) + 1).cast("int"))
+          .as("event_type"))
+    val trans = Sequences.transitionCounts(hot, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the rotation has exactly the 5 cyclic transitions; each appears
+    // floor/ceil((n-1)/5) times
+    assert(trans.keySet === types.zip(types.drop(1) :+ types.head).toSet)
+    assert(trans.values.sum === n - 1)
+    assert(trans(("view", "click")) === 200000L)
+    val funnel = Sequences.funnelDepths(hot, "user_id", "ts", "event_type", "event_id",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(funnel === Map(3 -> 1L))
+  }
+
   test("oracle precondition: no user has two events at the same timestamp (sf0.01)") {
     val dups = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
       .groupBy("user_id", "ts").count().where(col("count") > 1).count()

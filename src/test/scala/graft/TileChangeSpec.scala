@@ -34,6 +34,47 @@ class TileChangeSpec extends SparkTestBase {
     assert(diff.map(_.getLong(4)).sum === na - nb)
   }
 
+  test("kAnonymousTileDays: every released cell has >= k users; suppressed data exists") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
+    val released = Tiling.kAnonymousTileDays(ev, "lat", "lon", "user_id", "ts", 4, 5)
+    assert(released.where(col("n_entities") < 5).count() === 0L)
+    assert(released.count() > 0L, "k=5 released nothing — degenerate resolution")
+    // the gate must actually suppress something at this resolution
+    val all = Tiling.kAnonymousTileDays(ev, "lat", "lon", "user_id", "ts", 4, 1)
+    assert(all.count() > released.count(), "k=5 suppressed nothing — gate untested")
+    // released events + suppressed events partition the corpus
+    val totEvents = all.agg(sum("n_events")).head().getLong(0)
+    assert(totEvents === ev.count())
+  }
+
+  test("oracle floor margin holds for the event-derived points too (z=4 and z=6)") {
+    val Cut = 85.05112878
+    val lats = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .select("lat").collect()
+    for (n <- Seq(16.0, 64.0)) {
+      var minMargin = Double.MaxValue
+      var equator = 0
+      for (r <- lats) {
+        val lat = r.getDouble(0)
+        val latc = math.min(Cut, math.max(-Cut, lat))
+        val phi = latc * math.Pi / 180.0
+        val yf = (1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.Pi) / 2.0 * n
+        val nearest = math.rint(yf)
+        if (lat == 0.0) equator += 1
+        else if (nearest >= 1.0 && nearest <= n - 1.0) {
+          val m = math.abs(yf - nearest)
+          if (m < minMargin) minMargin = m
+        }
+      }
+      info(f"n=$n%.0f: min event-derivation |yf - rint(yf)| = $minMargin%.3e ($equator equator rows)")
+      assert(minMargin > 1e-9)
+    }
+  }
+
   test("oracle floor margin holds for the inserted-point derivation too (z=6)") {
     val Cut = 85.05112878
     val lats = SparkEntry.orders(spark, sf("sf0.01"))
