@@ -596,6 +596,33 @@ object SparkEntry {
         .select(col("event_id"), coalesce(col("asof.click_id"), lit(-1L)).as("click_id"))
     }),
 
+    // FORWARD direction: each purchase matched to the user's EARLIEST
+    // click at or after it (ties by smallest id, no-match -> -1)
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"), col("user_id"))
+      AsOfJoin.asOfForward(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        rightOrderCol = "click_id", rightCarryCols = Seq("click_id"))
+        .select(col("event_id"), coalesce(col("asof.click_id"), lit(-1L)).as("click_id"))
+    }),
+
+    // NEAREST direction (pandas merge_asof 'nearest'): the click
+    // minimizing |click_ts - ts| in epoch micros, exact-distance ties
+    // preferring the backward match; integer time arithmetic throughout
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tsm", unix_micros(col("ts").cast("timestamp")))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "tsm", "user_id")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("tsm").as("click_tsm"), col("user_id"))
+      AsOfJoin.asOfNearest(purchases, clicks, Seq("user_id"), "tsm", "click_tsm",
+        rightOrderCol = "click_id", rightCarryCols = Seq("click_id"))
+        .select(col("event_id"), coalesce(col("asof.click_id"), lit(-1L)).as("click_id"))
+    }),
+
     // the skew-hardened two-pass variant must produce the IDENTICAL result
     // (same oracle): windows bounded per (user, hour-bucket) + summary carry
     "q_asof_bucketed" -> ((s, dir) => {
@@ -2584,6 +2611,24 @@ object SparkEntry {
         |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
         |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
         |SELECT depth, count(*) AS n_keys FROM d GROUP BY 1""".stripMargin,
+
+    "q_asof_fwd" ->
+      """SELECT l.event_id, COALESCE((
+        |  SELECT r.event_id FROM events r
+        |  WHERE r.user_id = l.user_id AND r.event_type = 'click' AND r.ts >= l.ts
+        |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1), -1) AS click_id
+        |FROM events l WHERE l.event_type = 'purchase'""".stripMargin,
+
+    // nearest by |epoch-micros distance|, exact ties -> backward (the
+    // is_forward ASC key); same-side ties impossible (no equal per-user
+    // timestamps, spec-pinned)
+    "q_asof_nearest" ->
+      """SELECT l.event_id, COALESCE((
+        |  SELECT r.event_id FROM events r
+        |  WHERE r.user_id = l.user_id AND r.event_type = 'click'
+        |  ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)) ASC,
+        |    (epoch_us(r.ts) > epoch_us(l.ts)) ASC, r.event_id ASC LIMIT 1), -1) AS click_id
+        |FROM events l WHERE l.event_type = 'purchase'""".stripMargin,
 
     "q_asof_join" ->
       """SELECT l.event_id, COALESCE((

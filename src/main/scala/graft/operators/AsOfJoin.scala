@@ -33,7 +33,8 @@ object AsOfJoin {
     * caller columns may not collide (they would be silently clobbered
     * otherwise). */
   private val Reserved =
-    Seq("__t", "__side", "__ord", "__carry", "__bkt", "__inb", "__prev", "__rank", "asof")
+    Seq("__t", "__side", "__ord", "__carry", "__bkt", "__inb", "__prev", "__rank",
+      "__b", "__f", "asof")
 
   private def requireNoReserved(left: DataFrame, right: DataFrame): Unit = {
     val clash = (left.columns ++ right.columns).distinct.filter(Reserved.contains)
@@ -147,5 +148,77 @@ object AsOfJoin {
       .join(prevCarry, keyCols :+ "__bkt", "left")
       .withColumn("asof", coalesce(col("__inb"), col("__prev")))
       .drop("__t", "__side", "__ord", "__carry", "__inb", "__prev", "__bkt")
+  }
+
+  /** FORWARD as-of join: for each left row, the single EARLIEST right row
+    * with the same key and right time >= left time (ties on time broken
+    * by SMALLEST `rightOrderCol` — the mirror of [[asOf]]'s rule). Same
+    * union-window shape and skew caveat; left rows sort BEFORE right rows
+    * at equal time so "at or after" includes same-timestamp rights, and
+    * the frame looks forward with `first(ignoreNulls)`. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTimeCol: String, rightTimeCol: String,
+                  rightOrderCol: String, rightCarryCols: Seq[String]): DataFrame = {
+    requireNoReserved(left, right)
+    val carryCols = (rightOrderCol +: rightCarryCols).distinct
+    val rightU = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTimeCol).as("__t"),
+        lit(1).as("__side"),
+        col(rightOrderCol).as("__ord"),
+        struct(carryCols.map(col): _*).as("__carry")): _*)
+    val leftU = left.select(
+      left.columns.map(col) ++ Seq(col(leftTimeCol).as("__t"), lit(0).as("__side")): _*)
+    val unioned = leftU.unionByName(rightU, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("asof", first(col("__carry"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .drop("__t", "__side", "__ord", "__carry")
+  }
+
+  /** NEAREST as-of join over a NUMERIC time column: for each left row,
+    * the right row minimizing |right time - left time|; exact ties in
+    * distance prefer the backward (at-or-before) match — pandas
+    * merge_asof(direction='nearest') semantics. One union-window pass
+    * computing BOTH directions (backward `last` + forward `first` over
+    * the same sort, where rights precede lefts at equal time so a
+    * zero-distance match lands on the backward side), then an arithmetic
+    * choose. Time must be numeric (cast timestamps to epoch micros) so
+    * the distance compare is integer-exact. */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTimeCol: String, rightTimeCol: String,
+                  rightOrderCol: String, rightCarryCols: Seq[String]): DataFrame = {
+    requireNoReserved(left, right)
+    val carryCols = (rightTimeCol +: rightOrderCol +: rightCarryCols).distinct
+    val rightU = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTimeCol).as("__t"),
+        lit(0).as("__side"),
+        col(rightOrderCol).as("__ord"),
+        struct(carryCols.map(col): _*).as("__carry")): _*)
+    val leftU = left.select(
+      left.columns.map(col) ++ Seq(col(leftTimeCol).as("__t"), lit(1).as("__side")): _*)
+    val unioned = leftU.unionByName(rightU, allowMissingColumns = true)
+    val order = Seq(col("__t"), col("__side"), col("__ord"))
+    val wBack = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val back = last(col("__carry"), ignoreNulls = true).over(wBack)
+    val fwd = first(col("__carry"), ignoreNulls = true).over(wFwd)
+    unioned
+      .withColumn("__b", back)
+      .withColumn("__f", fwd)
+      .where(col("__side") === 1)
+      .withColumn("asof",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(col("__t") - col("__b").getField(rightTimeCol) <=
+            col("__f").getField(rightTimeCol) - col("__t"), col("__b"))
+          .otherwise(col("__f")))
+      .drop("__t", "__side", "__ord", "__carry", "__b", "__f")
   }
 }

@@ -32,6 +32,44 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got === Map(100L -> -1L, 101L -> 11L, 102L -> 12L, 103L -> -1L))
   }
 
+  test("asOfForward == brute force with same-timestamp ties and no-match lefts") {
+    import spark.implicits._
+    val right = Seq(
+      (10L, ts(5), 1L), (11L, ts(5), 1L), // tie at t=5: SMALLEST id (10) wins
+      (12L, ts(20), 1L))
+      .toDF("rid", "rts", "key")
+    val left = Seq(
+      (100L, ts(4), 1L),  // -> 10 (earliest at/after, smallest id on tie)
+      (101L, ts(5), 1L),  // same-timestamp right qualifies -> 10
+      (102L, ts(21), 1L), // after every right -> null
+      (103L, ts(10), 2L)) // key with no rights -> null
+      .toDF("lid", "lts", "key")
+    val got = AsOfJoin.asOfForward(left, right, Seq("key"), "lts", "rts",
+      rightOrderCol = "rid", rightCarryCols = Seq("rid"))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(100L -> 10L, 101L -> 10L, 102L -> -1L, 103L -> -1L))
+  }
+
+  test("asOfNearest picks the closer side; exact-distance ties go backward") {
+    import spark.implicits._
+    val right = Seq((10L, 100L, 1L), (20L, 200L, 1L)).toDF("rid", "rt", "key")
+    val left = Seq(
+      (100L, 140L, 1L), // 40 back vs 60 fwd -> 10
+      (101L, 160L, 1L), // 60 back vs 40 fwd -> 20
+      (102L, 150L, 1L), // exact tie -> backward -> 10
+      (103L, 50L, 1L),  // before all -> forward 10
+      (104L, 250L, 1L), // after all -> backward 20
+      (105L, 10L, 2L))  // no rights -> null
+      .toDF("lid", "lt", "key")
+    val got = AsOfJoin.asOfNearest(left, right, Seq("key"), "lt", "rt",
+      rightOrderCol = "rid", rightCarryCols = Seq("rid"))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(100L -> 10L, 101L -> 20L, 102L -> 10L, 103L -> 10L,
+      104L -> 20L, 105L -> -1L))
+  }
+
   test("asOf on the events table == correlated-subquery brute force") {
     val ev = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
     val purchases = ev.where(col("event_type") === "purchase").select("event_id", "ts", "user_id")
