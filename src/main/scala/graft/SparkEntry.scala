@@ -560,6 +560,13 @@ object SparkEntry {
       Sequences.windowedFunnel(events(s, dir), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), windowSec = 43200L)),
 
+    // per-user EWMA of event values (alpha = 0.25, dyadic): sorted-list
+    // fold, bit-reproducible doubles — the oracle replays the identical
+    // prefix folds and the double column hash-matches exactly (the
+    // Geary's-C float discipline)
+    "q_ewma" -> ((s, dir) =>
+      Sequences.ewma(events(s, dir), "user_id", "ts", "event_id", "value", alpha = 0.25)),
+
     // cohort retention triangle: users grouped by first-activity day,
     // distinct-active counted per (cohort, day offset) — dates and counts
     // only, integer-exact
@@ -1169,6 +1176,18 @@ object SparkEntry {
     "q_pip_rect_exec" -> ((s, dir) =>
       graft.plans.S2PipJoin.pipJoinExec(points(s, dir), "lat", "lon", rectRegions)
         .select("region_id", "o_orderkey")),
+
+    // LEFT OUTER pip join: every point survives — matched points keep one
+    // row per containing region, unmatched points keep region_id '-' (the
+    // enrichment-join shape: the big side must never lose rows). Composed
+    // as the inner covering join LEFT-joined back onto the points by key
+    "q_pip_outer" -> ((s, dir) => {
+      val matches = SpatialJoin.pipJoin(points(s, dir), "lat", "lon", rectRegions)
+        .select(col("o_orderkey"), col("region_id"))
+      points(s, dir).select("o_orderkey")
+        .join(matches, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("region_id"), lit("-")).as("region_id"))
+    }),
 
     "q_pip_polygon" -> ((s, dir) =>
       SpatialJoin.pipJoin(points(s, dir), "lat", "lon", polygonRegions)
@@ -2577,6 +2596,18 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT user_id FROM events) u)
         |SELECT depth, count(*) AS n_keys FROM depth GROUP BY 1""".stripMargin,
 
+    // per-event prefix folds replayed with the same (0.25*x + 0.75*acc)
+    // op order — list_reduce's left fold == the engine's sorted aggregate,
+    // so the doubles match bit for bit
+    "q_ewma" ->
+      """WITH o AS (SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals FROM events GROUP BY 1)
+        |SELECT o.event_id,
+        |  list_reduce(v.vals[1:o.i], (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+        |FROM o JOIN v USING (user_id)""".stripMargin,
+
     "q_retention" ->
       """WITH cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
         |  FROM events GROUP BY 1),
@@ -3193,6 +3224,14 @@ object SparkEntry {
     "q_pip_rect" -> RectOracleSql,
 
     "q_pip_rect_exec" -> RectOracleSql,
+
+    // inner matches UNION the anti side labeled '-'
+    "q_pip_outer" ->
+      s"""WITH m AS ($RectOracleSql)
+         |SELECT o_orderkey, region_id FROM m
+         |UNION ALL
+         |SELECT o_orderkey, '-' AS region_id FROM orders
+         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m)""".stripMargin,
 
     // identical answer through the pure-SQL surface (covering prefilter is
     // complete, bounds refine is exact)

@@ -101,6 +101,34 @@ object Sequences {
     perKey.groupBy("depth").agg(count(lit(1)).as("n_keys"))
   }
 
+  /** Per-entity exponentially-weighted moving average — the online
+    * smoothing/feature op (monitoring baselines, per-user signal state):
+    * s_1 = x_1, s_i = alpha * x_i + (1 - alpha) * s_{i-1} over each key's
+    * (`tsCol`, `tieCol`)-ordered values. Returns (tieCol, ewma) per event.
+    *
+    * Exactness: the fold is pure mult/add in a deterministic order
+    * (sorted-list aggregate), so for a dyadic alpha the doubles are
+    * bit-reproducible and a SQL oracle replaying the same prefix folds
+    * hash-matches them exactly — the Geary's-C discipline for float
+    * output. One shuffle on the key; per-key state is O(that key's
+    * events), the documented hot-key tail. */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val sorted = events.groupBy(keyCol)
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(valueCol).cast("double").as("v")))).as("evs"))
+    val folded = sorted.withColumn("ewmas",
+      aggregate(col("evs"), array().cast("array<double>"),
+        (acc, e) => concat(acc, array(
+          when(size(acc) === 0, e.getField("v"))
+            .otherwise(lit(alpha) * e.getField("v") +
+              lit(1.0 - alpha) * element_at(acc, -1))))))
+    folded
+      .select(explode(arrays_zip(col("evs"), col("ewmas"))).as("z"))
+      .select(col("z.evs.tie").as(tieCol), col("z.ewmas").as("ewma"))
+  }
+
   /** Cohort retention: keys grouped by their FIRST-activity day, counted
     * distinct-active per (cohort_date, day offset). Returns (cohort_date,
     * offset_days, n_keys) — the classic retention triangle, all dates and

@@ -140,6 +140,32 @@ class SequencesSpec extends SparkTestBase {
     assert(funnel === Map(3 -> 1L))
   }
 
+  test("ewma == driver-side fold, bit for bit (sf0.001)") {
+    val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val got = Sequences.ewma(events, "user_id", "ts", "event_id", "value", 0.25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .select("user_id", "ts", "event_id", "value").collect().map { r =>
+        val t = r.getAs[java.time.LocalDateTime](1)
+        (r.getLong(0), t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L,
+          r.getLong(2), r.getDouble(3))
+      }
+    val want = rows.groupBy(_._1).values.flatMap { g =>
+      var s = 0.0
+      var first = true
+      g.sortBy(e => (e._2, e._3)).map { e =>
+        s = if (first) { first = false; e._4 } else 0.25 * e._4 + 0.75 * s
+        e._3 -> s
+      }
+    }.toMap
+    assert(got.keySet === want.keySet)
+    // BIT equality, not approximate: the fold order is pinned
+    got.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(want(id)), s"event $id: $v != ${want(id)}")
+    }
+  }
+
   test("oracle precondition: no user has two events at the same timestamp (sf0.01)") {
     val dups = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
       .groupBy("user_id", "ts").count().where(col("count") > 1).count()
