@@ -1553,6 +1553,14 @@ object SparkEntry {
           maxTokens = 50, overlap = 10)
         .select("doc_id", "chunk_idx", "n_tokens", "chunk")),
 
+    // target-mixture sampling (data mixing): per-source rational quotas —
+    // half of src0, a quarter of src1, an eighth of src3, all of src5,
+    // everything else dropped; exact integer ceil quotas, hash order
+    "q_mixture_sample" -> ((s, dir) =>
+      Curation.mixtureSample(documents(s, dir), "source", "doc_id",
+          Map("src0" -> (1, 2), "src1" -> (1, 4), "src3" -> (1, 8), "src5" -> (1, 1)))
+        .select("doc_id", "source")),
+
     // deterministic quality-weighted importance sampling: keep iff
     // idHash(id) < P * w div w_max — pure int64, reproducible, no RNG
     "q_importance_sample" -> ((s, dir) => {
@@ -3704,6 +3712,23 @@ object SparkEntry {
         | array_to_string(toks[i + 1 : i + 50], ' ') AS chunk
         |FROM tk, UNNEST(range(0, CAST(len(toks) AS BIGINT), 40)) AS r(i)
         |WHERE len(toks) >= 1""".stripMargin,
+
+    // the same two-round hash order and exact integer ceil quotas per
+    // source branch
+    "q_mixture_sample" -> {
+      val (p, a, b) = (Dedup.HashP, Curation.HashA, Curation.HashB)
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ((((doc_id % $p) * $a) % $p) * $b) % $p AS hh FROM documents
+         |  WHERE source IN ('src0', 'src1', 'src3', 'src5')),
+         |r AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY source) AS n FROM h)
+         |SELECT doc_id, source FROM r WHERE
+         |  (source = 'src0' AND (rk - 1) * 2 < n * 1) OR
+         |  (source = 'src1' AND (rk - 1) * 4 < n * 1) OR
+         |  (source = 'src3' AND (rk - 1) * 8 < n * 1) OR
+         |  (source = 'src5' AND (rk - 1) * 1 < n * 1)""".stripMargin
+    },
 
     // the same affine hash and integer threshold, literally
     "q_importance_sample" -> {

@@ -128,6 +128,42 @@ object Curation {
       .drop("__rank", "__n")
   }
 
+  /** TARGET-MIXTURE sampling — the data-mixing step (DoReMi-style domain
+    * reweighting in its deterministic subsample form): each group keeps
+    * its OWN rational fraction `num_g/den_g` of rows, by the same
+    * two-round-hash order as [[groupSample]]. Groups absent from
+    * `fractions` are DROPPED (an explicit mixture decision, not a
+    * default). Quotas are exact ceil via the integer identity
+    * `(rank-1)*den < n*num`; everything is a pure function of the ids, so
+    * the mixture is reproducible and growth-stable. One shuffle on the
+    * group key. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    fractions: Map[String, (Int, Int)]): DataFrame = {
+    require(fractions.nonEmpty, "mixtureSample needs at least one group fraction")
+    fractions.foreach { case (g, (num, den)) =>
+      require(num > 0 && den > 0 && num <= den,
+        s"fraction for '$g' must be a rational in (0, 1]: $num/$den")
+    }
+    require(!df.columns.contains("__rank") && !df.columns.contains("__n") &&
+      !df.columns.contains("__num") && !df.columns.contains("__den"),
+      "mixtureSample: input must not have reserved '__rank'/'__n'/'__num'/'__den' columns")
+    val numCol = fractions.foldLeft(lit(null).cast("int")) { case (acc, (g, (num, _))) =>
+      when(col(groupCol) === g, lit(num)).otherwise(acc)
+    }
+    val denCol = fractions.foldLeft(lit(null).cast("int")) { case (acc, (g, (_, den))) =>
+      when(col(groupCol) === g, lit(den)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(idHash2(col(idCol)), col(idCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("__num", numCol).withColumn("__den", denCol)
+      .where(col("__num").isNotNull)
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where((col("__rank").cast("long") - 1) * col("__den") < col("__n") * col("__num"))
+      .drop("__rank", "__n", "__num", "__den")
+  }
+
   /** Fixed-token-budget packing: documents are bucketed by id hash (so the
     * sort is per-bucket, never global — the scale requirement) and packed
     * in id order; `batch_id` = the document's running-token START OFFSET

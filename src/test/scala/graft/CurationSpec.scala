@@ -137,6 +137,27 @@ class CurationSpec extends SparkTestBase {
     assert(covered === (0 until 123).toSet)
   }
 
+  test("mixtureSample: exact per-group ceil quotas in hash order; unlisted groups dropped") {
+    import spark.implicits._
+    val rows = (0L until 3000L).map(i => (i, s"src${i % 6}")).toDF("id", "src")
+    val fr = Map("src0" -> (1, 2), "src1" -> (1, 4), "src5" -> (1, 1))
+    val got = Curation.mixtureSample(rows, "src", "id", fr)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._2).toSet === fr.keySet)
+    def h2(id: Long): Long = {
+      val h1 = ((id % Dedup.HashP) * Curation.HashA) % Dedup.HashP
+      (h1 * Curation.HashB) % Dedup.HashP
+    }
+    val byGrp = (0L until 3000L).map(i => (i, s"src${i % 6}")).groupBy(_._2)
+    val gotByGrp = got.groupBy(_._2)
+    for ((g, (num, den)) <- fr) {
+      val members = byGrp(g).map(_._1)
+      val quota = (members.size * num + den - 1) / den
+      val expect = members.sortBy(id => (h2(id), id)).take(quota).toSet
+      assert(gotByGrp(g).map(_._1).toSet === expect, s"group $g quota $quota")
+    }
+  }
+
   test("importanceSample keeps exactly the integer-threshold rows, monotone in weight") {
     import spark.implicits._
     val df = (0L until 5000L).map(i => (i, 1L + i % 400)).toDF("doc_id", "w")
