@@ -64,7 +64,9 @@ object LanguageModel {
     // per-doc bigram multiplicities: the array transform runs inside the
     // scan stage; only (doc_id, w1, w2, m) rows ever shuffle. MATERIALIZED
     // (the signature-table discipline) so training the counts and scoring
-    // the docs pay ONE corpus scan + tokenization between them, not three.
+    // the docs pay ONE corpus scan + tokenization between them, not three
+    // (plus the separate tiny V distinct-count scan above — vocabulary
+    // includes single-token docs' words, which never form a bigram).
     val docbg = base
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(
