@@ -35,6 +35,18 @@ object SparkEntry {
     1L -> Seq("window", "batch"),
     2L -> Seq("customer", "merge", "slow"))
 
+  /** KMV sketch size and the fixed language-pair probe set of
+    * q_kmv_overlap (the harness corpus languages; literal, like
+    * [[Bm25Queries]], so the oracle can inline the same pairs). */
+  private val KmvK = 128
+  private val KmvLangs = Seq("de", "en", "es", "fr", "zh")
+  private val KmvLangPairs: Seq[(String, String)] =
+    for { a <- KmvLangs; b <- KmvLangs if a < b } yield (a, b)
+
+  /** Count-min geometry of q_cms_counts, shared with its oracle. */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
   /** DuckDB replay of `Tiling.geohashEncode`'s axis indices: emits
     * `... AS li, ... AS ti` over columns named lat/lon. Pure floor
     * arithmetic, so the replay is bit-exact at any precision. */
@@ -1764,6 +1776,52 @@ object SparkEntry {
         minFraction = 0.0002)
         .select("gram", "cnt")),
 
+    // mergeable-sketch cardinality: per-language HyperLogLog over distinct
+    // text trigrams, surfaced as EXACT INTEGERS (zero-register count + the
+    // 2^24-scaled harmonic numerator) so DuckDB replays the registers
+    // bit-for-bit; exact distinct alongside for the accuracy story
+    "q_hll_distinct" -> ((s, dir) => {
+      val sh = Dedup.shingles(documents(s, dir).select("lang", "text"),
+        "lang", "text", n = 3)
+      val exact = sh.groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
+      exact.join(Sketches.hllStats(sh, Seq("lang"), "shingle"), "lang")
+        .select("lang", "exact_distinct", "hll_zeros", "hll_harmonic")
+    }),
+
+    // k-minimum-values sketch per language over the same trigram space:
+    // the k smallest portable hashes (kmv_filled, kth_min are the integer
+    // sketch summary the (k-1)*P/kth_min estimator reads)
+    "q_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvStats(
+        Sketches.kmvSketch(Dedup.shingles(documents(s, dir).select("lang", "text"),
+          "lang", "text", n = 3), Seq("lang"), "shingle", k = KmvK),
+        Seq("lang"))
+        .select("lang", "kmv_filled", "kth_min")),
+
+    // cross-corpus overlap from sketches alone: for every language pair,
+    // the k-min union fill and the in-both match count (matches/k estimates
+    // trigram Jaccard without ever joining the corpora)
+    "q_kmv_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val sketch = Sketches.kmvSketch(
+        Dedup.shingles(documents(s, dir).select("lang", "text"), "lang", "text", n = 3),
+        Seq("lang"), "shingle", k = KmvK)
+      Sketches.kmvOverlap(sketch, "lang", KmvLangPairs.toDF("ga", "gb"), k = KmvK)
+        .select("ga", "gb", "union_filled", "matches")
+    }),
+
+    // count-min frequency sketch over event actors: depth-4 x width-256
+    // counters, point-queried for the 20-user probe set; integer counter
+    // minima replayed exactly by the oracle
+    "q_cms_counts" -> ((s, dir) => {
+      val counters = Sketches.cmsCounters(events(s, dir).select("user_id"),
+        "user_id", depth = CmsDepth, width = CmsWidth)
+      val probes = s.range(0, 20).select(col("id").as("user_id"))
+      Sketches.cmsEstimate(counters, probes, "user_id",
+        depth = CmsDepth, width = CmsWidth)
+        .select("user_id", "est_count")
+    }),
+
     // deterministic per-group sample: 7 docs per language, chosen by the
     // portable two-round id hash — reproducible regardless of partitioning
     "q_group_sample" -> ((s, dir) =>
@@ -2513,6 +2571,30 @@ object SparkEntry {
 
   private val TriJaccard =
     "CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg))"
+
+  /** Shared CTE prefix of the sketch oracles (q_hll_distinct,
+    * q_kmv_distinct, q_kmv_overlap): distinct per-LANGUAGE word trigrams,
+    * their portable hashes — the same trigram derivation as [[TriCte]]
+    * keyed by lang instead of doc_id, hash fold identical to the simhash
+    * oracle's — and the finalized hashes (`sfin`) whose two-round
+    * square+affine arithmetic comes from [[Sketches.finalizeSqlOf]], the
+    * one definition. Prefix is a plain string: `\s+` stays literal. */
+  private val SketchHashCte =
+    """sdocs AS (SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks FROM documents),
+      |stri AS (SELECT DISTINCT lang, shingle FROM (
+      |  SELECT lang, unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |    i -> array_to_string(list_filter([toks[i], toks[i+1], toks[i+2]], t -> t IS NOT NULL), ' '))) AS shingle
+      |  FROM sdocs) q),
+      |shashed AS (SELECT lang, shingle, list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(shingle) + 1),
+      |  i -> CAST(ascii(substr(shingle, i, 1)) AS BIGINT)), (h, c) -> (h * 131 + c) % 2147483647) AS h FROM stri)""".stripMargin +
+    s""",
+      |sfin AS (SELECT lang, shingle, ${Sketches.finalizeSqlOf("h")} AS h FROM shashed)""".stripMargin
+
+  /** The portable-hash fold over a VARCHAR column named `v` (DuckDB form
+    * of [[Dedup.portableHashOf]]), for oracles hashing non-shingle values. */
+  private val SketchValueHashSql =
+    """list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(v) + 1),
+      |  i -> CAST(ascii(substr(v, i, 1)) AS BIGINT)), (h, c) -> (h * 131 + c) % 2147483647)""".stripMargin
 
   /** Recursive-CTE connected components over the >= `minJ` trigram-jaccard
     * pair graph, ending in a `cc(doc_id, cluster_id)` CTE. */
@@ -4082,6 +4164,71 @@ object SparkEntry {
         |tot AS (SELECT count(*) AS n FROM g)
         |SELECT gram, count(*) AS cnt FROM g, tot
         |GROUP BY gram, n HAVING count(*) >= ceil(0.0002 * n)""".stripMargin,
+
+    // HLL registers replayed literally: same portable hash fold, bucket =
+    // h mod 256, rank = 1 + leading zeros of the 23-bit remainder (exact
+    // via bin()-length, the same derivation the engine uses), harmonic
+    // numerator as an exact integer — no floating estimate crosses the gate
+    "q_hll_distinct" ->
+      s"""WITH $SketchHashCte,
+         |regs AS (SELECT lang, h % 256 AS bucket,
+         |  max(CASE WHEN h // 256 = 0 THEN 24 ELSE 24 - length(bin(h // 256)) END) AS register
+         |  FROM sfin GROUP BY 1, 2),
+         |hstats AS (SELECT lang, 256 - count(*) AS hll_zeros,
+         |  CAST(sum(CAST(pow(2, 24 - register) AS BIGINT))
+         |    + (256 - count(*)) * 16777216 AS BIGINT) AS hll_harmonic
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT lang, count(DISTINCT shingle) AS exact_distinct FROM stri GROUP BY 1)
+         |SELECT ex.lang, ex.exact_distinct, hstats.hll_zeros, hstats.hll_harmonic
+         |FROM ex JOIN hstats ON ex.lang = hstats.lang""".stripMargin,
+
+    // k smallest distinct hashes per language, ranked identically (hashes
+    // are distinct within a language, so the order-by is tie-free)
+    "q_kmv_distinct" ->
+      s"""WITH $SketchHashCte,
+         |ranked AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk
+         |  FROM (SELECT DISTINCT lang, h FROM sfin) t)
+         |SELECT lang, count(*) AS kmv_filled, max(h) AS kth_min
+         |FROM ranked WHERE rnk <= $KmvK GROUP BY lang""".stripMargin,
+
+    // the k-min-of-union intersection estimator replayed on the same kept
+    // sets for the same literal language pairs
+    "q_kmv_overlap" -> {
+      val pairValues = KmvLangPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+      s"""WITH $SketchHashCte,
+         |ranked AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk
+         |  FROM (SELECT DISTINCT lang, h FROM sfin) t),
+         |kept AS (SELECT lang, h FROM ranked WHERE rnk <= $KmvK),
+         |pairs AS (SELECT * FROM (VALUES $pairValues) p(ga, gb)),
+         |u AS (SELECT p.ga, p.gb, k.h,
+         |  max(CASE WHEN k.lang = p.ga THEN 1 ELSE 0 END) AS in_a,
+         |  max(CASE WHEN k.lang = p.gb THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN kept k ON k.lang = p.ga OR k.lang = p.gb GROUP BY 1, 2, 3),
+         |r AS (SELECT u.*, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rnk2 FROM u)
+         |SELECT ga, gb, count(*) AS union_filled, CAST(sum(in_a * in_b) AS BIGINT) AS matches
+         |FROM r WHERE rnk2 <= $KmvK GROUP BY 1, 2""".stripMargin
+    },
+
+    // count-min counters rebuilt cell by cell with the shared affine
+    // family, probes point-queried with the same min-over-rows
+    "q_cms_counts" -> {
+      val P = Dedup.HashP
+      def cellRows(src: String, hCol: String, extra: String) =
+        (0 until CmsDepth).map { i =>
+          val (a, b) = Dedup.gCoeffs(i)
+          s"SELECT $extra$i AS r, (($a * $hCol + $b) % $P) % $CmsWidth AS c FROM $src"
+        }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+         |evh AS (SELECT $SketchValueHashSql AS h FROM ev),
+         |cells AS (${cellRows("evh", "h", "")}),
+         |counters AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |probes AS (SELECT range AS user_id, CAST(range AS VARCHAR) AS v FROM range(0, 20)),
+         |ph AS (SELECT user_id, $SketchValueHashSql AS h FROM probes),
+         |pcells AS (${cellRows("ph", "h", "user_id, ")})
+         |SELECT p.user_id, min(c2.cnt) AS est_count
+         |FROM pcells p JOIN counters c2 ON p.r = c2.r AND p.c = c2.c
+         |GROUP BY 1""".stripMargin
+    },
 
     // the two-round affine hash recomputed literally; ties broken by id
     "q_group_sample" -> {

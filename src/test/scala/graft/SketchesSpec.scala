@@ -2,70 +2,117 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.Sketches.HistQuantile
+import graft.operators.{Dedup, Sketches}
+import graft.operators.Sketches.HllAggregator
 
-/** Histogram-quantile sketch: deterministic contract (bucket lower edge at
-  * the max(1, ceil(q*n)) running count), partitioning-independence of the
-  * merge, one-bucket-width error bound vs the exact quantile, clamping. */
+/** Sketch contracts the SQL oracle cannot check: estimate ACCURACY (the
+  * oracles pin the integer registers/counters bit-for-bit; these specs pin
+  * that the estimates derived from them are actually good), the typed
+  * aggregator == compositional-aggregation equivalence (i.e. the mergeable
+  * register buffer computes the same summary as the groupBy path), and the
+  * CMS one-sided-error guarantee. */
 class SketchesSpec extends SparkTestBase {
 
-  test("hand-computed tiny case incl. q=0 and q=1") {
-    import spark.implicits._
-    // buckets of width 10 from 0: values -> buckets {0:[3], 1:[12,15], 3:[35]}
-    val df = Seq(3L, 12L, 15L, 35L).toDF("v")
-    val hq = udaf(new HistQuantile(0L, 10L, 5, Seq(0.0, 0.5, 0.75, 1.0)))
-    val got = df.agg(hq(col("v")).as("qa"))
-      .select(explode(col("qa"))).collect().map(_.getLong(0)).toSeq
-    // n=4: targets max(1,0)=1 -> b0; ceil(2)=2 -> b1; ceil(3)=3 -> b1; 4 -> b3
-    assert(got === Seq(0L, 10L, 10L, 30L))
-  }
+  /** n distinct synthetic values, tagged so different cardinalities don't
+    * collide with each other. */
+  private def values(tag: String, n: Int) =
+    (0 until n).map(i => (tag, s"value-$tag-$i"))
 
-  test("partitioning-independent and within one bucket width of the exact quantile") {
+  test("HLL estimate within 3 sigma (6.5% std error at m=256) across cardinalities") {
     import spark.implicits._
-    val xs = (0 until 5000).map(i => math.abs(i * 2654435761L % 100000L))
-    val hq = udaf(new HistQuantile(0L, 1000L, 100, Seq(0.5, 0.95)))
-    val r1 = xs.toDF("v").repartition(1).agg(hq(col("v"))).collect()(0).getSeq[Long](0)
-    val r7 = xs.toDF("v").repartition(7).agg(hq(col("v"))).collect()(0).getSeq[Long](0)
-    assert(r1 === r7, "merge must be partitioning-independent")
-    val sorted = xs.sorted
-    for ((q, est) <- Seq(0.5, 0.95).zip(r1)) {
-      val exact = sorted(math.max(0, math.ceil(q * xs.size).toInt - 1))
-      assert(est <= exact && exact < est + 1000,
-        s"q=$q est=$est exact=$exact not within one bucket")
+    val df = (values("c100", 100) ++ values("c1000", 1000) ++ values("c10000", 10000))
+      .toDF("grp", "v")
+    val est = Sketches.hllStats(df, Seq("grp"), "v")
+      .withColumn("est", Sketches.hllEstimate(col("hll_zeros"), col("hll_harmonic")))
+      .select("grp", "est").as[(String, Double)].collect().toMap
+    for ((grp, truth) <- Seq("c100" -> 100.0, "c1000" -> 1000.0, "c10000" -> 10000.0)) {
+      val rel = math.abs(est(grp) - truth) / truth
+      assert(rel < 0.20, s"$grp: est ${est(grp)} vs $truth (rel $rel)")
     }
   }
 
-  test("out-of-range values clamp to the edge buckets") {
+  test("HLL duplicate-blindness: dup-heavy input yields identical registers") {
     import spark.implicits._
-    val df = Seq(-500L, -1L, 1000000L).toDF("v")
-    val hq = udaf(new HistQuantile(0L, 10L, 4, Seq(0.0, 1.0)))
-    val got = df.agg(hq(col("v"))).collect()(0).getSeq[Long](0)
-    assert(got === Seq(0L, 30L))
+    val base = values("d", 500).toDF("grp", "v")
+    val dupped = base.union(base).union(base)
+    val a = Sketches.hllStats(base, Seq("grp"), "v").collect().head
+    val b = Sketches.hllStats(dupped, Seq("grp"), "v").collect().head
+    assert(a === b)
   }
 
-  test("sketch groupBy == exact SQL recomputation on lineitem") {
-    val li = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
-    val hq = udaf(new HistQuantile(0L, 100000L, 110, Seq(0.5, 0.95)))
-    val got = li.withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
-      .groupBy("l_returnflag").agg(hq(col("cents")).as("qa"))
-      .select(col("l_returnflag"), element_at(col("qa"), 1).as("p50"),
-        element_at(col("qa"), 2).as("p95"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    // exact recomputation via Spark SQL windows (mirrors the DuckDB oracle)
-    li.createOrReplaceTempView("li_sketch")
-    val want = spark.sql(
-      """WITH x AS (SELECT l_returnflag,
-        |    LEAST(109L, GREATEST(0L, CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT) / 100000.0) AS BIGINT))) AS b
-        |  FROM li_sketch),
-        |c AS (SELECT l_returnflag, b, count(*) AS cnt FROM x GROUP BY 1, 2),
-        |w AS (SELECT l_returnflag, b,
-        |        SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
-        |        SUM(cnt) OVER (PARTITION BY l_returnflag) AS n FROM c)
-        |SELECT l_returnflag,
-        |  MIN(CASE WHEN cum >= GREATEST(1L, CAST(ceil(0.5 * n) AS BIGINT)) THEN b * 100000 END) AS p50,
-        |  MIN(CASE WHEN cum >= GREATEST(1L, CAST(ceil(0.95 * n) AS BIGINT)) THEN b * 100000 END) AS p95
-        |FROM w GROUP BY 1""".stripMargin)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got === want && got.nonEmpty)
+  test("typed HllAggregator (mergeable register buffer) == compositional hllStats") {
+    import spark.implicits._
+    val df = values("m", 3000).toDF("grp", "v")
+    val compositional = Sketches.hllStats(df, Seq("grp"), "v")
+      .select("hll_zeros", "hll_harmonic").as[(Long, Long)].collect().head
+    // 16 partitions force real partial-buffer merges through merge()
+    val hashes = df.repartition(16)
+      .select(Dedup.portableHash(col("v")).as("h")).as[Long]
+    val packed = hashes.select(new HllAggregator().toColumn).collect().head
+    assert(Sketches.unpackHll(packed) === compositional)
+  }
+
+  test("KMV estimate (k-1)*P/kth_min within 25% (~3 sigma at k=128) of true cardinality") {
+    import spark.implicits._
+    val k = 128
+    val df = values("k5000", 5000).toDF("grp", "v")
+    val sketch = Sketches.kmvSketch(df, Seq("grp"), "v", k)
+    val (filled, kth) = Sketches.kmvStats(sketch, Seq("grp"))
+      .select("kmv_filled", "kth_min").as[(Long, Long)].collect().head
+    assert(filled === k.toLong)
+    val est = (k - 1).toDouble * Dedup.HashP / kth
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"est $est")
+    // below-k cardinality: the sketch IS the exact distinct set
+    val small = Sketches.kmvStats(
+      Sketches.kmvSketch(values("k40", 40).toDF("grp", "v"), Seq("grp"), "v", k),
+      Seq("grp")).select("kmv_filled").as[Long].collect().head
+    assert(small === 40L)
+  }
+
+  test("KMV overlap matches/k tracks true Jaccard of planted overlapping sets") {
+    import spark.implicits._
+    val k = 128
+    // A and B share 2000 of 3000 values each: true Jaccard = 2000/4000 = 0.5
+    val a = (0 until 3000).map(i => ("a", s"shared-$i"))
+    val b = (1000 until 4000).map(i => ("b", s"shared-$i"))
+    val df = (a ++ b).toDF("grp", "v")
+    val sketch = Sketches.kmvSketch(df, Seq("grp"), "v", k)
+    val pairs = Seq(("a", "b")).toDF("ga", "gb")
+    val row = Sketches.kmvOverlap(sketch, "grp", pairs, k)
+      .select("union_filled", "matches").as[(Long, Long)].collect().head
+    assert(row._1 === k.toLong)
+    val jaccardEst = row._2.toDouble / k
+    assert(math.abs(jaccardEst - 0.5) < 0.15, s"jaccard est $jaccardEst")
+  }
+
+  test("CMS is one-sided (est >= true for every key) and exact off collisions") {
+    import spark.implicits._
+    // zipf-ish: key i appears (100 - i) times, i in [0, 100)
+    val rows = (0 until 100).flatMap(i => Seq.fill(100 - i)(s"key-$i"))
+    val df = rows.toDF("v")
+    val counters = Sketches.cmsCounters(df, "v", depth = 4, width = 256)
+    val probes = (0 until 100).map(i => s"key-$i").toDF("v")
+    val est = Sketches.cmsEstimate(counters, probes, "v", depth = 4, width = 256)
+      .as[(String, Long)].collect().toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var exact = 0
+    for ((kk, t) <- truth) {
+      assert(est(kk) >= t, s"$kk: est ${est(kk)} < true $t")
+      // CMS guarantee: overshoot <= e/width * N with prob 1 - e^-depth;
+      // deterministic here, so assert the bound outright (N = 5050)
+      assert(est(kk) - t <= (math.E / 256 * rows.size).ceil.toLong, s"$kk overshoot")
+      if (est(kk) == t) exact += 1
+    }
+    assert(exact >= 90, s"only $exact/100 exact at 100 keys over 4x256 counters")
+  }
+
+  test("CMS counters are mergeable: counters(A ++ B) == cellwise sum of counters(A), counters(B)") {
+    import spark.implicits._
+    val a = (0 until 50).map(i => s"key-$i").toDF("v")
+    val b = (25 until 75).map(i => s"key-$i").toDF("v")
+    val whole = Sketches.cmsCounters(a.union(b), "v")
+    val merged = Sketches.cmsCounters(a, "v").union(Sketches.cmsCounters(b, "v"))
+      .groupBy("row", "col").agg(sum("cnt").as("cnt"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty)
   }
 }
