@@ -1530,6 +1530,12 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(documents(s, dir), "doc_id", "text", k = 3)),
 
+    // corpus-level phrase mining: top-20 bigram collocations by PMI with
+    // the integer-exact scaled-quotient score (same rank as PMI — the
+    // N^2/B factor is a corpus constant); hapax filter c_xy >= 5
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(documents(s, dir), "text", minCount = 5, k = 20)),
+
     // BM25 full-text retrieval: top-5 docs per query, inverted-index shape
     // (vocabulary filter inside the scan, only (id, dl, term) shuffles,
     // ordered-fold score so the float is bit-reproducible); rank-only
@@ -3675,6 +3681,21 @@ object SparkEntry {
         |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS r
         |  FROM tf JOIN df USING (term)) t
         |WHERE r <= 3""".stripMargin,
+
+    // identical integer arithmetic: scaled quotient c_xy*10^12 // (c_x*c_y)
+    // (PMI rank — N^2/B is a corpus constant, so the quotient order IS the
+    // PMI order), whitespace tokenizer of the trigram family, total order
+    // (score DESC, w1, w2) so the top-20 cut is deterministic both sides
+    "q_collocations" ->
+      """WITH docs AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS w FROM docs),
+        |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |big AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM docs, unnest(range(1, len(toks))) AS t(i)),
+        |bcnt AS (SELECT w1, w2, count(*) AS cxy FROM big GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT b.w1, b.w2, b.cxy, ua.c AS cx, ub.c AS cy,
+        |  (b.cxy * 1000000000000) // (ua.c * ub.c) AS score
+        |FROM bcnt b JOIN ucnt ua ON b.w1 = ua.w JOIN ucnt ub ON b.w2 = ub.w
+        |ORDER BY score DESC, b.w1, b.w2 LIMIT 20""".stripMargin,
 
     // identical BM25 formula with the identical addition order: per-term
     // contributions folded in sorted-term order (list(... ORDER BY term)

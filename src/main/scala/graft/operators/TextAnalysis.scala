@@ -169,4 +169,56 @@ object TextAnalysis {
       .withColumn("__r", row_number().over(w)).where(col("__r") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"))
   }
+
+  /** Top-k bigram collocations over the corpus — phrase mining by pointwise
+    * mutual information, with an INTEGER-EXACT score: PMI ranks bigrams by
+    * log(c_xy * N^2 / (B * c_x * c_y)); N (total tokens) and B (total
+    * bigrams) are corpus constants, so the PMI ORDER equals the order of
+    * c_xy / (c_x * c_y). The emitted score is the scaled integer quotient
+    * `c_xy * 10^12 div (c_x * c_y)` — pure int64 arithmetic (no log, no
+    * float), replayed operand-for-operand by the DuckDB oracle, with
+    * (score DESC, w1 ASC, w2 ASC) as the total rank order. `minCount`
+    * is the standard hapax filter: without it, any pair of two rare typos
+    * tops the list (c_xy = c_x = c_y = 1 maximizes the quotient).
+    *
+    * Overflow bound: c_xy * 10^12 needs c_xy < 9.2e6 — a corpus with more
+    * occurrences of one bigram should raise `minCount` and lower the scale;
+    * guarded by the require below at the only place a count enters the
+    * scaled product.
+    *
+    * Shape at scale: token arrays built once per row inside the scan
+    * (codegen'd transform — text never shuffles); two hash aggregations
+    * (unigram counts, bigram counts, both map-side partial, each keyed by
+    * tiny token strings); the c_xy >= minCount filter cuts the bigram table
+    * BEFORE the two vocabulary joins; the final top-k is a
+    * TakeOrderedAndProject, never a global sort. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val Scale = 1000000000000L // 10^12: c_xy * Scale stays < 2^63 for c_xy < 9.2e6
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val rows = df.select(toks.as("toks"))
+    val uni = rows.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bigrams = rows.select(explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array())).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bcnt = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .where(col("cxy") >= minCount)
+    val guarded = bcnt.withColumn("cxy",
+      when(col("cxy") < 9200000L, col("cxy"))
+        .otherwise(raise_error(concat(lit("collocations: c_xy overflows the 10^12 scale: "),
+          col("cxy").cast("string")))))
+    guarded
+      .join(uni.select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .withColumn("score", expr(s"cxy * ${Scale}L div (cx * cy)"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "cxy", "cx", "cy", "score")
+  }
 }
