@@ -1416,6 +1416,14 @@ object SparkEntry {
         numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
         .select("id_a", "id_b", "jaccard")),
 
+    // EXACT all-pairs set-cosine self-join (AllPairs/PPJoin prefix
+    // filtering — the ground-truth counterpart of the LSH family): every
+    // trigram-set pair with cosine^2 >= 49/100, integer predicate, no
+    // recall knob, no bucket cap
+    "q_allpairs_cosine" -> ((s, dir) =>
+      AllPairs.cosineSelfJoin(documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+        t2Num = 49, t2Den = 100)),
+
     // substring-level exact dedup: pairs sharing any verbatim >= 8-token
     // span (inverted n-gram-fingerprint join + exact set verification)
     "q_substring_dups" -> ((s, dir) =>
@@ -3555,6 +3563,20 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $TriJaccard AS jaccard
          |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
          |WHERE $TriJaccard >= 0.9""".stripMargin,
+
+    // the identical integer cosine predicate over the shared trigram
+    // derivation: t2Den*ov^2 >= t2Num*na*nb with t^2 = 49/100 — the
+    // all-pairs SQL here is the ground truth the prefix filter must equal
+    // exactly (completeness is the operator's contract, so the oracle is
+    // the full quadratic, confined to oracle scale)
+    "q_allpairs_cosine" ->
+      s"""WITH $TriCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS overlap,
+         |  CAST(len(a.tg) AS BIGINT) AS na, CAST(len(b.tg) AS BIGINT) AS nb
+         |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+         |WHERE 100 * CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) * len(list_intersect(a.tg, b.tg))
+         |  >= 49 * CAST(len(a.tg) AS BIGINT) * len(b.tg)""".stripMargin,
 
     // verbatim >= 8-token spans: a pair shares a span iff their distinct
     // 8-gram sets intersect; mirrored with the null-filtered token-window
