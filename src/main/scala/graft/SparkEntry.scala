@@ -2126,6 +2126,21 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    // ROTATION-invariant near-dup: plant 90-deg-rotated re-uploads of
+    // every 40th image; the orientation-canonical (D4-minimum) dhash puts
+    // each rotated copy at hamming 0 from its source — rotation
+    // invariance is EXACT, a pixel permutation, not approximate — while
+    // unrelated canonical hashes stay ~32 bits apart (RotNearDupSpec pins
+    // no natural <= 3-bit collision over the full population), so the
+    // planted pairs ARE the exact answer
+    "q_image_rot_neardup" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val planted = ImagePayload.withRotation(images.where(col("p_partkey") % 40 === 0), 1)
+        .withColumn("p_partkey", col("p_partkey") + 100000000L)
+      ImagePayload.rotImageNearDup(images.unionByName(planted), "p_partkey")
+        .select("id_a", "id_b")
+    }),
+
     // SSIM pixel-verify stage over a candidate-pair table: every 40th key
     // pairs with its corner-patched copy (true near-dup, SSIM ~1), every
     // (40k+20)th with its NEIGHBOR key's unrelated raster (decoy, SSIM ~0).
@@ -4573,6 +4588,12 @@ object SparkEntry {
     // (no natural pair exists within hamming 3 — spec-asserted over the
     // whole population, see q_image_neardup comment)
     "q_image_neardup" ->
+      """SELECT p_partkey AS id_a, p_partkey + 100000000 AS id_b
+        |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
+
+    // exact: rotated re-uploads sit at canonical hamming 0, nothing else
+    // within 3 bits (precondition spec-asserted over the population)
+    "q_image_rot_neardup" ->
       """SELECT p_partkey AS id_a, p_partkey + 100000000 AS id_b
         |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
 

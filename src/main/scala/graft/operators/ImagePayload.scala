@@ -173,6 +173,12 @@ object ImagePayload {
     if (src == null) return None // undecodable: NO sentinel value — a shared
     // sentinel would cluster every corrupt image into one giant false
     // near-dup group; callers filter the null column instead
+    Some(dhashOfImage(src))
+  }
+
+  /** The 9x8-downsample + gradient-sign core of [[dhash64]], shared with
+    * the orientation-canonical hash so the two cannot diverge. */
+  private def dhashOfImage(src: BufferedImage): Long = {
     val small = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
     val g = small.createGraphics()
     g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
@@ -195,7 +201,91 @@ object ImagePayload {
       }
       y += 1
     }
-    Some(bits)
+    bits
+  }
+
+  /** EXACT quarter-turn rotation — a pixel permutation, no resampling and
+    * no interpolation loss (turns=1 is 90 deg clockwise), so a rotated
+    * re-encode decodes to precisely the permuted raster. */
+  def rotateQuarter(img: BufferedImage, turns: Int): BufferedImage = {
+    val t = ((turns % 4) + 4) % 4
+    if (t == 0) return img
+    val w = img.getWidth; val h = img.getHeight
+    val (nw, nh) = if (t % 2 == 0) (w, h) else (h, w)
+    val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = img.getRGB(x, y)
+        t match {
+          case 1 => dst.setRGB(h - 1 - y, x, v)
+          case 2 => dst.setRGB(w - 1 - x, h - 1 - y, v)
+          case _ => dst.setRGB(y, w - 1 - x, v)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    dst
+  }
+
+  /** Exact horizontal mirror (the other D4 generator). */
+  private def mirrorImage(img: BufferedImage): BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { dst.setRGB(w - 1 - x, y, img.getRGB(x, y)); x += 1 }
+      y += 1
+    }
+    dst
+  }
+
+  /** Decode + exact quarter-turn + PNG re-encode (the rotated-re-upload
+    * fixture generator and the user-facing rotate op). */
+  def rotateBytes(bytes: Array[Byte], turns: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null) return Array.emptyByteArray
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(rotateQuarter(src, turns), "png", out)
+    out.toByteArray
+  }
+
+  /** Decode + exact horizontal mirror + PNG re-encode. */
+  def mirrorBytes(bytes: Array[Byte]): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null) return Array.emptyByteArray
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(mirrorImage(src), "png", out)
+    out.toByteArray
+  }
+
+  /** ORIENTATION-CANONICAL perceptual hash: the minimum [[dhash64]] over
+    * all 8 dihedral orientations (4 quarter-turns x optional mirror) of
+    * the decoded raster. Rotating or mirroring an image permutes its D4
+    * orbit but never changes the orbit SET, so a rotated/flipped re-upload
+    * gets the IDENTICAL canonical hash (hamming 0) — rotation-invariance
+    * is exact, not approximate. For near-dups (patch + rotate) the min is
+    * taken over hashes ~32 bits apart while the patch moves each by <= 3
+    * bits, so the argmin orientation is stable and pair hamming stays
+    * small; RotNearDupSpec pins both properties on the gate population.
+    * Cost: 8 in-memory permutations + downsamples per image, one decode —
+    * still a scan-side map; only (id, hash) rows ever shuffle. */
+  def dhashDihedral(bytes: Array[Byte]): Option[Long] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null) return None
+    val r1 = rotateQuarter(src, 1)
+    val r2 = rotateQuarter(src, 2)
+    val r3 = rotateQuarter(src, 3)
+    val orbit = Seq(src, r1, r2, r3)
+    var best = Long.MaxValue
+    orbit.foreach { im =>
+      best = math.min(best, dhashOfImage(im))
+      best = math.min(best, dhashOfImage(mirrorImage(im)))
+    }
+    Some(best)
   }
 
   /** Real decode + SHARPNESS: variance of the 3x3 Laplacian of the integer
@@ -319,6 +409,33 @@ object ImagePayload {
       withPerceptualHash(images).select(col(idCol), col("dhash"))
         .where(col("dhash").isNotNull).localCheckpoint(),
       idCol, "dhash", maxHamming)
+
+  private val dhashDihedralUdf = udf((bytes: Array[Byte]) => dhashDihedral(bytes))
+  private val rotateUdf = udf((bytes: Array[Byte], t: Int) => rotateBytes(bytes, t))
+
+  /** Orientation-canonical hash column (see [[dhashDihedral]]). */
+  def withRotInvariantHash(images: DataFrame): DataFrame =
+    images.withColumn("rdhash", dhashDihedralUdf(col("bytes")))
+
+  /** Rotated-copy column: exact quarter-turn + PNG re-encode; `phash` is
+    * recomputed like [[withPatch]] (the rotated copy is not byte-identical). */
+  def withRotation(images: DataFrame, turns: Int): DataFrame = {
+    val rotated = images.withColumn("bytes", rotateUdf(col("bytes"), lit(turns)))
+    if (rotated.columns.contains("phash")) rotated.withColumn("phash", xxhash64(col("bytes")))
+    else rotated
+  }
+
+  /** ROTATION/FLIP-INVARIANT image near-dup: [[imageNearDup]] over the
+    * orientation-canonical hash — a rotated or mirrored re-upload lands at
+    * hamming 0 from its source, a patched+rotated one within the patch's
+    * bit budget. Same signature discipline: the (id, rdhash) table is
+    * pinned before the banded self-join, bytes never shuffle, undecodable
+    * rows are dropped rather than clustered. */
+  def rotImageNearDup(images: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
+    Dedup.hamming64Pairs(
+      withRotInvariantHash(images).select(col(idCol), col("rdhash"))
+        .where(col("rdhash").isNotNull).localCheckpoint(),
+      idCol, "rdhash", maxHamming)
 
   private val resizeUdf = udf((bytes: Array[Byte], w: Int, h: Int) => resizeImage(bytes, w, h))
   private val featuresUdf = udf((bytes: Array[Byte]) => imageFeatures(bytes))
