@@ -1790,6 +1790,24 @@ object SparkEntry {
         minFraction = 0.0002)
         .select("gram", "cnt")),
 
+    // geospatial x sketch composition: per-geohash-cell distinct-VISITOR
+    // HLL — the mobility cube a 100-TB stack maintains. Exact
+    // COUNT(DISTINCT device) shuffles every id under its cell; the
+    // register table shuffles <= 256 integer rows per cell whatever the
+    // traffic, and cells/days merge by register max. Same exact-integer
+    // register contract as q_hll_distinct; exact distinct alongside
+    "q_cell_visitors_hll" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      val cells = Tiling.geohashEncode(pts, "lat", "lon", 1, out = "cell")
+        .select("cell", "user_id")
+      val hll = Sketches.hllStats(cells, Seq("cell"), "user_id")
+      val exact = cells.distinct()
+        .groupBy("cell").agg(count(lit(1)).as("exact_visitors"))
+      hll.join(exact, "cell")
+    }),
+
     // mergeable-sketch cardinality: per-language HyperLogLog over distinct
     // text trigrams, surfaced as EXACT INTEGERS (zero-register count + the
     // 2^24-scaled harmonic numerator) so DuckDB replays the registers
@@ -4227,6 +4245,29 @@ object SparkEntry {
     // h mod 256, rank = 1 + leading zeros of the 23-bit remainder (exact
     // via bin()-length, the same derivation the engine uses), harmonic
     // numerator as an exact integer — no floating estimate crosses the gate
+    // the bit-exact geohash-1 interleave feeding the same register replay
+    // as q_hll_distinct, keyed by cell; the value hash folds the DECIMAL
+    // string of user_id on both sides (Spark's long->string cast == CAST
+    // AS VARCHAR)
+    "q_cell_visitors_hll" ->
+      s"""WITH pts AS (SELECT user_id, ${latSqlFor("event_id")} AS lat,
+         |  ${lonSqlFor("event_id")} AS lon FROM events),
+         |idx AS (SELECT user_id, ${geohashIdxSql(1)} FROM pts),
+         |cells AS (SELECT ${geohashCharsSql(1)} AS cell, user_id FROM idx),
+         |vals AS (SELECT DISTINCT cell, CAST(user_id AS VARCHAR) AS v FROM cells),
+         |hashed AS (SELECT cell, $SketchValueHashSql AS h FROM vals),
+         |fin AS (SELECT cell, ${Sketches.finalizeSqlOf("h")} AS h FROM hashed),
+         |regs AS (SELECT cell, h % 256 AS bucket,
+         |  max(CASE WHEN h // 256 = 0 THEN 24 ELSE 24 - length(bin(h // 256)) END) AS register
+         |  FROM fin GROUP BY 1, 2),
+         |hstats AS (SELECT cell, 256 - count(*) AS hll_zeros,
+         |  CAST(sum(CAST(pow(2, 24 - register) AS BIGINT))
+         |    + (256 - count(*)) * 16777216 AS BIGINT) AS hll_harmonic
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT cell, count(DISTINCT user_id) AS exact_visitors FROM cells GROUP BY 1)
+         |SELECT ex.cell, hstats.hll_zeros, hstats.hll_harmonic, ex.exact_visitors
+         |FROM ex JOIN hstats ON ex.cell = hstats.cell""".stripMargin,
+
     "q_hll_distinct" ->
       s"""WITH $SketchHashCte,
          |regs AS (SELECT lang, h % 256 AS bucket,
