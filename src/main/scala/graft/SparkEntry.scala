@@ -1808,6 +1808,20 @@ object SparkEntry {
       hll.join(exact, "cell")
     }),
 
+    // the STREAMING twin: per-cell register state folded across
+    // micro-batches (256 bytes per cell, never an id set) — batch-mode run
+    // of the flatMapGroupsWithState operator, same register replay oracle;
+    // StreamingSketchesSpec pins cross-batch == batch and replay
+    // idempotence on a MemoryStream
+    "q_cell_visitors_hll_stream" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      val cells = Tiling.geohashEncode(pts, "lat", "lon", 1, out = "cell")
+        .select("cell", "user_id")
+      graft.streaming.StreamingSketches.cellVisitorsHll(cells, "cell", "user_id").toDF()
+    }),
+
     // mergeable-sketch cardinality: per-language HyperLogLog over distinct
     // text trigrams, surfaced as EXACT INTEGERS (zero-register count + the
     // 2^24-scaled harmonic numerator) so DuckDB replays the registers
@@ -4267,6 +4281,24 @@ object SparkEntry {
          |ex AS (SELECT cell, count(DISTINCT user_id) AS exact_visitors FROM cells GROUP BY 1)
          |SELECT ex.cell, hstats.hll_zeros, hstats.hll_harmonic, ex.exact_visitors
          |FROM ex JOIN hstats ON ex.cell = hstats.cell""".stripMargin,
+
+    // the same register replay without the exact column — the streaming
+    // operator's whole point is never materializing the id sets
+    "q_cell_visitors_hll_stream" ->
+      s"""WITH pts AS (SELECT user_id, ${latSqlFor("event_id")} AS lat,
+         |  ${lonSqlFor("event_id")} AS lon FROM events),
+         |idx AS (SELECT user_id, ${geohashIdxSql(1)} FROM pts),
+         |cells AS (SELECT ${geohashCharsSql(1)} AS cell, user_id FROM idx),
+         |vals AS (SELECT DISTINCT cell, CAST(user_id AS VARCHAR) AS v FROM cells),
+         |hashed AS (SELECT cell, $SketchValueHashSql AS h FROM vals),
+         |fin AS (SELECT cell, ${Sketches.finalizeSqlOf("h")} AS h FROM hashed),
+         |regs AS (SELECT cell, h % 256 AS bucket,
+         |  max(CASE WHEN h // 256 = 0 THEN 24 ELSE 24 - length(bin(h // 256)) END) AS register
+         |  FROM fin GROUP BY 1, 2)
+         |SELECT cell, 256 - count(*) AS hll_zeros,
+         |  CAST(sum(CAST(pow(2, 24 - register) AS BIGINT))
+         |    + (256 - count(*)) * 16777216 AS BIGINT) AS hll_harmonic
+         |FROM regs GROUP BY 1""".stripMargin,
 
     "q_hll_distinct" ->
       s"""WITH $SketchHashCte,
