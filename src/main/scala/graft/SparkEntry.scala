@@ -1416,6 +1416,15 @@ object SparkEntry {
         numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
         .select("id_a", "id_b", "jaccard")),
 
+    // sorted-neighborhood near-dup (merge/purge — the third candidate
+    // family next to blocking and LSH): one range sort + a constant
+    // n*(window-1) candidate explode — never data-dependent — then exact
+    // trigram-Jaccard verify; w=10 recovers this corpus's full LSH answer
+    "q_snm_pairs" -> ((s, dir) =>
+      SortedNeighborhood.snmNearDupPairs(documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", window = 10, minJaccard = 0.9)
+        .select("id_a", "id_b", "jaccard")),
+
     // EXACT all-pairs set-cosine self-join (AllPairs/PPJoin prefix
     // filtering — the ground-truth counterpart of the LSH family): every
     // trigram-set pair with cosine^2 >= 49/100, integer predicate, no
@@ -3609,6 +3618,20 @@ object SparkEntry {
       s"""WITH $TriCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $TriJaccard AS jaccard
          |FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+         |WHERE $TriJaccard >= 0.9""".stripMargin,
+
+    // the identical SNM pipeline: same normalized key, same total order,
+    // same rank-window arithmetic, same trigram-Jaccard verify — the
+    // single-node window here is the oracle's privilege; the engine's
+    // rank is the two-pass range-partitioned one
+    "q_snm_pairs" ->
+      s"""WITH $TriCte,
+         |k AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS key FROM documents),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rnk FROM k),
+         |cand AS (SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
+         |         FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 9)
+         |SELECT c.id_a, c.id_b, $TriJaccard AS jaccard
+         |FROM cand c JOIN tri a ON c.id_a = a.doc_id JOIN tri b ON c.id_b = b.doc_id
          |WHERE $TriJaccard >= 0.9""".stripMargin,
 
     // the identical integer cosine predicate over the shared trigram
