@@ -74,8 +74,13 @@ object AllPairs {
     require(t2Num > 0 && t2Num < t2Den, s"need 0 < t2 < 1: $t2Num/$t2Den")
     require(!Seq("shingle", "df", "n", "na", "nb", "overlap", "id_a", "id_b", "__r")
       .contains(idCol), s"cosineSelfJoin: id column '$idCol' collides with a reserved name")
-    val post = Dedup.shingles(df, idCol, textCol, shingleN)
-    val sizes = post.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // the postings table feeds SEVEN join branches (prefix, full, two
+    // refine sides, df, and two size builds) — without the pin the
+    // tokenize+explode subtree re-executes under every branch (the
+    // imageNearDup / hexRing re-execution lesson); pinned it is (id,
+    // shingle) rows, the signature table an ingest pipeline persists
+    val post = Dedup.shingles(df, idCol, textCol, shingleN).localCheckpoint()
+    val sizes = post.groupBy(col(idCol)).agg(count(lit(1)).as("n")).localCheckpoint()
     val cand = cosineCandidates(post, sizes, idCol, t2Num, t2Den)
     val ov = cand
       .join(post.select(col(idCol).as("id_a"), col("shingle")), "id_a")

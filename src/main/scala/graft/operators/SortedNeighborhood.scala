@@ -57,8 +57,10 @@ object SortedNeighborhood {
   private[graft] def candidates(df: DataFrame, idCol: String, key: Column,
                                 window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2: $window")
+    // (id, rank) feeds both join sides — pin it or the range sort + rank
+    // runs twice (and the key expression re-reads the text column)
     val ranked = globalRank(df.select(col(idCol), key.as("__key")),
-      col("__key"), col(idCol)).select(col(idCol), col("rank"))
+      col("__key"), col(idCol)).select(col(idCol), col("rank")).localCheckpoint()
     val probe = ranked
       .select(col(idCol).as("__ida"), col("rank").as("__r"),
         explode(sequence(lit(1), lit(window - 1))).as("__d"))
