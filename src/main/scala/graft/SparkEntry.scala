@@ -1299,6 +1299,19 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    // per-node triangle counts over the 500 km proximity graph — the
+    // clique-ness QA signal for dedup/contact graphs; degree-ordered
+    // orientation bounds the wedge stage at O(m^1.5) however hubby the
+    // graph, and changes the plan, never the count
+    "q_triangles" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+      Graphs.triangleCounts(edges)
+    }),
+
     // IDW power-2 interpolation of a customer-valued surface at supplier
     // locations: planar wrap-aware metric + explicitly-ordered folds make
     // the float estimate itself bit-reproducible (the oracle replays the
@@ -3472,6 +3485,21 @@ object SparkEntry {
          |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
          |WHERE $d <= 500000.0""".stripMargin
+    },
+
+    // the brute-force pair graph, then the plain a<b<c triple join — the
+    // degree orientation is the engine's plan choice, not a semantic one
+    "q_triangles" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |pairs AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |  WHERE $d <= 500000.0),
+         |t AS (SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c FROM pairs p1
+         |  JOIN pairs p2 ON p2.id_a = p1.id_b
+         |  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+         |n AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+         |SELECT id, count(*) AS triangles FROM n GROUP BY id""".stripMargin
     },
 
     // idwInterpolate replayed bit for bit: identical planar d2 arithmetic
