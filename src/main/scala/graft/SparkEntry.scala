@@ -1509,6 +1509,32 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // END-TO-END curation pipeline — the composition showcase: language
+    // gate (predicted en) -> minimum-length gate (>= 20 tokens) ->
+    // exact-dup collapse (min doc_id per raw text) -> near-dup keep list
+    // (LSH + exact trigram verify + connected components) -> token-budget
+    // packing of the survivors. Every stage is an already-oracled
+    // operator; the chain replays as ONE CTE pipeline, hash-exact —
+    // proving the library COMPOSES, not just that each piece works
+    "q_pipeline_keep" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      val en = docs.join(
+        TextAnalysis.langId(docs, "doc_id", "text")
+          .where(col("lang_pred") === "en").select("doc_id"), "doc_id")
+      val sized = en.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .where(col("n_tokens") >= 20)
+      val reps = sized.groupBy("text")
+        .agg(min("doc_id").as("doc_id"), max("n_tokens").as("n_tokens"))
+      val repDocs = reps.select("doc_id", "text")
+      val keep = Dedup.dedupKeep(repDocs, "doc_id",
+        Dedup.nearDupPairs(repDocs, "doc_id", "text",
+          numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
+          .select("id_a", "id_b"))
+      val kept = reps.join(keep.select("doc_id"), "doc_id").select("doc_id", "n_tokens")
+      Curation.packByBudget(kept, "doc_id", "n_tokens", budgetTokens = 200, buckets = 8)
+        .select("doc_id", "n_tokens", "bucket", "batch_id")
+    }),
+
     // --- curation: reproducible splits + token-budget packing ---
     "q_split" -> ((s, dir) =>
       Curation.hashSplit(documents(s, dir).select("doc_id"), "doc_id", valFrac = 0.2)
@@ -2647,10 +2673,12 @@ object SparkEntry {
     * bit-identical on this derivation for their equivalence arguments to
     * hold — so it exists exactly once. Plain (non-interpolated) string:
     * the `\s+` must reach DuckDB with a single backslash. */
-  private val TriCte =
-    """docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
-      |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs)""".stripMargin
+  private def triCteOver(src: String): String =
+    s"""docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM $src),
+       |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg FROM docs)""".stripMargin
+
+  private val TriCte = triCteOver("documents")
 
   private val TriJaccard =
     "CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) / len(list_distinct(a.tg || b.tg))"
@@ -3728,6 +3756,40 @@ object SparkEntry {
          |${ccCte(0.9)}
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin,
+
+    // the END-TO-END pipeline as ONE CTE chain: the q_langid_pred vote,
+    // the token gate, the exact-text collapse, the trigram-CC keep rule
+    // (triCteOver/ccCte — the same shared derivations), then the q_pack
+    // bucket + cumulative-batch arithmetic on the survivors
+    "q_pipeline_keep" -> {
+      val dictVals = TextAnalysis.Stopwords.toSeq.sortBy(_._1).flatMap {
+        case (lang, ws) => ws.map(w => s"('$w','$lang')")
+      }.mkString(", ")
+      val (p, a) = (Dedup.HashP, Curation.HashA)
+      s"""WITH RECURSIVE dict(tok, cand_lang) AS (VALUES $dictVals),
+         |ltoks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |  x -> len(x) > 0)) AS tok FROM documents),
+         |votes AS (SELECT doc_id, cand_lang, count(*) AS cnt
+         |  FROM ltoks JOIN dict USING (tok) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, max(printf('%010d|%s', cnt, cand_lang)) AS key
+         |  FROM votes GROUP BY 1),
+         |en AS (SELECT d.doc_id, d.text FROM documents d JOIN best b USING (doc_id)
+         |  WHERE split_part(b.key, '|', 2) = 'en'),
+         |sized AS (SELECT doc_id, text,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS INTEGER) AS n_tokens
+         |  FROM en),
+         |szf AS (SELECT * FROM sized WHERE n_tokens >= 20),
+         |reps AS (SELECT min(doc_id) AS doc_id, max(n_tokens) AS n_tokens, text FROM szf GROUP BY text),
+         |${triCteOver("reps")},
+         |${ccCte(0.9)},
+         |kept AS (SELECT r.doc_id, r.n_tokens FROM reps r
+         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)),
+         |bk AS (SELECT doc_id, n_tokens,
+         |  CAST(((doc_id % $p) * $a) % $p % 8 AS INTEGER) AS bucket FROM kept)
+         |SELECT doc_id, n_tokens, bucket,
+         | CAST((CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 200 AS BIGINT) AS batch_id
+         |FROM bk""".stripMargin
+    },
 
     // curation oracles: the id-hash split arithmetic is integer-exact and
     // mirrored literally (P = 2^31-1, A = Curation.HashA, threshold from
