@@ -146,6 +146,33 @@ object ExecBench {
         pts.withColumn("w", pmod(col("id"), lit(400L)) + 1L).toDF(), "id", "w", 400L)
         .count(); 100000000L
     }
+    // wave 37/38/35 additions at the same scale. globalRank carries its own
+    // exactness assert: sum(rank) over 100M rows must be exactly n(n+1)/2
+    // whatever the range sampler did — a bit-level correctness check AT the
+    // benchmark scale, not just at spec scale.
+    import graft.operators.{SortedNeighborhood, Graphs, Sketches}
+    t("globalRank 100M   ") {
+      val keyed = spark.range(0L, 100000000L, 1, 64)
+        .withColumn("key", pmod(col("id") * 2654435761L, lit(1000003L)))
+      val s = SortedNeighborhood.globalRank(keyed.toDF(), col("key"), col("id"))
+        .agg(sum("rank")).head().getLong(0)
+      require(s == 5000000050000000L, s"rank sum broken: $s")
+      100000000L
+    }
+    t("triangles 20M edge") {
+      // ladder graph: edges (i,i+1) and (i,i+2) -> every interior node in
+      // 1-3 triangles; counts verified closed-form at spec scale
+      val n = 10000000L
+      val ids = spark.range(0L, n, 1, 64)
+      val e1 = ids.select(col("id").as("id_a"), (col("id") + 1).as("id_b")).where(col("id_b") < n)
+      val e2 = ids.select(col("id").as("id_a"), (col("id") + 2).as("id_b")).where(col("id_b") < n)
+      Graphs.triangleCounts(e1.unionAll(e2).toDF()).count()
+    }
+    t("hllRegisters 100M ") {
+      Sketches.hllStats(
+        pts.withColumn("g", pmod(col("id"), lit(32L))).toDF(), Seq("g"), "id")
+        .count(); 100000000L
+    }
     spark.stop()
   }
 }
