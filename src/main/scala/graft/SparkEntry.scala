@@ -1856,6 +1856,22 @@ object SparkEntry {
       hll.join(exact, "cell")
     }),
 
+    // INCREMENTAL sketch maintenance: registers built from the two halves
+    // of the corpus SEPARATELY (the daily-batch case), merged by
+    // (group, bucket) max, summarized. The oracle recomputes from the FULL
+    // table — it does not replay the engine's split, it checks the
+    // mergeability CLAIM end-to-end: merged-halves == whole, bit for bit
+    "q_hll_merge" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_type", "user_id", "event_id")
+      val a = Sketches.hllRegisters(ev.where(col("event_id") % 2 === 0),
+        Seq("event_type"), "user_id")
+      val b = Sketches.hllRegisters(ev.where(col("event_id") % 2 === 1),
+        Seq("event_type"), "user_id")
+      val merged = a.unionByName(b)
+        .groupBy("event_type", "bucket").agg(max("register").as("register"))
+      Sketches.hllStatsOfRegisters(merged, Seq("event_type"))
+    }),
+
     // the STREAMING twin: per-cell register state folded across
     // micro-batches (256 bytes per cell, never an id set) — batch-mode run
     // of the flatMapGroupsWithState operator, same register replay oracle;
@@ -4394,6 +4410,20 @@ object SparkEntry {
          |ex AS (SELECT cell, count(DISTINCT user_id) AS exact_visitors FROM cells GROUP BY 1)
          |SELECT ex.cell, hstats.hll_zeros, hstats.hll_harmonic, ex.exact_visitors
          |FROM ex JOIN hstats ON ex.cell = hstats.cell""".stripMargin,
+
+    // FULL-table register replay against the engine's split-then-merge —
+    // the mergeability claim is the thing under test
+    "q_hll_merge" ->
+      s"""WITH vals AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
+         |hashed AS (SELECT event_type, $SketchValueHashSql AS h FROM vals),
+         |fin AS (SELECT event_type, ${Sketches.finalizeSqlOf("h")} AS h FROM hashed),
+         |regs AS (SELECT event_type, h % 256 AS bucket,
+         |  max(CASE WHEN h // 256 = 0 THEN 24 ELSE 24 - length(bin(h // 256)) END) AS register
+         |  FROM fin GROUP BY 1, 2)
+         |SELECT event_type, 256 - count(*) AS hll_zeros,
+         |  CAST(sum(CAST(pow(2, 24 - register) AS BIGINT))
+         |    + (256 - count(*)) * 16777216 AS BIGINT) AS hll_harmonic
+         |FROM regs GROUP BY 1""".stripMargin,
 
     // the same register replay without the exact column — the streaming
     // operator's whole point is never materializing the id sets

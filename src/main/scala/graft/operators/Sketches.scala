@@ -109,9 +109,16 @@ object Sketches {
     *     floating rounding and no ordering sensitivity.
     * Both columns are integers, which is what makes the DuckDB oracle a
     * hash-exact gate rather than a tolerance check. */
-  def hllStats(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+  def hllStats(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllStatsOfRegisters(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** The (zeros, harmonic) summary from an existing register table — the
+    * maintenance entry point: registers from different batches/days MERGE
+    * by (group, bucket) max and summarize here, so a standing sketch table
+    * is updated in O(batch) without rescanning history. */
+  def hllStatsOfRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val maxPow = 1L << (HllRankBits + 1) // 2^24, the term of an empty bucket
-    hllRegisters(df, groupCols, valueCol)
+    regs
       .groupBy(groupCols.map(col): _*)
       .agg(
         (lit(HllBuckets) - count(lit(1))).as("hll_zeros"),
