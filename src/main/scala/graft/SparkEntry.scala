@@ -1535,6 +1535,14 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "bucket", "batch_id")
     }),
 
+    // rendezvous (HRW) shard routing: stable key->owner assignment whose
+    // minimal-movement property (adding a shard moves only the keys it
+    // wins) is spec-pinned; pure row-local arithmetic, zero exchanges
+    "q_shard_assign" -> ((s, dir) =>
+      Curation.rendezvousAssign(documents(s, dir).select("doc_id"), "doc_id",
+        Seq("s0", "s1", "s2", "s3", "s4"))
+        .select("doc_id", "shard")),
+
     // --- curation: reproducible splits + token-budget packing ---
     "q_split" -> ((s, dir) =>
       Curation.hashSplit(documents(s, dir).select("doc_id"), "doc_id", valFrac = 0.2)
@@ -3806,6 +3814,18 @@ object SparkEntry {
          | CAST((CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 200 AS BIGINT) AS batch_id
          |FROM bk""".stripMargin
     },
+
+    // the identical argmax over the identical portable hash of
+    // 'shard|key'; the zero-padded printf makes the string max equal the
+    // engine's (hash, shard) struct max (the q_langid_pred trick)
+    "q_shard_assign" ->
+      s"""WITH sh(shard) AS (VALUES ('s0'),('s1'),('s2'),('s3'),('s4')),
+         |vals AS (SELECT doc_id, shard, shard || '|' || CAST(doc_id AS VARCHAR) AS v
+         |  FROM documents CROSS JOIN sh),
+         |hashed AS (SELECT doc_id, shard, $SketchValueHashSql AS h FROM vals),
+         |fin AS (SELECT doc_id, shard, ${Sketches.finalizeSqlOf("h")} AS h FROM hashed)
+         |SELECT doc_id, split_part(max(printf('%010d|%s', h, shard)), '|', 2) AS shard
+         |FROM fin GROUP BY doc_id""".stripMargin,
 
     // curation oracles: the id-hash split arithmetic is integer-exact and
     // mirrored literally (P = 2^31-1, A = Curation.HashA, threshold from

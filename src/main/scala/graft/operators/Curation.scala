@@ -233,4 +233,34 @@ object Curation {
     df.where(idHash(col(idCol)) <
       expr(s"(${Dedup.HashP}L * CAST($weightCol AS BIGINT)) div ${wMax}L"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the stable
+    * routing rule an incremental pipeline uses to decide which worker/
+    * store owns a key: shard = argmax over shards of hash(shard | key).
+    * The property that matters (and the spec pins): adding a shard moves
+    * ONLY the keys whose new argmax IS the new shard (~1/(n+1) of them,
+    * each to the new shard); every other key keeps its owner — no
+    * cascading reshuffle, unlike `key % n` routing where growing n moves
+    * almost everything.
+    *
+    * Deterministic and oracle-replayable: the FINALIZED portable hash over
+    * the literal "shard|key" string — argmax is an order statistic, so the
+    * raw polynomial fold is disqualified for exactly the reason
+    * [[Sketches.finalizeHash]] documents (same-length strings band into
+    * narrow ranges; with the raw fold, two shards won every key of a
+    * length class). Ties broken by shard name via the (hash, shard)
+    * struct max. Pure row-local column arithmetic — zero exchanges,
+    * |shards| hashes per row inside the scan. */
+  def rendezvousAssign(df: DataFrame, idCol: String, shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size,
+      s"shards must be distinct and non-empty: $shards")
+    require(!shards.exists(_.contains("|")), "shard names must not contain '|'")
+    val scored = shards.map { sh =>
+      struct(
+        Sketches.finalizeHash(
+          Dedup.portableHash(concat(lit(sh), lit("|"), col(idCol).cast("string")))).as("h"),
+        lit(sh).as("shard"))
+    }
+    df.withColumn("shard", array_max(array(scored: _*)).getField("shard"))
+  }
 }
