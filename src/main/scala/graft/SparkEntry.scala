@@ -1535,6 +1535,20 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "bucket", "batch_id")
     }),
 
+    // EXACT order statistics without a global sort: iterative 1024-bucket
+    // range narrowing, one partial+final aggregate per pass (1024 counter
+    // rows cross the exchange, never data), <= 3 passes on this column —
+    // the exact complement of the mergeable quantile sketch
+    "q_exact_quantile" -> ((s, dir) => {
+      val cents = lineitem(s, dir)
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val n = cents.count()
+      val med = Selection.kthSmallest(cents, "cents", (n + 1) / 2)
+      val p95 = Selection.kthSmallest(cents, "cents", (n * 95 + 99) / 100)
+      import s.implicits._
+      Seq((n, med, p95)).toDF("n", "median_cents", "p95_cents")
+    }),
+
     // rendezvous (HRW) shard routing: stable key->owner assignment whose
     // minimal-movement property (adding a shard moves only the keys it
     // wins) is spec-pinned; pure row-local arithmetic, zero exchanges
@@ -3814,6 +3828,16 @@ object SparkEntry {
          | CAST((CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 200 AS BIGINT) AS batch_id
          |FROM bk""".stripMargin
     },
+
+    // rank contract replayed literally: 1-based multiset rank, lower
+    // median (n+1)//2, p95 = ceil(0.95 n) = (95n+99)//100
+    "q_exact_quantile" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rnk, count(*) OVER () AS n FROM v)
+        |SELECT max(n) AS n,
+        |  max(CASE WHEN rnk = (n + 1) // 2 THEN c END) AS median_cents,
+        |  max(CASE WHEN rnk = (n * 95 + 99) // 100 THEN c END) AS p95_cents
+        |FROM r""".stripMargin,
 
     // the identical argmax over the identical portable hash of
     // 'shard|key'; the zero-padded printf makes the string max equal the

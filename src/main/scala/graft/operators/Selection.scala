@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed order statistics without a global sort — the
+  * iterative range-narrowing selection (the classic distributed k-th
+  * element): each pass histograms the current [lo, hi] candidate range
+  * into 1024 integer-width buckets with ONE partial+final aggregate
+  * (1024 counter rows cross the exchange, never data), the driver walks
+  * the counts to the bucket containing rank k, and the range narrows by
+  * ~1024x per pass — <= 7 passes for the full int64 domain, 2-3 for
+  * realistic columns. Contrast the alternatives at 100 TB: a global sort
+  * shuffles everything; `approx_percentile`/[[graft.functions.Sketches]]
+  * quantiles trade exactness for mergeability. This operator is the
+  * exact path: deterministic, value-exact, driver state O(1024) longs.
+  *
+  * Ranks are 1-based over the multiset (duplicates counted), so
+  * k = (n+1)/2 is the lower median, k = n the max — the unambiguous
+  * contract `quantile_disc` replays. */
+object Selection {
+
+  /** The k-th smallest value (1-based, duplicates counted) of an integral
+    * column. Throws on empty input or k out of range. */
+  def kthSmallest(df: DataFrame, valueCol: String, k: Long): Long = {
+    val vals = df.select(col(valueCol).cast("long").as("v")).where(col("v").isNotNull)
+    val head = vals.agg(min("v"), max("v"), count(lit(1))).head()
+    require(head.getLong(2) > 0, "kthSmallest on empty input")
+    require(k >= 1 && k <= head.getLong(2),
+      s"k=$k out of range 1..${head.getLong(2)}")
+    var lo = head.getLong(0)
+    var hi = head.getLong(1)
+    var rank = k // rank within the narrowed [lo, hi] range
+    var passes = 0
+    while (lo < hi) {
+      passes += 1
+      require(passes <= 8, s"range narrowing failed to converge: [$lo, $hi]")
+      // power-of-two bucket widths + unsigned shifts: the span hi-lo is a
+      // correct UNSIGNED 64-bit value even when it wraps Long (full-domain
+      // inputs), and shiftrightunsigned keeps bucket indices right when
+      // (v - lo) wraps too — no overflow anywhere in the narrowing
+      val span = hi - lo // unsigned semantics
+      val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(span)
+      val s = math.max(0, bitLen - 10)
+      val counts = vals.where(col("v") >= lo && col("v") <= hi)
+        .groupBy(shiftrightunsigned(col("v") - lo, s).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      var bucket = -1L
+      var i = 0
+      while (i < counts.length && bucket < 0) {
+        if (acc + counts(i)._2 >= rank) bucket = counts(i)._1
+        else { acc += counts(i)._2; i += 1 }
+      }
+      rank -= acc
+      val lastBucket = span >>> s
+      lo = lo + (bucket << s)
+      hi = if (bucket == lastBucket) hi else lo + (1L << s) - 1
+    }
+    lo
+  }
+}

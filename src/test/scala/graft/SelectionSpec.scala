@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Selection
+
+/** Exact distributed selection: brute-force equality over duplicates and
+  * negatives, boundary ranks, full-int64-range convergence, and the error
+  * contract. */
+class SelectionSpec extends SparkTestBase {
+
+  test("kthSmallest == sorted index over a duplicate-heavy signed multiset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(3000)(rnd.nextInt(200).toLong - 100L)
+    val df = vals.toDF("v").repartition(8)
+    val sorted = vals.sorted
+    for (k <- Seq(1, 2, 77, 1500, 1501, 2999, 3000)) {
+      assert(Selection.kthSmallest(df, "v", k) == sorted(k - 1), s"k=$k")
+    }
+  }
+
+  test("converges on the full int64 spread (extreme range, few values)") {
+    import spark.implicits._
+    val vals = Seq(Long.MinValue / 2, -5L, 0L, 3L, Long.MaxValue / 2, Long.MaxValue / 2)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    for (k <- 1 to vals.size)
+      assert(Selection.kthSmallest(df, "v", k) == sorted(k - 1), s"k=$k")
+  }
+
+  test("error contract: empty input and out-of-range k throw") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Selection.kthSmallest(Seq.empty[Long].toDF("v"), "v", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.kthSmallest(Seq(1L, 2L).toDF("v"), "v", 3)
+    }
+  }
+}
