@@ -1549,6 +1549,19 @@ object SparkEntry {
       Seq((n, med, p95)).toDF("n", "median_cents", "p95_cents")
     }),
 
+    // WEIGHTED median via the same narrowing (sum(weight) per bucket):
+    // the quantity-weighted price median — robust aggregation over
+    // weighted rows with no sort and no materialized expansion
+    "q_weighted_median" -> ((s, dir) => {
+      val wv = lineitem(s, dir).select(
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      val totalW = wv.agg(sum("qty")).head().getLong(0)
+      val med = Selection.weightedKth(wv, "cents", "qty", (totalW + 1) / 2)
+      import s.implicits._
+      Seq((totalW, med)).toDF("total_weight", "wmedian_cents")
+    }),
+
     // rendezvous (HRW) shard routing: stable key->owner assignment whose
     // minimal-movement property (adding a shard moves only the keys it
     // wins) is spec-pinned; pure row-local arithmetic, zero exchanges
@@ -3837,6 +3850,17 @@ object SparkEntry {
         |SELECT max(n) AS n,
         |  max(CASE WHEN rnk = (n + 1) // 2 THEN c END) AS median_cents,
         |  max(CASE WHEN rnk = (n * 95 + 99) // 100 THEN c END) AS p95_cents
+        |FROM r""".stripMargin,
+
+    // smallest value whose per-value cumulative weight reaches (W+1)//2
+    "q_weighted_median" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+        |  CAST(l_quantity AS BIGINT) AS w FROM lineitem WHERE l_quantity > 0),
+        |g AS (SELECT c, sum(w) AS w FROM v GROUP BY c),
+        |r AS (SELECT c, sum(w) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cumw,
+        |  sum(w) OVER () AS tw FROM g)
+        |SELECT CAST(max(tw) AS BIGINT) AS total_weight,
+        |  min(CASE WHEN cumw >= (tw + 1) // 2 THEN c END) AS wmedian_cents
         |FROM r""".stripMargin,
 
     // the identical argmax over the identical portable hash of

@@ -60,4 +60,48 @@ object Selection {
     }
     lo
   }
+
+  /** WEIGHTED k-th: the smallest value whose cumulative integer weight
+    * reaches `kWeight` (weighted median at kWeight = (W+1)/2) — robust
+    * aggregation over weighted rows (token counts, durations, bytes)
+    * with the identical narrowing shape: each pass aggregates SUM(weight)
+    * per bucket instead of COUNT. Weights must be non-negative; rows of
+    * zero weight never decide the answer. */
+  def weightedKth(df: DataFrame, valueCol: String, weightCol: String,
+                  kWeight: Long): Long = {
+    val vals = df.select(col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("v").isNotNull && col("w") > 0)
+    val head = vals.agg(min("v"), max("v"), sum("w")).head()
+    require(!head.isNullAt(2) && head.getLong(2) > 0, "weightedKth on empty/zero-weight input")
+    require(kWeight >= 1 && kWeight <= head.getLong(2),
+      s"kWeight=$kWeight out of range 1..${head.getLong(2)}")
+    var lo = head.getLong(0)
+    var hi = head.getLong(1)
+    var rank = kWeight
+    var passes = 0
+    while (lo < hi) {
+      passes += 1
+      require(passes <= 8, s"range narrowing failed to converge: [$lo, $hi]")
+      val span = hi - lo
+      val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(span)
+      val s = math.max(0, bitLen - 10)
+      val sums = vals.where(col("v") >= lo && col("v") <= hi)
+        .groupBy(shiftrightunsigned(col("v") - lo, s).as("b"))
+        .agg(sum("w").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      var bucket = -1L
+      var i = 0
+      while (i < sums.length && bucket < 0) {
+        if (acc + sums(i)._2 >= rank) bucket = sums(i)._1
+        else { acc += sums(i)._2; i += 1 }
+      }
+      rank -= acc
+      val lastBucket = span >>> s
+      lo = lo + (bucket << s)
+      hi = if (bucket == lastBucket) hi else lo + (1L << s) - 1
+    }
+    lo
+  }
 }

@@ -27,6 +27,18 @@ class SelectionSpec extends SparkTestBase {
       assert(Selection.kthSmallest(df, "v", k) == sorted(k - 1), s"k=$k")
   }
 
+  test("weightedKth == cumulative-weight brute force (zero weights never decide)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(2000)((rnd.nextInt(150).toLong - 50L, rnd.nextInt(5).toLong)) // weights 0..4
+    val df = rows.toDF("v", "w").repartition(8)
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val totalW = expanded.size.toLong
+    for (kw <- Seq(1L, totalW / 3, (totalW + 1) / 2, totalW)) {
+      assert(Selection.weightedKth(df, "v", "w", kw) == expanded((kw - 1).toInt), s"kw=$kw")
+    }
+  }
+
   test("error contract: empty input and out-of-range k throw") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
