@@ -2305,6 +2305,25 @@ object SparkEntry {
         "p_partkey", "lat", "lon", level = 6)
         .select("id_a", "id_b")),
 
+    // per-REGION duplicate rate — the geo x dedup composition a corpus
+    // health dashboard runs: PIP-label the certified geo-image population,
+    // flag members of the geo-constrained dup-pair set, count per region.
+    // Exact because both inputs are certified exact (q_pip_rect's join,
+    // q_geo_image_neardup's planted pairs)
+    "q_region_dup_rate" -> ((s, dir) => {
+      val pop = geoImagePopulation(part(s, dir).select("p_partkey"))
+      val pairs = ImagePayload.geoImageNearDup(pop, "p_partkey", "lat", "lon", level = 6)
+      val dupIds = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("p_partkey")).distinct()
+        .withColumn("is_dup", lit(1L))
+      SpatialJoin.pipJoin(pop.select("p_partkey", "lat", "lon"), "lat", "lon",
+          SparkEntryRegions.rects)
+        .join(dupIds, Seq("p_partkey"), "left")
+        .groupBy("region_id")
+        .agg(count(lit(1)).as("n_images"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_members"))
+    }),
+
     // cross-modal caption consistency: among caption-sharing images, split
     // true re-posts (near-identical pixels) from caption collisions with
     // divergent pixels. Planted structure: every 30th image gets a
@@ -4887,6 +4906,32 @@ object SparkEntry {
     "q_geo_image_neardup" ->
       """SELECT p_partkey AS id_a, p_partkey + 100000000 AS id_b
         |FROM part WHERE p_partkey % 40 = 0""".stripMargin,
+
+    // the certified population's three branches with their literal lat/lon
+    // derivations, the planted dup-member set (%40 originals + copies),
+    // and the same rect predicates as q_image_tile_join
+    "q_region_dup_rate" -> {
+      val branches = SparkEntryRegions.rectBounds.map { case (rid, latLo, latHi, lonLo, lonHi) =>
+        s"""SELECT '$rid' AS region_id, id FROM pop
+           | WHERE ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}""".stripMargin
+      }
+      s"""WITH pop AS (
+         |  SELECT p_partkey AS id, $PartLatSql AS lat, $PartLonSql AS lon FROM part
+         |  UNION ALL
+         |  SELECT p_partkey + 100000000, $PartLatSql, $PartLonSql FROM part WHERE p_partkey % 40 = 0
+         |  UNION ALL
+         |  SELECT p_partkey + 400000000, -($PartLatSql),
+         |    CASE WHEN $PartLonSql >= 0 THEN $PartLonSql - 180.0 ELSE $PartLonSql + 180.0 END
+         |  FROM part WHERE p_partkey % 60 = 0),
+         |dups AS (
+         |  SELECT p_partkey AS id FROM part WHERE p_partkey % 40 = 0
+         |  UNION ALL
+         |  SELECT p_partkey + 100000000 FROM part WHERE p_partkey % 40 = 0),
+         |lab AS (${branches.mkString("\nUNION ALL\n")})
+         |SELECT region_id, count(*) AS n_images,
+         |  CAST(sum(CASE WHEN id IN (SELECT id FROM dups) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_members
+         |FROM lab GROUP BY 1""".stripMargin
+    },
 
     // planted caption groups: {orig, re-post} pairs are same_image, any
     // pair involving the fresh-raster mislabel is not; keys % 90 carry
