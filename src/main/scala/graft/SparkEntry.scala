@@ -1562,6 +1562,19 @@ object SparkEntry {
       Seq((totalW, med)).toDF("total_weight", "wmedian_cents")
     }),
 
+    // 2-D skyline (Pareto frontier): cheapest-for-the-quantity line items
+    // — minimize price, maximize quantity. Two-phase grid prune: a
+    // broadcast bucket-best table discards dominated rows inside the scan,
+    // the exact rule runs only over the per-bucket record-setters; never
+    // an all-pairs join (the oracle's window formulation IS the exact
+    // 2-D rule, so the result is hash-exact, not recall-pinned)
+    "q_skyline" -> ((s, dir) => {
+      val pts = lineitem(s, dir).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+      Skyline.skyline2d(pts, "id", "price", "qty", bucketWidth = 1000.0)
+    }),
+
     // rendezvous (HRW) shard routing: stable key->owner assignment whose
     // minimal-movement property (adding a shard moves only the keys it
     // wins) is spec-pinned; pure row-local arithmetic, zero exchanges
@@ -3881,6 +3894,19 @@ object SparkEntry {
         |SELECT CAST(max(tw) AS BIGINT) AS total_weight,
         |  min(CASE WHEN cumw >= (tw + 1) // 2 THEN c END) AS wmedian_cents
         |FROM r""".stripMargin,
+
+    // the exact 2-D skyline rule in window form: a row is Pareto-optimal
+    // iff its qty equals its price group's best AND strictly exceeds the
+    // best of every strictly-cheaper price (ties on (price, qty) both
+    // stay — neither strictly dominates)
+    "q_skyline" ->
+      """WITH pts AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+        |  l_extendedprice AS price, l_quantity AS qty FROM lineitem),
+        |pm AS (SELECT price, max(qty) AS vm FROM pts GROUP BY 1),
+        |run AS (SELECT price, vm, max(vm) OVER (ORDER BY price
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev FROM pm)
+        |SELECT p.id, p.price, p.qty FROM pts p JOIN run r ON p.price = r.price
+        |WHERE p.qty = r.vm AND (r.prev IS NULL OR p.qty > r.prev)""".stripMargin,
 
     // the identical argmax over the identical portable hash of
     // 'shard|key'; the zero-padded printf makes the string max equal the
