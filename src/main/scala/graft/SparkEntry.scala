@@ -1562,6 +1562,28 @@ object SparkEntry {
       Seq((totalW, med)).toDF("total_weight", "wmedian_cents")
     }),
 
+    // SCD2 point-in-time join: per-customer segment history (three
+    // deterministic versions tiling [1990, 2002)) joined to orders at
+    // order time — an equi-join on the business key with the validity
+    // range as a residual predicate, never a theta join; per-key
+    // amplification is the version count, a dimension property
+    "q_scd2_join" -> ((s, dir) => {
+      val base = customer(s, dir).select(col("c_custkey"), col("c_mktsegment"),
+        expr("timestamp'1993-01-01' + make_dt_interval(CAST(c_custkey % 365 AS INT))").as("b1"),
+        expr("timestamp'1996-01-01' + make_dt_interval(CAST((c_custkey * 3) % 365 AS INT))").as("b2"))
+      val dim = base.select(col("c_custkey"), lit(1).as("version"), col("c_mktsegment"),
+          expr("timestamp'1990-01-01'").as("vfrom"), col("b1").as("vto"))
+        .unionByName(base.select(col("c_custkey"), lit(2).as("version"), col("c_mktsegment"),
+          col("b1").as("vfrom"), col("b2").as("vto")))
+        .unionByName(base.select(col("c_custkey"), lit(3).as("version"), col("c_mktsegment"),
+          col("b2").as("vfrom"), expr("timestamp'2002-01-01'").as("vto")))
+      TemporalJoin.scd2Join(
+          orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+          "o_custkey", "o_orderdate", dim, "c_custkey", "vfrom", "vto")
+        .select(col("o_orderkey"), col("version").as("dim_version"),
+          concat(col("c_mktsegment"), lit("#"), col("version").cast("string")).as("dim_attr"))
+    }),
+
     // 2-D skyline (Pareto frontier): cheapest-for-the-quantity line items
     // — minimize price, maximize quantity. Two-phase grid prune: a
     // broadcast bucket-best table discards dominated rows inside the scan,
@@ -3894,6 +3916,24 @@ object SparkEntry {
         |SELECT CAST(max(tw) AS BIGINT) AS total_weight,
         |  min(CASE WHEN cumw >= (tw + 1) // 2 THEN c END) AS wmedian_cents
         |FROM r""".stripMargin,
+
+    // the same three-version dimension built inline (to_days mirrors
+    // make_dt_interval day arithmetic exactly — integer days onto a
+    // midnight timestamp), same half-open validity predicate
+    "q_scd2_join" ->
+      """WITH b AS (SELECT c_custkey, c_mktsegment,
+        |  TIMESTAMP '1993-01-01' + to_days(CAST(c_custkey % 365 AS INTEGER)) AS b1,
+        |  TIMESTAMP '1996-01-01' + to_days(CAST((c_custkey * 3) % 365 AS INTEGER)) AS b2
+        |  FROM customer),
+        |dim AS (
+        |  SELECT c_custkey, 1 AS version, c_mktsegment,
+        |    TIMESTAMP '1990-01-01' AS vfrom, b1 AS vto FROM b
+        |  UNION ALL SELECT c_custkey, 2, c_mktsegment, b1, b2 FROM b
+        |  UNION ALL SELECT c_custkey, 3, c_mktsegment, b2, TIMESTAMP '2002-01-01' FROM b)
+        |SELECT o.o_orderkey, d.version AS dim_version,
+        |  d.c_mktsegment || '#' || CAST(d.version AS VARCHAR) AS dim_attr
+        |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+        |  AND o.o_orderdate >= d.vfrom AND o.o_orderdate < d.vto""".stripMargin,
 
     // the exact 2-D skyline rule in window form: a row is Pareto-optimal
     // iff its qty equals its price group's best AND strictly exceeds the
