@@ -1312,6 +1312,20 @@ object SparkEntry {
       Graphs.triangleCounts(edges)
     }),
 
+    // damped PageRank (3 rounds) over the same proximity graph, in scaled
+    // INTEGER arithmetic — shuffle-order-independent, so the iterative
+    // operator is hash-exact against an unrolled-CTE SQL replay instead
+    // of tolerance-checked; per round: one adjacency equi-join + one hash
+    // aggregate, 16-byte rank rows only
+    "q_pagerank" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+      Graphs.pageRankScaled(edges, rounds = 3)
+    }),
+
     // IDW power-2 interpolation of a customer-valued surface at supplier
     // locations: planar wrap-aware metric + explicitly-ordered folds make
     // the float estimate itself bit-reproducible (the oracle replays the
@@ -3633,6 +3647,31 @@ object SparkEntry {
          |  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
          |n AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
          |SELECT id, count(*) AS triangles FROM n GROUP BY id""".stripMargin
+    },
+
+    // the 3 PageRank rounds unrolled as CTEs in the identical scaled
+    // integer arithmetic (// == Spark's div on positive int64); sums pass
+    // through HUGEINT in DuckDB, the final CAST pins int64
+    "q_pagerank" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      val round = (i: Int) =>
+        s"""s$i AS (SELECT a.dst AS id, sum(r.pr // d.deg) AS s FROM adj a
+           |  JOIN deg d ON a.src = d.src JOIN r${i - 1} r ON r.id = a.src GROUP BY 1),
+           |r$i AS (SELECT d.src AS id,
+           |  CAST(150000000000 + (coalesce(s.s, 0) * 17) // 20 AS BIGINT) AS pr
+           |  FROM deg d LEFT JOIN s$i s ON s.id = d.src)""".stripMargin
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |e AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |  WHERE $d <= 500000.0),
+         |adj AS (SELECT id_a AS src, id_b AS dst FROM e
+         |  UNION ALL SELECT id_b, id_a FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
+         |r0 AS (SELECT src AS id, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT id, pr FROM r3""".stripMargin
     },
 
     // idwInterpolate replayed bit for bit: identical planar d2 arithmetic

@@ -54,4 +54,58 @@ object Graphs {
     tri.select(explode(array(col("a"), col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Damped PageRank over an undirected edge list, in SCALED INTEGER
+    * arithmetic (the q_collocations discipline): ranks are int64 multiples
+    * of `scale`, every round computes
+    *
+    *   contrib(v) = rank(v) div deg(v)
+    *   rank'(u)   = (3*scale) div 20  +  (17 * Σ contrib(neighbors)) div 20
+    *
+    * i.e. damping 0.85 with per-node restart mass `0.15*scale` — but with
+    * ONLY integer `div`/`sum`, so the result is independent of shuffle
+    * order and float fold order, and the whole iteration replays in ANSI
+    * SQL (the oracle unrolls the rounds as CTEs — hash-exact, not
+    * tolerance-checked). Truncation error vs real PageRank is < rounds
+    * ulps of `1/scale` per unit rank, irrelevant for ranking use.
+    *
+    * Shape at scale: per round ONE equi-join of the adjacency list against
+    * the (node, rank) table on the contributing endpoint and ONE hash
+    * aggregate on the receiving endpoint — rank rows are 16 bytes, vertex
+    * payloads never move, and the adjacency list is pinned once
+    * (localCheckpoint) so no round re-runs the upstream proximity join.
+    * Lineage is cut every round (the connected-components discipline).
+    * Nodes are edge endpoints, so deg >= 1 and there are no dangling
+    * nodes by construction.
+    *
+    * Overflow bound (documented, checked): a node's contribution sum is
+    * < n*scale, and the update multiplies by 17, so n*scale*17 must stay
+    * below 2^63 — `require`d via the caller-passed `maxNodes` hint at
+    * plan time; at 10^9-node scale pass scale=10^6 and keep 6 useful
+    * digits. */
+  def pageRankScaled(edges0: DataFrame, rounds: Int,
+                     scale: Long = 1000000000000L,
+                     maxNodes: Long = 500000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(maxNodes > 0 && scale > 0 &&
+      maxNodes <= Long.MaxValue / 17 / scale,
+      s"n*scale*17 can overflow int64: maxNodes=$maxNodes scale=$scale — lower scale")
+    val edges = edges0.select(col("id_a"), col("id_b"))
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adjDeg = adj.join(deg, "src").localCheckpoint()
+    val restart = lit(3L * scale / 20L)
+    var ranks = deg.select(col("src").as("id"), lit(scale).as("pr")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val sums = adjDeg.join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"), expr("pr div deg").as("__c"))
+        .groupBy("id").agg(sum("__c").as("__s"))
+      ranks = deg.select(col("src").as("id")).join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (restart + expr("coalesce(__s, 0L) * 17 div 20")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -45,4 +45,47 @@ class GraphsSpec extends SparkTestBase {
     assert(want.values.sum >= 30, s"fixture too sparse: ${want.values.sum}")
     assert(got == want.toMap)
   }
+
+  private def ranks(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graphs.pageRankScaled(edges.toDF("id_a", "id_b"), rounds)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("pageRankScaled equals a driver-side scalar replay of the integer recurrence") {
+    val rnd = new scala.util.Random(7)
+    val n = 40L
+    val edges = (for {
+      i <- 0L until n; j <- i + 1 until n if rnd.nextDouble() < 0.15
+    } yield (i, j)).toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+    val scale = 1000000000000L
+    var r = adj.keys.map(_ -> scale).toMap
+    for (_ <- 1 to 3)
+      r = adj.map { case (u, nbrs) =>
+        u -> (3L * scale / 20L + nbrs.map(v => r(v) / adj(v).size).sum * 17L / 20L)
+      }
+    assert(ranks(edges, 3) == r)
+  }
+
+  test("pageRankScaled: regular graphs are an exact fixed point; hubs outrank leaves") {
+    // K5: deg 4 everywhere, scale divisible by 4 and by 20 -> rank stays
+    // exactly at scale every round
+    val k5 = for (i <- 0L to 4L; j <- i + 1 to 4L) yield (i, j)
+    assert(ranks(k5, 3).values.toSet == Set(1000000000000L))
+    // star: the hub accumulates every leaf's full contribution
+    val star = (1L to 20L).map(i => (0L, i))
+    val r = ranks(star, 2)
+    // round-2 closed form: hub 3.4225*scale, leaf 0.878875*scale
+    assert(r(0L) > 3L * r(1L), s"hub ${r(0L)} vs leaf ${r(1L)}")
+    assert((1L to 20L).map(r).toSet.size == 1, "symmetric leaves must tie exactly")
+  }
+
+  test("pageRankScaled rejects an overflow-capable (maxNodes, scale) pair") {
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankScaled(e, 1, scale = 1000000000000L, maxNodes = 1000000000L)
+    }
+  }
 }
