@@ -1326,6 +1326,17 @@ object SparkEntry {
       Graphs.pageRankScaled(edges, rounds = 3)
     }),
 
+    // STR (sort-tile-recursive) spatial partitioner: equi-DEPTH 8x4 tiles
+    // by longitude-rank strips then latitude-rank cuts — the load-balanced
+    // partitioner for skewed point sets; both rank levels use the two-pass
+    // range-partitioned pattern (no single-task global sort, no driver
+    // count), and the floor-rank arithmetic replays exactly in SQL
+    "q_str_partition" -> ((s, dir) =>
+      SpatialPartition.strAssign(
+        points(s, dir).select(col("o_orderkey").as("id"), col("lat"), col("lon")),
+        "id", "lon", "lat", sx = 8, sy = 4)
+        .select("id", "tx", "ty")),
+
     // IDW power-2 interpolation of a customer-valued surface at supplier
     // locations: planar wrap-aware metric + explicitly-ordered folds make
     // the float estimate itself bit-reproducible (the oracle replays the
@@ -3673,6 +3684,17 @@ object SparkEntry {
          |${round(3)}
          |SELECT id, pr FROM r3""".stripMargin
     },
+
+    // the same two-level floor-rank arithmetic in window form (the oracle
+    // may use the single-task windows the engine avoids)
+    "q_str_partition" ->
+      s"""WITH pts AS (SELECT o_orderkey AS id, $LatSql AS lat, $LonSql AS lon FROM orders),
+         |r1 AS (SELECT id, lat, row_number() OVER (ORDER BY lon, id) AS r,
+         |  count(*) OVER () AS n FROM pts),
+         |s AS (SELECT id, lat, CAST(((r - 1) * 8) // n AS BIGINT) AS tx FROM r1),
+         |r2 AS (SELECT id, tx, row_number() OVER (PARTITION BY tx ORDER BY lat, id) AS r,
+         |  count(*) OVER (PARTITION BY tx) AS m FROM s)
+         |SELECT id, tx, CAST(((r - 1) * 4) // m AS BIGINT) AS ty FROM r2""".stripMargin,
 
     // idwInterpolate replayed bit for bit: identical planar d2 arithmetic
     // (pure +,-,*,/ — no transcendentals), identical (d2, v, id) sort

@@ -34,8 +34,14 @@ object SortedNeighborhood {
   /** Scalable global 1-based rank by (key, tie) — see object doc. */
   private[graft] def globalRank(df: DataFrame, key: Column, tie: Column): DataFrame = {
     val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    // pinned: __pid is nondeterministic over a SAMPLED range partitioning
+    // and two subtrees (offsets + join) read it — materializing prevents
+    // the re-evaluations from drawing different range boundaries (the
+    // instability SpatialPartition.groupedGlobalRank exhibited when two
+    // rank levels composed)
     val ranged = df.repartitionByRange(parts, key.asc, tie.asc)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val local = ranged.withColumn("__lr",
       row_number().over(Window.partitionBy("__pid").orderBy(key.asc, tie.asc)))
     // one row per range partition; the running-sum window is bounded by
