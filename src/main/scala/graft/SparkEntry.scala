@@ -1326,6 +1326,26 @@ object SparkEntry {
       Graphs.pageRankScaled(edges, rounds = 3)
     }),
 
+    // region dissolve: merge supplier service circles (R = 300 km) that
+    // overlap (center distance <= 2R) into connected blobs — vector
+    // dissolve at table scale: pairwise-overlap edges from the
+    // neighbor-cell distance self-join (never a cross join), blobs by
+    // min-label connected components, singleton circles stay themselves
+    "q_dissolve" -> ((s, dir) => {
+      val pts = supplier(s, dir).select("s_suppkey")
+        .withColumn("lat", expr(latSqlFor("s_suppkey")))
+        .withColumn("lon", expr(lonSqlFor("s_suppkey")))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "s_suppkey",
+          radiusM = 600000.0)
+        .select("id_a", "id_b")
+      val cc = Dedup.duplicateClusters(edges)
+        .select(col("doc_id").as("id"), col("cluster_id").as("blob_id"))
+      val singles = pts.select(col("s_suppkey").as("id"))
+        .join(cc.select("id"), Seq("id"), "left_anti")
+        .withColumn("blob_id", col("id"))
+      cc.unionByName(singles)
+    }),
+
     // STR (sort-tile-recursive) spatial partitioner: equi-DEPTH 8x4 tiles
     // by longitude-rank strips then latitude-rank cuts — the load-balanced
     // partitioner for skewed point sets; both rank levels use the two-pass
@@ -3683,6 +3703,27 @@ object SparkEntry {
          |${round(2)},
          |${round(3)}
          |SELECT id, pr FROM r3""".stripMargin
+    },
+
+    // min-label connected components as a recursive CTE over the
+    // symmetric overlap closure (the q_dbscan pattern), singletons glued
+    // back as their own blob
+    "q_dissolve" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH RECURSIVE
+         |pts AS (SELECT s_suppkey AS id, ${latSqlFor("s_suppkey")} AS lat,
+         |  ${lonSqlFor("s_suppkey")} AS lon FROM supplier),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM pts a JOIN pts b ON a.id < b.id WHERE $d <= 600000.0),
+         |e AS (SELECT id_a AS s, id_b AS dd FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT s, s FROM e
+         |  UNION
+         |  SELECT r.src, e.dd FROM reach r JOIN e ON e.s = r.dst),
+         |cc AS (SELECT src AS id, min(dst) AS blob_id FROM reach GROUP BY src)
+         |SELECT id, blob_id FROM cc
+         |UNION ALL
+         |SELECT id, id FROM pts WHERE id NOT IN (SELECT s FROM e)""".stripMargin
     },
 
     // the same two-level floor-rank arithmetic in window form (the oracle
