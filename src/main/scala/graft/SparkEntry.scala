@@ -2054,6 +2054,25 @@ object SparkEntry {
         Seq("lang"), "doc_id", k = 7)
         .select("doc_id", "lang")),
 
+    // per-domain caps over CANONICALIZED urls (the RefinedWeb quota step):
+    // messy synthetic urls (mixed-case host, www., :443, tracking params,
+    // fragment, shuffled param order) canonicalize scan-side via builtins
+    // only, then each domain keeps its 25 hash-order docs — the oracle
+    // builds the CLEAN form directly from the id arithmetic, so it checks
+    // the whole canonicalize->quota pipeline end to end
+    "q_domain_caps" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id").withColumn("url", expr(
+        "concat('HTTPS://WWW.D', CAST((doc_id * 2654435761) % 97 AS STRING)," +
+          " '.Example.COM:443/p/', CAST(doc_id AS STRING)," +
+          " '?utm_source=x&b=', CAST(doc_id % 7 AS STRING), '&a=1#frag')"))
+      val canon = docs
+        .withColumn("canon_url", Urls.canonicalize(col("url")))
+        .withColumn("domain", Urls.domain(col("url")))
+      Curation.groupSample(canon.select("doc_id", "domain", "canon_url"),
+          Seq("domain"), "doc_id", k = 25)
+        .select("doc_id", "domain", "canon_url")
+    }),
+
     // Bloom-pruned exact semi join: lineitem rows whose part key belongs to
     // a selective part subset; the probabilistic prune runs codegen'd over
     // the scan, the exact pass sees only survivors -> result == plain semi
@@ -4768,6 +4787,24 @@ object SparkEntry {
          |  SELECT doc_id, lang,
          |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS r FROM h) t
          |WHERE r <= 7""".stripMargin
+    },
+
+    // the CLEAN canonical form built directly from the id arithmetic
+    // (lowercase, no www/port/fragment, tracking params gone, survivors
+    // sorted: 'a=1' before 'b=K'), plus the q_group_sample hash-order cap
+    "q_domain_caps" -> {
+      val (p, a, b) = (Dedup.HashP, Curation.HashA, Curation.HashB)
+      s"""WITH c AS (SELECT doc_id,
+         |  'd' || CAST((doc_id * 2654435761) % 97 AS VARCHAR) || '.example.com' AS domain,
+         |  'https://d' || CAST((doc_id * 2654435761) % 97 AS VARCHAR) || '.example.com/p/'
+         |    || CAST(doc_id AS VARCHAR) || '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR) AS canon_url
+         |  FROM documents),
+         |h AS (SELECT doc_id, domain, canon_url,
+         |  ((((doc_id % $p) * $a) % $p) * $b) % $p AS hh FROM c)
+         |SELECT doc_id, domain, canon_url FROM (
+         |  SELECT doc_id, domain, canon_url,
+         |    row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) AS r FROM h) t
+         |WHERE r <= 25""".stripMargin
     },
 
     // the Bloom prune is cost-only: the exact pass makes the result a
