@@ -1326,6 +1326,24 @@ object SparkEntry {
       Graphs.pageRankScaled(edges, rounds = 3)
     }),
 
+    // bounded-hop SSSP: exact <= 4-hop shortest distances from the
+    // max-degree hub of the proximity graph, integer edge weights (pure
+    // id arithmetic — float-derived weights would make the truncation
+    // engine-dependent), min-plus Bellman-Ford rounds that are hash-exact
+    // against an unrolled-CTE replay; seed selection stays plan-side
+    "q_sssp" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+        .withColumn("w", (col("id_a") * 31 + col("id_b") * 17) % 1000 + 1)
+      val hub = Graphs.degrees(edges)
+        .orderBy(col("deg").desc, col("src").asc).limit(1)
+        .select(col("src").as("id"))
+      Graphs.boundedSssp(edges, hub, hops = 4)
+    }),
+
     // region dissolve: merge supplier service circles (R = 300 km) that
     // overlap (center distance <= 2R) into connected blobs — vector
     // dissolve at table scale: pairwise-overlap edges from the
@@ -3722,6 +3740,33 @@ object SparkEntry {
          |${round(2)},
          |${round(3)}
          |SELECT id, pr FROM r3""".stripMargin
+    },
+
+    // the 4 min-plus rounds unrolled; the hub seed replays as an
+    // ORDER BY deg DESC, src LIMIT 1 CTE
+    "q_sssp" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      val round = (i: Int) =>
+        s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+           |  SELECT id, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT a.dst, p.dist + a.w FROM d${i - 1} p JOIN adj a ON a.src = p.id)
+           |GROUP BY id)""".stripMargin
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |e AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |  (a.c_custkey * 31 + b.c_custkey * 17) % 1000 + 1 AS w
+         |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |  WHERE $d <= 500000.0),
+         |adj AS (SELECT id_a AS src, id_b AS dst, w FROM e
+         |  UNION ALL SELECT id_b, id_a, w FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+         |d0 AS (SELECT src AS id, CAST(0 AS BIGINT) AS dist FROM deg
+         |  ORDER BY deg DESC, src LIMIT 1),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT id, dist FROM d4""".stripMargin
     },
 
     // min-label connected components as a recursive CTE over the

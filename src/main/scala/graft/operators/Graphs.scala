@@ -55,6 +55,44 @@ object Graphs {
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Bounded-hop single-source shortest paths (Bellman-Ford relaxation,
+    * `hops` rounds) over an undirected edge list with INTEGER weights —
+    * the reachability/ETA primitive over the engine's proximity graphs.
+    * Integer min-plus arithmetic makes every round shuffle-order
+    * independent, so the whole iteration is hash-exact against an
+    * unrolled-CTE SQL replay (no float tolerance), and after round k the
+    * table holds EXACTLY the correct <= k-hop shortest distances.
+    *
+    * `source` is a 1-row DataFrame (id) so seed selection stays plan-side
+    * — pass e.g. the max-degree hub from [[degrees]] without a driver
+    * collect. Shape per round: one adjacency equi-join against the
+    * current (id, dist) table + one min aggregate; 16-byte rows, vertex
+    * payloads never move, adjacency pinned once, lineage cut per round.
+    * For unbounded SSSP at scale, run frontier-delta rounds until a
+    * convergence count — bounded hops is the common curation/mobility ask
+    * ("within 4 transfers") and keeps the cost a plan-time constant. */
+  def boundedSssp(edges0: DataFrame, source: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1: $hops")
+    val adj = edges0.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+      .unionAll(edges0.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+      .localCheckpoint()
+    var dist = source.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to hops) {
+      val relaxed = adj.join(dist.select(col("id").as("src"), col("dist")), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Undirected degree table (src, deg) — seed/selection helper. */
+  def degrees(edges0: DataFrame): DataFrame =
+    edges0.select(col("id_a").as("src"))
+      .unionAll(edges0.select(col("id_b").as("src")))
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+
   /** Damped PageRank over an undirected edge list, in SCALED INTEGER
     * arithmetic (the q_collocations discipline): ranks are int64 multiples
     * of `scale`, every round computes

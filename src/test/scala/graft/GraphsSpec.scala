@@ -81,6 +81,47 @@ class GraphsSpec extends SparkTestBase {
     assert((1L to 20L).map(r).toSet.size == 1, "symmetric leaves must tie exactly")
   }
 
+  private def sssp(edges: Seq[(Long, Long, Long)], src: Long, hops: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graphs.boundedSssp(edges.toDF("id_a", "id_b", "w"),
+        Seq(src).toDF("id"), hops)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("boundedSssp: hand-checked path graph and hop-bound semantics") {
+    // 0 -1- 1 -1- 2 -1- 3 -1- 4 -1- 5, plus a heavy shortcut 0 -10- 3
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (0L, 3L, 10L))
+    // 2 hops: shortest-within-2-hops; node 3 is reachable only via the
+    // shortcut (dist 10) or 3 chain hops (not allowed yet)
+    assert(sssp(edges, 0L, 2) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 10L, 4L -> 11L))
+    // 4 hops: the chain wins everywhere it reaches; 5 still pays the
+    // shortcut (10+1+1) because the 5-edge chain is out of budget
+    assert(sssp(edges, 0L, 4) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 12L))
+    // 5 hops: fully relaxed
+    assert(sssp(edges, 0L, 5)(5L) == 5L)
+  }
+
+  test("boundedSssp equals a scalar Bellman-Ford replay on a generated graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 50L
+    val edges = (for {
+      i <- 0L until n; j <- i + 1 until n if rnd.nextDouble() < 0.08
+    } yield (i, j, (i * 31 + j * 17) % 100 + 1)).toSeq
+    val adj = (edges.map { case (a, b, w) => (a, (b, w)) } ++
+      edges.map { case (a, b, w) => (b, (a, w)) }).groupMap(_._1)(_._2)
+    var d = Map(0L -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = d.toSeq.flatMap { case (u, du) =>
+        adj.getOrElse(u, Nil).map { case (v, w) => v -> (du + w) }
+      }
+      d = (d.toSeq ++ relaxed).groupMapReduce(_._1)(_._2)(math.min)
+    }
+    assert(sssp(edges, 0L, 4) == d)
+  }
+
   test("pageRankScaled rejects an overflow-capable (maxNodes, scale) pair") {
     import spark.implicits._
     val e = Seq((1L, 2L)).toDF("id_a", "id_b")
