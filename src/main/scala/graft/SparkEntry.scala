@@ -181,6 +181,30 @@ object SparkEntry {
 
   private val FixtureVersion = "r3a"
 
+  /** PageRank oracle (shared by q_pagerank and q_pagerank_resume): the 3
+    * rounds unrolled as CTEs in the identical scaled integer arithmetic. */
+  private lazy val PageRankOracleSql: String = {
+    val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+    val round = (i: Int) =>
+      s"""s$i AS (SELECT a.dst AS id, sum(r.pr // d.deg) AS s FROM adj a
+         |  JOIN deg d ON a.src = d.src JOIN r${i - 1} r ON r.id = a.src GROUP BY 1),
+         |r$i AS (SELECT d.src AS id,
+         |  CAST(150000000000 + (coalesce(s.s, 0) * 17) // 20 AS BIGINT) AS pr
+         |  FROM deg d LEFT JOIN s$i s ON s.id = d.src)""".stripMargin
+    s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+       |e AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+       |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+       |  WHERE $d <= 500000.0),
+       |adj AS (SELECT id_a AS src, id_b AS dst FROM e
+       |  UNION ALL SELECT id_b, id_a FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
+       |r0 AS (SELECT src AS id, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT id, pr FROM r3""".stripMargin
+  }
+
   /** The three lat/lng-rect query regions of the rect PIP join (one wraps
     * the antimeridian); bounds sit on .005 offsets so no derived point can
     * land within fp distance of a boundary. */
@@ -1324,6 +1348,21 @@ object SparkEntry {
       val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
         .select("id_a", "id_b")
       Graphs.pageRankScaled(edges, rounds = 3)
+    }),
+
+    // the CHECKPOINTED iteration exercised through a real crash: run one
+    // committed round, abandon the session state, resume from the durable
+    // round-1 manifest to completion — final ranks must be hash-identical
+    // to the one-shot oracle (integer rounds make resume bit-safe)
+    "q_pagerank_resume" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+      val state = java.nio.file.Files.createTempDirectory("graft_pr_state_").toString
+      Graphs.pageRankCheckpointed(edges, rounds = 3, state, maxRoundsThisRun = 1)
+      Graphs.pageRankCheckpointed(edges, rounds = 3, state)
     }),
 
     // bounded-hop SSSP: exact <= 4-hop shortest distances from the
@@ -3720,27 +3759,12 @@ object SparkEntry {
     // the 3 PageRank rounds unrolled as CTEs in the identical scaled
     // integer arithmetic (// == Spark's div on positive int64); sums pass
     // through HUGEINT in DuckDB, the final CAST pins int64
-    "q_pagerank" -> {
-      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
-      val round = (i: Int) =>
-        s"""s$i AS (SELECT a.dst AS id, sum(r.pr // d.deg) AS s FROM adj a
-           |  JOIN deg d ON a.src = d.src JOIN r${i - 1} r ON r.id = a.src GROUP BY 1),
-           |r$i AS (SELECT d.src AS id,
-           |  CAST(150000000000 + (coalesce(s.s, 0) * 17) // 20 AS BIGINT) AS pr
-           |  FROM deg d LEFT JOIN s$i s ON s.id = d.src)""".stripMargin
-      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
-         |e AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-         |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
-         |  WHERE $d <= 500000.0),
-         |adj AS (SELECT id_a AS src, id_b AS dst FROM e
-         |  UNION ALL SELECT id_b, id_a FROM e),
-         |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
-         |r0 AS (SELECT src AS id, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
-         |SELECT id, pr FROM r3""".stripMargin
-    },
+    "q_pagerank" -> PageRankOracleSql,
+
+    // SAME oracle: a crash-resumed checkpointed run must be hash-identical
+    // to the one-shot iteration (the integer arithmetic makes that a fair
+    // contract across different shuffle layouts)
+    "q_pagerank_resume" -> PageRankOracleSql,
 
     // the 4 min-plus rounds unrolled; the hub seed replays as an
     // ORDER BY deg DESC, src LIMIT 1 CTE

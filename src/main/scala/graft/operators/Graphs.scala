@@ -125,25 +125,77 @@ object Graphs {
                      scale: Long = 1000000000000L,
                      maxNodes: Long = 500000L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    requireNoOverflow(scale, maxNodes)
+    val (adjDeg, deg) = adjacencyWithDegrees(edges0)
+    var ranks = deg.select(col("src").as("id"), lit(scale).as("pr")).localCheckpoint()
+    for (_ <- 1 to rounds) ranks = pageRankRound(adjDeg, deg, ranks, scale).localCheckpoint()
+    ranks
+  }
+
+  private def requireNoOverflow(scale: Long, maxNodes: Long): Unit =
     require(maxNodes > 0 && scale > 0 &&
       maxNodes <= Long.MaxValue / 17 / scale,
       s"n*scale*17 can overflow int64: maxNodes=$maxNodes scale=$scale — lower scale")
+
+  private def adjacencyWithDegrees(edges0: DataFrame): (DataFrame, DataFrame) = {
     val edges = edges0.select(col("id_a"), col("id_b"))
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adjDeg = adj.join(deg, "src").localCheckpoint()
-    val restart = lit(3L * scale / 20L)
-    var ranks = deg.select(col("src").as("id"), lit(scale).as("pr")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val sums = adjDeg.join(ranks.select(col("id").as("src"), col("pr")), "src")
-        .select(col("dst").as("id"), expr("pr div deg").as("__c"))
-        .groupBy("id").agg(sum("__c").as("__s"))
-      ranks = deg.select(col("src").as("id")).join(sums, Seq("id"), "left")
-        .select(col("id"),
-          (restart + expr("coalesce(__s, 0L) * 17 div 20")).as("pr"))
-        .localCheckpoint()
+    (adj.join(deg, "src").localCheckpoint(), deg)
+  }
+
+  private def pageRankRound(adjDeg: DataFrame, deg: DataFrame,
+                            ranks: DataFrame, scale: Long): DataFrame = {
+    val sums = adjDeg.join(ranks.select(col("id").as("src"), col("pr")), "src")
+      .select(col("dst").as("id"), expr("pr div deg").as("__c"))
+      .groupBy("id").agg(sum("__c").as("__s"))
+    deg.select(col("src").as("id")).join(sums, Seq("id"), "left")
+      .select(col("id"),
+        (lit(3L * scale / 20L) + expr("coalesce(__s, 0L) * 17 div 20")).as("pr"))
+  }
+
+  /** [[pageRankScaled]] with DURABLE per-round state — the long-iteration
+    * survival story: a 50-round computation over 10^12 rows WILL lose an
+    * executor or the driver, and `localCheckpoint` state dies with it.
+    * Every completed round is committed to `stateDir` as one
+    * [[ResumableWrite]] partition (`round=<k>`, atomic rename + manifest
+    * line), so a crashed run restarts from the LAST COMMITTED ROUND
+    * instead of round zero: on entry the manifest names the highest
+    * durable round, its ranks are read back (with the loud
+    * manifest/disk-divergence check), and only the remaining rounds
+    * compute. Rounds accumulate in the state table, so every intermediate
+    * iteration stays readable — the same time-travel contract as
+    * q_snapshot_read, here over ITERATION time.
+    *
+    * The integer arithmetic makes resume bit-safe: a resumed run's final
+    * ranks are hash-identical to a one-shot run (spec-pinned), which a
+    * float iteration could not promise across different shuffle layouts.
+    *
+    * @param maxRoundsThisRun fault-injection knob (mirrors
+    *   ResumableWrite's `maxPartitionsThisRun`): commit this many rounds,
+    *   then stop — simulates a crash between rounds. */
+  def pageRankCheckpointed(edges0: DataFrame, rounds: Int, stateDir: String,
+                           scale: Long = 1000000000000L,
+                           maxNodes: Long = 500000L,
+                           maxRoundsThisRun: Int = Int.MaxValue): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    requireNoOverflow(scale, maxNodes)
+    val spark = edges0.sparkSession
+    val (adjDeg, deg) = adjacencyWithDegrees(edges0)
+    val done = ResumableWrite.committedPartitions(stateDir).map(_.toInt)
+    val startRound = if (done.isEmpty) 0 else done.max
+    var ranks =
+      if (done.isEmpty) deg.select(col("src").as("id"), lit(scale).as("pr")).localCheckpoint()
+      else ResumableWrite.readCommitted(spark, stateDir, "round")
+        .where(col("round") === startRound).select("id", "pr").localCheckpoint()
+    var committedThisRun = 0
+    for (k <- startRound + 1 to rounds if committedThisRun < maxRoundsThisRun) {
+      ranks = pageRankRound(adjDeg, deg, ranks, scale).localCheckpoint()
+      ResumableWrite.write(ranks.withColumn("round", lit(k)), stateDir, "round",
+        runId = s"round_$k", input = s"round_${k - 1}")
+      committedThisRun += 1
     }
-    ranks
+    ranks.select("id", "pr")
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Graphs
 
 /** Triangle counting: hand-checked shapes, brute-force equality on a
@@ -120,6 +122,37 @@ class GraphsSpec extends SparkTestBase {
       d = (d.toSeq ++ relaxed).groupMapReduce(_._1)(_._2)(math.min)
     }
     assert(sssp(edges, 0L, 4) == d)
+  }
+
+  test("pageRankCheckpointed: crash-resume is hash-identical to one-shot; no round recomputes") {
+    import spark.implicits._
+    import graft.operators.ResumableWrite
+    val rnd = new scala.util.Random(3)
+    val edges = (for {
+      i <- 0L until 30L; j <- i + 1 until 30L if rnd.nextDouble() < 0.2
+    } yield (i, j)).toDF("id_a", "id_b").localCheckpoint()
+    val oneShot = Graphs.pageRankScaled(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    val state = java.nio.file.Files.createTempDirectory("pr_state_").toString
+    // crash after one committed round
+    Graphs.pageRankCheckpointed(edges, 3, state, maxRoundsThisRun = 1)
+    assert(ResumableWrite.committedPartitions(state) == Set("1"))
+    // resume: only rounds 2 and 3 commit, and the result matches one-shot
+    val resumed = Graphs.pageRankCheckpointed(edges, 3, state)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == oneShot)
+    assert(ResumableWrite.committedPartitions(state) == Set("1", "2", "3"))
+    assert(ResumableWrite.readManifest(state).map(_.runId).sorted ==
+      Seq("round_1", "round_2", "round_3"))
+    // every intermediate round stays readable (iteration time-travel)
+    val r1 = ResumableWrite.readCommitted(spark, state, "round")
+      .where(col("round") === 1).count()
+    assert(r1 == oneShot.size)
+    // idempotent re-run: nothing new commits, same answer
+    val again = Graphs.pageRankCheckpointed(edges, 3, state)
+      .as[(Long, Long)].collect().toMap
+    assert(again == oneShot)
+    assert(ResumableWrite.readManifest(state).size == 3)
   }
 
   test("pageRankScaled rejects an overflow-capable (maxNodes, scale) pair") {
