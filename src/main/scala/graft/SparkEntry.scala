@@ -1204,6 +1204,27 @@ object SparkEntry {
     }),
 
     // --- covering PIP joins ---
+    // generic two-attribute Z-ORDER layout (the lakehouse ZORDER BY,
+    // generalized from the geo layouts): orders clustered by interleaved
+    // (totalprice, custkey) bits; a conjunctive box predicate prunes
+    // whole z-prefix directories via the driver-side prefix-rectangle
+    // intersection (O(64), no data read) + row groups via the sorted __z
+    // stats column; the exact filter stays on top, so the layout
+    // accelerates and never answers
+    "q_zorder_scan" -> ((s, dir) => {
+      val (xd, yd) = (ZOrder.Dim("o_totalprice", 0.0, 620000.0),
+        ZOrder.Dim("o_custkey", 0.0, 20000.0))
+      val out = fixture(dir, "zorder") { p =>
+        ZOrder.zorderWrite(orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+          xd, yd, bits = 12, coarseBits = 6, p)
+      }
+      ZOrder.readForBox(s, out, xd, yd, bits = 12, coarseBits = 6,
+          xLo = 100000.0, xHi = 200000.0, yLo = 1.0, yHi = 3000.0)
+        .where(col("o_totalprice").between(100000.0, 200000.0) &&
+          col("o_custkey").between(1L, 3000L))
+        .select("o_orderkey")
+    }),
+
     "q_pip_rect" -> ((s, dir) =>
       SpatialJoin.pipJoin(points(s, dir), "lat", "lon", rectRegions)
         .select("region_id", "o_orderkey")),
@@ -3647,6 +3668,12 @@ object SparkEntry {
          |SELECT o_orderkey FROM pts
          |WHERE ${SparkEntryRegions.rectPredSql(latLo, latHi, lonLo, lonHi)}""".stripMargin
     },
+
+    // the layout cannot change the answer: a plain conjunctive range scan
+    "q_zorder_scan" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice BETWEEN 100000.0 AND 200000.0
+        |  AND o_custkey BETWEEN 1 AND 3000""".stripMargin,
 
     "q_pip_rect" -> RectOracleSql,
 
