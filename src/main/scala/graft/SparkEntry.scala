@@ -1386,6 +1386,41 @@ object SparkEntry {
       Graphs.pageRankCheckpointed(edges, rounds = 3, state)
     }),
 
+    // record linkage / entity resolution: customers vs a synthesized
+    // noisy registration table (name formatting drift, ~1-2 km location
+    // jitter, occasional wrong nation, plus far-away same-name imposters
+    // that must NOT link). Blocking equi-join on the normalized name,
+    // integer Fellegi-Sunter-style score (close-within-5km=3 +
+    // nation-agrees=2, accept >= 5): drifted true matches link, the
+    // wrong-nation and imposter rows are rejected by score — all
+    // replayable in SQL, no float tolerance
+    "q_record_linkage" -> ((s, dir) => {
+      val cust = customer(s, dir).select("c_custkey", "c_name", "c_nationkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val regs = cust.select(
+        (col("c_custkey") + 1000000L).as("reg_id"),
+        when(col("c_custkey") % 3 === 0, lower(col("c_name")))
+          .when(col("c_custkey") % 3 === 1,
+            regexp_replace(col("c_name"), "Customer#", "CUSTOMER #"))
+          .otherwise(col("c_name")).as("reg_name"),
+        (col("lat") + (col("c_custkey") % 7 - 3) * 0.003).as("rlat"),
+        (col("lon") + (col("c_custkey") % 11 - 5) * 0.003).as("rlon"),
+        when(col("c_custkey") % 50 === 0, col("c_nationkey") + 1)
+          .otherwise(col("c_nationkey")).as("reg_nation"))
+      val imposters = cust.where(col("c_custkey") % 10 === 0).select(
+        (col("c_custkey") + 2000000L).as("reg_id"),
+        col("c_name").as("reg_name"),
+        (-col("lat")).as("rlat"),
+        when(col("lon") >= 0, col("lon") - 180.0)
+          .otherwise(col("lon") + 180.0).as("rlon"),
+        col("c_nationkey").as("reg_nation"))
+      RecordLinkage.link(
+        cust, "c_custkey", "c_name", "lat", "lon", "c_nationkey",
+        regs.unionByName(imposters), "reg_id", "reg_name", "rlat", "rlon", "reg_nation",
+        maxDistM = 5000.0, wClose = 3, wAttr = 2, minScore = 5)
+    }),
+
     // bounded-hop SSSP: exact <= 4-hop shortest distances from the
     // max-degree hub of the proximity graph, integer edge weights (pure
     // id arithmetic — float-derived weights would make the truncation
@@ -3792,6 +3827,39 @@ object SparkEntry {
     // to the one-shot iteration (the integer arithmetic makes that a fair
     // contract across different shuffle layouts)
     "q_pagerank_resume" -> PageRankOracleSql,
+
+    // the same synthesis + normalization (regexp_replace with the 'g'
+    // flag — DuckDB replaces first-only by default) + blocking join +
+    // integer score threshold
+    "q_record_linkage" -> {
+      val d = haversineExpr("l.lat", "l.lon", "r.rlat", "r.rlon")
+      s"""WITH cust AS (SELECT c_custkey, c_name, c_nationkey,
+         |  $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |regs AS (
+         |  SELECT c_custkey + 1000000 AS reg_id,
+         |    CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
+         |         WHEN c_custkey % 3 = 1 THEN replace(c_name, 'Customer#', 'CUSTOMER #')
+         |         ELSE c_name END AS reg_name,
+         |    lat + (c_custkey % 7 - 3) * 0.003 AS rlat,
+         |    lon + (c_custkey % 11 - 5) * 0.003 AS rlon,
+         |    CASE WHEN c_custkey % 50 = 0 THEN c_nationkey + 1 ELSE c_nationkey END AS reg_nation
+         |  FROM cust
+         |  UNION ALL
+         |  SELECT c_custkey + 2000000, c_name, -lat,
+         |    CASE WHEN lon >= 0 THEN lon - 180.0 ELSE lon + 180.0 END, c_nationkey
+         |  FROM cust WHERE c_custkey % 10 = 0),
+         |ln AS (SELECT c_custkey, c_nationkey, lat, lon,
+         |  regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9#]', '', 'g'),
+         |    '#0+', '#', 'g') AS blk FROM cust),
+         |rn AS (SELECT reg_id, reg_nation, rlat, rlon,
+         |  regexp_replace(regexp_replace(lower(reg_name), '[^a-z0-9#]', '', 'g'),
+         |    '#0+', '#', 'g') AS blk FROM regs),
+         |scored AS (SELECT l.c_custkey, r.reg_id,
+         |  (CASE WHEN $d <= 5000.0 THEN 3 ELSE 0 END
+         |   + CASE WHEN l.c_nationkey = r.reg_nation THEN 2 ELSE 0 END) AS score
+         |  FROM ln l JOIN rn r ON l.blk = r.blk)
+         |SELECT c_custkey, reg_id, score FROM scored WHERE score >= 5""".stripMargin
+    },
 
     // the 4 min-plus rounds unrolled; the hub seed replays as an
     // ORDER BY deg DESC, src LIMIT 1 CTE
