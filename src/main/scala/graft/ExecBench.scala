@@ -173,6 +173,57 @@ object ExecBench {
         pts.withColumn("g", pmod(col("id"), lit(32L))).toDF(), Seq("g"), "id")
         .count(); 100000000L
     }
+    // wave 45/47/48/53 additions at the same scale. skyline carries its own
+    // soundness assert at benchmark scale: every returned row must beat the
+    // strict-prefix bucket max, so a broken prune would trip the require.
+    import graft.operators.{Skyline, SpatialPartition, ZOrder}
+    t("skyline 100M      ") {
+      val xy = spark.range(0L, 100000000L, 1, 64)
+        .withColumn("x", pmod(col("id") * 7919L, lit(1000003L)).cast("double"))
+        .withColumn("y", pmod(col("id") * 104729L, lit(999983L)).cast("double"))
+      val sk = Skyline.skyline2d(xy.toDF(), "id", "x", "y", bucketWidth = 1000.0)
+      val n = sk.count()
+      require(n >= 1 && n < 100000L, s"degenerate skyline: $n")
+      100000000L
+    }
+    t("strAssign 100M    ") {
+      val a = SpatialPartition.strAssign(pts.toDF(), "id", "lon", "lat", 16, 16)
+        .groupBy("tx", "ty").count().agg(min("count"), max("count"), count(lit(1))).head()
+      require(a.getLong(2) == 256 && a.getLong(1) - a.getLong(0) <= 2,
+        s"balance broken: ${a.getLong(0)}..${a.getLong(1)} over ${a.getLong(2)} tiles")
+      100000000L
+    }
+    t("pageRank 10Mn 3rnd") {
+      // ladder graph (i,i+1)+(i,i+2): 10M nodes / 20M edges, 3 integer
+      // rounds — the per-round join+agg shape at graph scale
+      val n = 10000000L
+      val ids = spark.range(0L, n, 1, 64)
+      val e1 = ids.select(col("id").as("id_a"), (col("id") + 1).as("id_b")).where(col("id_b") < n)
+      val e2 = ids.select(col("id").as("id_a"), (col("id") + 2).as("id_b")).where(col("id_b") < n)
+      Graphs.pageRankScaled(e1.unionAll(e2).toDF(), rounds = 3,
+        scale = 100000000L, maxNodes = 20000000L).count()
+    }
+    // z-order: layout written ONCE (20M rows), then the pruned box read is
+    // timed against the same predicate over a plain unclustered copy
+    val zdir = s"${System.getProperty("java.io.tmpdir")}/graft_execbench_zorder"
+    val pdir = s"${System.getProperty("java.io.tmpdir")}/graft_execbench_plain"
+    val (zx, zy) = (ZOrder.Dim("x", 0.0, 1000003.0), ZOrder.Dim("y", 0.0, 999983.0))
+    if (filters.isEmpty || filters.exists(f => "zorder".contains(f))) {
+      val xy = spark.range(0L, 20000000L, 1, 64)
+        .withColumn("x", pmod(col("id") * 7919L, lit(1000003L)).cast("double"))
+        .withColumn("y", pmod(col("id") * 104729L, lit(999983L)).cast("double"))
+      ZOrder.zorderWrite(xy.toDF(), zx, zy, bits = 12, coarseBits = 6, zdir)
+      xy.write.mode("overwrite").parquet(pdir)
+    }
+    t("zorder pruned read") {
+      val c = ZOrder.readForBox(spark, zdir, zx, zy, 12, 6, 0.0, 100000.0, 0.0, 100000.0)
+        .where(col("x") <= 100000.0 && col("y") <= 100000.0).count()
+      require(c > 0, "empty box"); 20000000L
+    }
+    t("plain filter read ") {
+      spark.read.parquet(pdir)
+        .where(col("x") <= 100000.0 && col("y") <= 100000.0).count(); 20000000L
+    }
     spark.stop()
   }
 }

@@ -159,6 +159,10 @@ object SparkEntry {
     * sides (ImageSharpnessSpec). */
   val SharpnessThreshold: Double = 3e9
 
+  /** Colorfulness gate threshold: gray rasters score exactly 0, the
+    * synthetic noise population ~150 (margin spec-pinned). */
+  val ColorfulnessThreshold: Double = 10.0
+
   /** Build-once fixture for queries whose point is the READ path over a
     * persisted layout (clustered table, IVF index): the layout is written
     * the first time a query needs it for a given sf dir and reused after,
@@ -2438,6 +2442,20 @@ object SparkEntry {
     // planted-id oracle, exact because the sharp (independent-pixel noise)
     // and blurred (piecewise-linear) populations straddle the threshold
     // with >= 4x margin on both sides (ImageSharpnessSpec)
+    // grayscale/low-color gate (the LAION-style colorfulness filter):
+    // every 12th image arrives DECOLORIZED on the real pixel path
+    // (decode -> luminance collapse -> re-encode); the Hasler–Süsstrunk
+    // score separates them from the colored population by a spec-pinned
+    // margin (gray == exactly 0), so the planted ids are the exact answer
+    "q_image_gray" -> ((s, dir) => {
+      val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
+      val mixed = images.where(col("p_partkey") % 12 =!= 0)
+        .unionByName(ImagePayload.withGrayscale(images.where(col("p_partkey") % 12 === 0)))
+      ImagePayload.withColorfulness(mixed)
+        .select(col("p_partkey"),
+          (col("colorfulness") > lit(ColorfulnessThreshold)).as("colorful"))
+    }),
+
     "q_image_sharpness" -> ((s, dir) => {
       val images = ImagePayload.synthesize(part(s, dir).select("p_partkey"), "p_partkey")
       val mixed = images.where(col("p_partkey") % 8 =!= 0)
@@ -5173,6 +5191,8 @@ object SparkEntry {
     // the planted blur set IS the exact answer: ImageSharpnessSpec pins the
     // >= 4x threshold clearance of both populations
     "q_image_sharpness" -> "SELECT p_partkey, (p_partkey % 8 <> 0) AS sharp FROM part",
+
+    "q_image_gray" -> "SELECT p_partkey, (p_partkey % 12 <> 0) AS colorful FROM part",
 
     "q_audio_features" -> "SELECT p_partkey FROM part",
 

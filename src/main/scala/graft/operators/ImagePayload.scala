@@ -341,6 +341,82 @@ object ImagePayload {
     resizeImage(resizeImage(bytes, math.max(1, w / down), math.max(1, h / down)), w, h)
   }
 
+  /** Hasler–Süsstrunk colorfulness over the REAL decoded pixels — the
+    * standard grayscale/low-color curation gate (web corpora are full of
+    * scanned documents, screenshots and decolorized re-uploads a vision
+    * model should see flagged): with rg = R-G and yb = (R+G)/2 - B per
+    * pixel, M = sqrt(var(rg)+var(yb)) + 0.3*sqrt(mean(rg)^2+mean(yb)^2).
+    * Any R=G=B raster scores exactly 0; the synthetic noise rasters score
+    * ~150 (spec pins the population margin). Moments accumulate in exact
+    * integer sums (yb doubled to stay integral), so the score is a pure
+    * function of pixels. None for undecodable payloads. */
+  def colorfulness(bytes: Array[Byte]): Option[Double] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) return None
+    val w = img.getWidth; val h = img.getHeight
+    var sRg = 0L; var s2Rg = 0L; var sYb2 = 0L; var s2Yb2 = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        val rg = r - g
+        val yb2 = r + g - 2 * b // 2*yb, kept integral
+        sRg += rg; s2Rg += rg.toLong * rg
+        sYb2 += yb2; s2Yb2 += yb2.toLong * yb2
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val mRg = sRg.toDouble / n
+    val mYb = sYb2.toDouble / n / 2.0
+    val vRg = s2Rg.toDouble / n - mRg * mRg
+    val vYb = s2Yb2.toDouble / n / 4.0 - mYb * mYb
+    Some(math.sqrt(vRg + vYb) + 0.3 * math.sqrt(mRg * mRg + mYb * mYb))
+  }
+
+  /** Deterministic DECOLORIZE on the real pixel path: decode, collapse
+    * every pixel to its 299/587/114 luminance, re-encode — the planted
+    * grayscale re-upload for the colorfulness gate. */
+  def grayscaleImage(bytes: Array[Byte]): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null) return Array.emptyByteArray
+    val w = src.getWidth; val h = src.getHeight
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = src.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        out.setRGB(x, y, lum * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  private val colorfulnessUdf = udf((bytes: Array[Byte]) => colorfulness(bytes))
+  private val grayscaleUdf = udf((bytes: Array[Byte]) => grayscaleImage(bytes))
+
+  /** Colorfulness column via real decode; null for undecodable payloads. */
+  def withColorfulness(images: DataFrame): DataFrame =
+    images.withColumn("colorfulness", colorfulnessUdf(col("bytes")))
+
+  /** Decolorized-copy column (see [[grayscaleImage]]); phash recomputed
+    * like [[withBlur]] so the row stays internally consistent. */
+  def withGrayscale(images: DataFrame): DataFrame = {
+    val g = images.withColumn("bytes", grayscaleUdf(col("bytes")))
+    if (g.columns.contains("phash")) g.withColumn("phash", xxhash64(col("bytes")))
+    else g
+  }
+
   private val sharpnessUdf = udf((bytes: Array[Byte]) => sharpness(bytes))
   private val blurUdf = udf((bytes: Array[Byte], down: Int) => blurImage(bytes, down))
 
