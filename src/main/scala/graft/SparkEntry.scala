@@ -2190,6 +2190,15 @@ object SparkEntry {
         .select("doc_id", "domain", "canon_url")
     }),
 
+    // quantile normalization (empirical-CDF transform) of the doc-length
+    // feature: two-pass range-partitioned global rank (no single-task
+    // window, no driver job; n rides a broadcast 1-row aggregate), one
+    // IEEE division on exact integer operands -> bit-reproducible DOUBLE
+    "q_quantile_norm" -> ((s, dir) =>
+      Curation.quantileNormalize(
+        documents(s, dir).select("doc_id", "n_chars"), "n_chars", "doc_id")
+        .select("doc_id", "n_chars", "q")),
+
     // Bloom-pruned exact semi join: lineitem rows whose part key belongs to
     // a selective part subset; the probabilistic prune runs codegen'd over
     // the scan, the exact pass sees only survivors -> result == plain semi
@@ -4988,6 +4997,17 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) AS r FROM h) t
          |WHERE r <= 25""".stripMargin
     },
+
+    // the identical rank arithmetic in window form; the one division has
+    // identical IEEE operands both sides, zero tolerance
+    "q_quantile_norm" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |  count(*) OVER () AS n FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n = 1 THEN 0.0
+        |       ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS q
+        |FROM r""".stripMargin,
 
     // the Bloom prune is cost-only: the exact pass makes the result a
     // plain semi join

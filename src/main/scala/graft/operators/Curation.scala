@@ -22,6 +22,30 @@ object Curation {
     * string builders). */
   def splitThreshold(valFrac: Double): Long = (Dedup.HashP * valFrac).toLong
 
+  /** Quantile normalization (the empirical-CDF feature transform): map a
+    * numeric column to its global rank scaled into [0, 1] —
+    * `(rank - 1) / (n - 1)` with ties broken by id so the transform is a
+    * pure function of the input set. The ML-preprocessing standard for
+    * heavy-tailed features (doc lengths, view counts) before they feed
+    * quality scores or mixtures. Rank comes from the two-pass
+    * range-partitioned [[SortedNeighborhood.globalRank]] — no single-task
+    * window, no collect — and the single final division is one IEEE op on
+    * exact integer operands, so the DOUBLE output is bit-reproducible and
+    * oracle-checkable. Output: input columns + `q` (n == 1 maps to 0.0). */
+  def quantileNormalize(df: DataFrame, valCol: String, idCol: String): DataFrame = {
+    // pinned: feeds both the 1-row total aggregate and the output rows
+    val ranked = SortedNeighborhood.globalRank(df, col(valCol), col(idCol))
+      .localCheckpoint()
+    // n rides a broadcast 1-row aggregate — never a global window (which
+    // would serialize the table through one task) and never a driver job
+    val total = ranked.agg(max("rank").as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("q",
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("rank") - 1L).cast("double") / (col("__n") - 1L).cast("double")))
+      .drop("rank", "__n")
+  }
+
   /** Deterministic, reproducible train/val split: `val` iff
     * idHash(id) < P * valFrac. No shuffle, no RNG state — re-running on a
     * grown table keeps every existing row's assignment stable (the classic

@@ -21,6 +21,20 @@ class CurationSpec extends SparkTestBase {
     assert(sub.forall { case (k, v) => full(k) == v })
   }
 
+  test("quantileNormalize equals the scalar empirical CDF, ties broken by id") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => (i, (i * 7919) % 97)) // heavy ties
+    val got = Curation.quantileNormalize(rows.toDF("doc_id", "v"), "v", "doc_id")
+      .select("doc_id", "q").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = rows.sortBy(p => (p._2, p._1)).zipWithIndex
+      .map { case ((id, _), r) => id -> r.toDouble / 499.0 }.toMap
+    assert(got == want)
+    // single row maps to 0.0, not NaN
+    val one = Curation.quantileNormalize(Seq((1L, 42L)).toDF("doc_id", "v"), "v", "doc_id")
+      .select("q").head().getDouble(0)
+    assert(one == 0.0)
+  }
+
   test("leakFreeSplit never lets a near-dup cluster straddle train/val") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
