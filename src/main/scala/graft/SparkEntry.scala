@@ -1390,6 +1390,23 @@ object SparkEntry {
       Graphs.pageRankCheckpointed(edges, rounds = 3, state)
     }),
 
+    // mutual-kNN graph: pairs where EACH point is in the other's exact
+    // 5-NN — the noise-robust proximity graph clustering/SemDeDup-style
+    // pipelines build (one-sided kNN edges to a dense hub are dropped).
+    // The exact all-pairs kNN is computed once and pinned; mutuality is
+    // one equi-join of that (id, neighbor) table with itself
+    "q_mutual_knn" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val knn = Knn.knnSelfJoin(pts, "c_custkey", "lat", "lon", k = 5)
+        .select(col("id"), col("neighbor_id")).localCheckpoint()
+      knn.as("a").join(knn.as("b"),
+          col("a.id") === col("b.neighbor_id") && col("a.neighbor_id") === col("b.id"))
+        .where(col("a.id") < col("a.neighbor_id"))
+        .select(col("a.id").as("id_a"), col("a.neighbor_id").as("id_b"))
+    }),
+
     // record linkage / entity resolution: customers vs a synthesized
     // noisy registration table (name formatting drift, ~1-2 km location
     // jitter, occasional wrong nation, plus far-away same-name imposters
@@ -3854,6 +3871,20 @@ object SparkEntry {
     // to the one-shot iteration (the integer arithmetic makes that a fair
     // contract across different shuffle layouts)
     "q_pagerank_resume" -> PageRankOracleSql,
+
+    // the exact 5-NN relation built once, mutuality as a self-join —
+    // identical tie rule (distance, then id) to q_knn_self
+    "q_mutual_knn" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |r AS (SELECT a.c_custkey AS id, b.c_custkey AS nb,
+         |  row_number() OVER (PARTITION BY a.c_custkey ORDER BY $d, b.c_custkey) AS rnk
+         |  FROM pts a JOIN pts b ON a.c_custkey <> b.c_custkey),
+         |k AS (SELECT id, nb FROM r WHERE rnk <= 5)
+         |SELECT x.id AS id_a, x.nb AS id_b FROM k x
+         |JOIN k y ON x.id = y.nb AND x.nb = y.id
+         |WHERE x.id < x.nb""".stripMargin
+    },
 
     // the same synthesis + normalization (regexp_replace with the 'g'
     // flag — DuckDB replaces first-only by default) + blocking join +
