@@ -1390,6 +1390,23 @@ object SparkEntry {
       Graphs.pageRankCheckpointed(edges, rounds = 3, state)
     }),
 
+    // gaps-and-islands coverage: each event opens a 300 s presence
+    // interval; overlapping-or-touching intervals merge into maximal
+    // islands per user — per-user online-time accounting in exact
+    // integer microseconds, one key shuffle, two window frames, no
+    // self-join
+    "q_islands" -> ((s, dir) => {
+      val iv = events(s, dir).select(col("user_id"),
+          // ts is TIMESTAMP_NTZ; the UTC session makes the cast the
+          // identity DuckDB's epoch_us applies to the naive value
+          unix_micros(col("ts").cast("timestamp")).as("s"))
+        .withColumn("e", col("s") + 300000000L)
+      IntervalJoin.mergeIslands(iv, Seq("user_id"), "s", "e")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("island_end") - col("island_start")).as("covered_us"))
+    }),
+
     // mutual-kNN graph: pairs where EACH point is in the other's exact
     // 5-NN — the noise-robust proximity graph clustering/SemDeDup-style
     // pipelines build (one-sided kNN edges to a dense hub are dropped).
@@ -3871,6 +3888,23 @@ object SparkEntry {
     // to the one-shot iteration (the integer arithmetic makes that a fair
     // contract across different shuffle layouts)
     "q_pagerank_resume" -> PageRankOracleSql,
+
+    // the same two window frames over exact integer microseconds
+    // (epoch_us == Spark's unix_micros); touching intervals merge
+    // (new island iff s > running max end, strictly)
+    "q_islands" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+        |  FROM events),
+        |m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+        |n AS (SELECT user_id, s, e,
+        |  CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw FROM m),
+        |i AS (SELECT user_id, s, e, sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |  ROWS UNBOUNDED PRECEDING) AS isl FROM n),
+        |g AS (SELECT user_id, isl, min(s) AS st, max(e) AS en FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(en - st) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1""".stripMargin,
 
     // the exact 5-NN relation built once, mutuality as a self-join —
     // identical tie rule (distance, then id) to q_knn_self

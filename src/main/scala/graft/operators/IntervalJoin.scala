@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interval-overlap join — the generic range-join family member (time
@@ -30,6 +31,38 @@ import org.apache.spark.sql.functions._
 object IntervalJoin {
 
   private val Reserved = Seq("__bs", "__be", "__bucket", "__rbs", "__rbe")
+
+  /** Gaps-and-islands: merge each key's overlapping-or-touching closed
+    * intervals into maximal contiguous ISLANDS — the classic
+    * coverage/uptime primitive (sensor online time, user presence,
+    * airspace occupancy): an interval starts a new island iff its start
+    * exceeds the running max end of every earlier interval of the key.
+    * Output: one row per island with (keys..., island_id, island_start,
+    * island_end, n_intervals); island ids number 1..k per key in start
+    * order.
+    *
+    * Shape: ONE shuffle on the key, two frames of the same per-key window
+    * (running max-end and running new-island sum) + one hash aggregate —
+    * no self-join, no explode. Exact-duplicate (start, end) rows tie in
+    * the window order but cannot change island structure (the second of a
+    * tie is never a new island), so the result is deterministic. Rows
+    * with end < start are malformed and dropped, matching [[overlapJoin]].
+    * Per-key data serializes through one task — the shared ranking-window
+    * caveat (AsOfJoin.scala); keys here are entities, not corpora. */
+  def mergeIslands(df: DataFrame, keys: Seq[String],
+                   startCol: String, endCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(startCol), col(endCol))
+    df.where(col(endCol) >= col(startCol))
+      .withColumn("__pmax",
+        max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col(startCol) > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("island_id", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys.map(col) :+ col("island_id"): _*)
+      .agg(min(col(startCol)).as("island_start"), max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
 
   /** Join `left` × `right` on equal `keys` and interval overlap.
     * `*StartCol`/`*EndCol` are timestamp (or timestamp_ntz) columns;
