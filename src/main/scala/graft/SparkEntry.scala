@@ -1407,6 +1407,20 @@ object SparkEntry {
           sum(col("island_end") - col("island_start")).as("covered_us"))
     }),
 
+    // link prediction over the 500 km proximity graph: NON-adjacent
+    // customer pairs sharing >= 3 common neighbors, with the exact count
+    // — wedge join at the center node + one hash aggregate + one
+    // left-anti join against the edges; the wedge volume is the answer's
+    // own size (every common neighbor is a wedge), not a plan artifact
+    "q_link_predict" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+      Graphs.commonNeighborPairs(edges, minCommon = 3)
+    }),
+
     // mutual-kNN graph: pairs where EACH point is in the other's exact
     // 5-NN — the noise-robust proximity graph clustering/SemDeDup-style
     // pipelines build (one-sided kNN edges to a dense hub are dropped).
@@ -3905,6 +3919,24 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_islands,
         |  CAST(sum(en - st) AS BIGINT) AS covered_us
         |FROM g GROUP BY 1""".stripMargin,
+
+    // the same wedge-at-center counting over the brute-force pair CTE;
+    // non-adjacency as NOT EXISTS against the edges
+    "q_link_predict" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |pairs AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |  WHERE $d <= 500000.0),
+         |adj AS (SELECT id_a AS c, id_b AS n FROM pairs
+         |  UNION ALL SELECT id_b AS c, id_a AS n FROM pairs),
+         |g AS (SELECT x.n AS id_a, y.n AS id_b, count(*) AS common
+         |  FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT g.id_a, g.id_b, g.common FROM g
+         |WHERE NOT EXISTS (SELECT 1 FROM pairs p
+         |  WHERE p.id_a = g.id_a AND p.id_b = g.id_b)""".stripMargin
+    },
 
     // the exact 5-NN relation built once, mutuality as a self-join —
     // identical tie rule (distance, then id) to q_knn_self

@@ -87,6 +87,39 @@ object Graphs {
     dist
   }
 
+  /** Link prediction by common-neighbor counting: for every NON-adjacent
+    * pair (u, v) sharing at least `minCommon` neighbors, the exact count
+    * of shared neighbors — the classic "people/stations you may know"
+    * primitive, and the graph-side near-dup signal (two documents whose
+    * dup-pair neighborhoods overlap heavily are cluster-mates even when
+    * their own pair was missed). Output: (id_a, id_b, common), id_a <
+    * id_b, canonical pair shape.
+    *
+    * Shape at scale: the adjacency list self-joined at the CENTER node
+    * (one equi-join on the center id), emitting one wedge row per
+    * neighbor pair of each center, then one hash aggregate on the pair
+    * and one left-anti equi-join against the input edges. The wedge
+    * volume Σ_c deg(c)² is the cost of the ANSWER here, not an
+    * implementation artifact — every common neighbor IS a wedge — so
+    * unlike [[triangleCounts]] no orientation trick can shrink it; at
+    * 100 TB, bound hub centers first (cap or sample centers above a
+    * degree ceiling — [[graft.operators.Dedup]]'s capBuckets discipline)
+    * or raise `minCommon`, which cuts the aggregate's OUTPUT, and prune
+    * low-degree centers (deg < 2 emits nothing) inside the scan, as done
+    * here. `minCommon >= 1`; pairs are distinct by construction. */
+  def commonNeighborPairs(edges0: DataFrame, minCommon: Long): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
+    val edges = edges0.select(col("id_a"), col("id_b")).localCheckpoint()
+    val adj = edges.select(col("id_a").as("c"), col("id_b").as("n"))
+      .unionAll(edges.select(col("id_b").as("c"), col("id_a").as("n")))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("id_a"), col("y.n").as("id_b"))
+    wedges.groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+      .join(edges, Seq("id_a", "id_b"), "left_anti")
+  }
+
   /** Undirected degree table (src, deg) — seed/selection helper. */
   def degrees(edges0: DataFrame): DataFrame =
     edges0.select(col("id_a").as("src"))
