@@ -1759,6 +1759,19 @@ object SparkEntry {
       Seq((n, med, p95)).toDF("n", "median_cents", "p95_cents")
     }),
 
+    // MAD outlier gate (modified z-score): docs whose length deviates
+    // from the exact median by more than 2x the exact median absolute
+    // deviation — the robust curation filter a handful of huge docs
+    // cannot drag (unlike mean ± k·stddev). Two chained narrowing
+    // selections + one integer gate, everything hash-exact
+    "q_mad_outliers" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val (med, mad) = Selection.medianAndMad(docs, "n_chars")
+      docs.withColumn("dev", abs(col("n_chars") - lit(med)))
+        .where(col("dev") > lit(2L * mad))
+        .select("doc_id", "n_chars", "dev")
+    }),
+
     // WEIGHTED median via the same narrowing (sum(weight) per bucket):
     // the quantity-weighted price median — robust aggregation over
     // weighted rows with no sort and no materialized expansion
@@ -4314,6 +4327,20 @@ object SparkEntry {
         |  max(CASE WHEN rnk = (n + 1) // 2 THEN c END) AS median_cents,
         |  max(CASE WHEN rnk = (n * 95 + 99) // 100 THEN c END) AS p95_cents
         |FROM r""".stripMargin,
+
+    // the same two lower medians (rank (n+1)//2) and integer gate
+    "q_mad_outliers" ->
+      """WITH v AS (SELECT doc_id, n_chars FROM documents),
+        |r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rnk,
+        |  count(*) OVER () AS n FROM v),
+        |m AS (SELECT max(CASE WHEN rnk = (n + 1) // 2 THEN n_chars END) AS med FROM r),
+        |d AS (SELECT doc_id, n_chars,
+        |  abs(n_chars - (SELECT med FROM m)) AS dev FROM v),
+        |r2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rnk,
+        |  count(*) OVER () AS n FROM d),
+        |md AS (SELECT max(CASE WHEN rnk = (n + 1) // 2 THEN dev END) AS mad FROM r2)
+        |SELECT doc_id, n_chars, dev FROM d
+        |WHERE dev > 2 * (SELECT mad FROM md)""".stripMargin,
 
     // smallest value whose per-value cumulative weight reaches (W+1)//2
     "q_weighted_median" ->

@@ -61,6 +61,30 @@ object Selection {
     lo
   }
 
+  /** EXACT (lower-)median and median absolute deviation of an integral
+    * column — the robust location/scale pair behind MAD outlier gates
+    * (modified z-scores): unlike mean ± k·stddev, a handful of huge
+    * values cannot drag the threshold, so the gate is the curation-grade
+    * length/size filter. Both medians are exact multiset order statistics
+    * via [[kthSmallest]] (k = (n+1)/2, the lower median — the
+    * `quantile_disc`-replayable contract), and the deviations
+    * |v − median| are integer arithmetic, so the pair (and any integer
+    * gate built on it) is hash-exact against SQL.
+    *
+    * Cost: one count + two narrowing selections (2-3 passes each of one
+    * 1024-row partial+final aggregate) — ~5-7 scans of one column,
+    * nothing wide ever shuffles, driver state O(1024) longs. Nulls are
+    * excluded (they have no order rank). */
+  def medianAndMad(df: DataFrame, valueCol: String): (Long, Long) = {
+    val vals = df.select(col(valueCol).cast("long").as("v")).where(col("v").isNotNull)
+    val n = vals.count()
+    require(n > 0, "medianAndMad on empty input")
+    val med = kthSmallest(vals, "v", (n + 1) / 2)
+    val dev = vals.select(abs(col("v") - med).as("d"))
+    val mad = kthSmallest(dev, "d", (n + 1) / 2)
+    (med, mad)
+  }
+
   /** WEIGHTED k-th: the smallest value whose cumulative integer weight
     * reaches `kWeight` (weighted median at kWeight = (W+1)/2) — robust
     * aggregation over weighted rows (token counts, durations, bytes)

@@ -39,6 +39,27 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("medianAndMad == brute-force lower medians; robust to planted extremes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = Seq.fill(1501)(rnd.nextInt(1000).toLong)
+    def brute(vs: Seq[Long]): (Long, Long) = {
+      val med = vs.sorted.apply((vs.size + 1) / 2 - 1)
+      val devs = vs.map(v => math.abs(v - med)).sorted
+      (med, devs((vs.size + 1) / 2 - 1))
+    }
+    assert(Selection.medianAndMad(base.toDF("v").repartition(8), "v") == brute(base))
+    // 50 planted 10^12 extremes: median/MAD move only within the bulk —
+    // the robustness property the mean/stddev gate lacks
+    val spiked = base ++ Seq.fill(50)(1000000000000L)
+    val (m2, d2) = Selection.medianAndMad(spiked.toDF("v").repartition(8), "v")
+    assert((m2, d2) == brute(spiked))
+    assert(m2 < 1000 && d2 < 1000, s"extremes dragged the robust pair: ($m2, $d2)")
+    // nulls are excluded, not counted
+    val withNulls = base.map(Option(_)) ++ Seq.fill(200)(Option.empty[Long])
+    assert(Selection.medianAndMad(withNulls.toDF("v"), "v") == brute(base))
+  }
+
   test("error contract: empty input and out-of-range k throw") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
