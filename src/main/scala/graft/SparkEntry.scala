@@ -643,6 +643,29 @@ object SparkEntry {
         .select(col("event_id"), coalesce(col("asof.click_id"), lit(-1L)).as("click_id"))
     }),
 
+    // last-touch attribution: each purchase credits the user's most
+    // recent touch (click/view/signup) within a 7-day lookback, else the
+    // 'direct' bucket; revenue folded in exact integer cents per channel.
+    // One as-of union-window + the lookback as a post-filter on the
+    // carried touch time — no per-conversion range join, no explosion
+    "q_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val touches = ev.where(col("event_type").isin("click", "view", "signup"))
+        .select(col("event_id").as("touch_id"), col("ts").as("touch_ts"),
+          col("user_id"), col("event_type").as("touch_type"))
+      AsOfJoin.asOf(conv, touches, Seq("user_id"), "ts", "touch_ts",
+          rightOrderCol = "touch_id", rightCarryCols = Seq("touch_type", "touch_ts"))
+        .withColumn("channel",
+          when(col("asof.touch_ts").isNotNull &&
+              col("asof.touch_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("asof.touch_type")).otherwise(lit("direct")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_conversions"), sum("cents").as("revenue_cents"))
+    }),
+
     // FORWARD direction: each purchase matched to the user's EARLIEST
     // click at or after it (ties by smallest id, no-match -> -1)
     "q_asof_fwd" -> ((s, dir) => {
@@ -3238,6 +3261,26 @@ object SparkEntry {
         |  WHERE r.user_id = l.user_id AND r.event_type = 'click' AND r.ts <= l.ts
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1), -1) AS click_id
         |FROM events l WHERE l.event_type = 'purchase'""".stripMargin,
+
+    // last touch per conversion as a correlated subquery restricted to the
+    // 7-day window (equivalent to the engine's filter-after-carry: the
+    // latest touch overall is in-window iff ANY touch is); integer cents
+    "q_attribution" ->
+      """WITH conv AS (SELECT event_id, user_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type IN ('click', 'view', 'signup')),
+        |lt AS (SELECT c.cents, (
+        |  SELECT t.event_type FROM t
+        |  WHERE t.user_id = c.user_id AND t.ts <= c.ts
+        |    AND t.ts >= c.ts - INTERVAL 7 DAY
+        |  ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS channel
+        |  FROM conv c)
+        |SELECT coalesce(channel, 'direct') AS channel,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM lt GROUP BY 1""".stripMargin,
 
     // identical semantics to q_asof_join, by construction — identical oracle
     "q_asof_bucketed" ->
