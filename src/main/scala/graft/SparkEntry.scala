@@ -185,6 +185,13 @@ object SparkEntry {
 
   private val FixtureVersion = "r3a"
 
+  /** q_bloom_index_scan probe set: seven present doc ids + two absent
+    * ones (the absent probes prove Bloom false positives never become
+    * result rows — only possibly extra files). Shared verbatim by the
+    * oracle's IN list. */
+  private val BloomIndexProbeKeys: Seq[Long] =
+    Seq(3L, 57L, 111L, 222L, 333L, 444L, 499L, 100001L, 999999L)
+
   /** PageRank oracle (shared by q_pagerank and q_pagerank_resume): the 3
     * rounds unrolled as CTEs in the identical scaled integer arithmetic. */
   private lazy val PageRankOracleSql: String = {
@@ -1180,6 +1187,20 @@ object SparkEntry {
       Tiling.readClusteredForCells(s, out, cells, coarseLevel = 2)
         .where(col("lat").between(latLo, latHi) && col("lon").between(lonLo, lonHi))
         .select("o_orderkey")
+    }),
+
+    // per-file Bloom skipping index: documents hash-routed into 16 files
+    // + one bitset per file; the point lookup opens only files whose
+    // bitset might contain a probe key (absent keys included to prove
+    // false positives never become rows). The fixture write is one-time;
+    // the measured query is index read -> file prune -> exact isin scan
+    "q_bloom_index_scan" -> ((s, dir) => {
+      val out = fixture(dir, "bloomidx") { p =>
+        BloomJoin.writeIndexed(documents(s, dir).select("doc_id", "n_chars"),
+          "doc_id", p, nFiles = 16)
+      }
+      BloomJoin.lookupIndexed(s, out, "doc_id", BloomIndexProbeKeys)
+        .select("doc_id", "n_chars")
     }),
 
     // MERGE (upsert) into the clustered layout: keys % 7 == 0 MOVE to new
@@ -5181,6 +5202,12 @@ object SparkEntry {
     "q_bloom_semi" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)""".stripMargin,
+
+    // the skipping index is exact by construction: same rows as the
+    // plain IN filter (absent probe keys return nothing)
+    "q_bloom_index_scan" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id IN (${BloomIndexProbeKeys.mkString(", ")})""".stripMargin,
 
     "q_profile" -> {
       def num(c: String) =

@@ -151,6 +151,65 @@ object BloomJoin {
     ColumnBridge.column(BloomMightContain(bits, nHashes, ColumnBridge.expression(key)))
   }
 
+  /** PER-FILE Bloom skipping index — data-skipping for point lookups,
+    * the storage-side dual of [[prunedSemiJoin]]: the table is written
+    * hash-routed on the key (each key lives in exactly ONE data file),
+    * and one extra pass builds a small Bloom bitset PER FILE, stored as
+    * its own tiny table. A later point lookup reads the index (one row
+    * per file), keeps only files whose bitset might contain a probe key,
+    * and scans just those — at 100 TB that is the difference between
+    * "open 100k files" and "open the 1 + fp·100k files that can match",
+    * the same file-stats skipping Iceberg/Delta bloom columns buy,
+    * expressed over plain parquet. The result is EXACT: false positives
+    * only add files, and the final `isin` filter drops their rows.
+    *
+    * Layout under `dir`: `data/` (the hash-routed table, `nFiles`
+    * files) and `index/` (file path, n_hashes, bits). The index pass
+    * re-reads the data ONCE grouped by `input_file_name()` — its
+    * exchange carries one bitset per file, never keys. */
+  def writeIndexed(df: DataFrame, keyCol: String, dir: String, nFiles: Int,
+                   nBits: Int = 1 << 17, nHashes: Int = 5): Unit = {
+    import df.sparkSession.implicits._
+    requireIntegralKey(df, keyCol, "index")
+    require(nFiles >= 1, s"nFiles must be >= 1: $nFiles")
+    df.repartition(nFiles, col(keyCol)).write.mode("overwrite").parquet(s"$dir/data")
+    val data = df.sparkSession.read.parquet(s"$dir/data")
+    val agg = udaf(new BloomAgg(nBits, nHashes), Encoders.scalaLong)
+    data.select(input_file_name().as("file"), col(keyCol).cast("long").as("__k"))
+      .groupBy("file").agg(agg(col("__k")).as("bits"))
+      .withColumn("n_hashes", lit(nHashes))
+      .write.mode("overwrite").parquet(s"$dir/index")
+  }
+
+  /** The data files of `dir` that might contain ANY of `keys` — the
+    * skipping decision, exposed so specs and monitors can pin how many
+    * files a probe set actually touches. Driver state: one (path,
+    * bitset) row per file, the same driver-sized object every
+    * file-pruning planner holds. */
+  def matchedFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   keys: Seq[Long]): Seq[String] = {
+    require(keys.nonEmpty, "matchedFiles needs at least one probe key")
+    import spark.implicits._
+    spark.read.parquet(s"$dir/index")
+      .select(col("file"), col("n_hashes"), col("bits"))
+      .as[(String, Int, Array[Long])].collect()
+      .collect { case (f, h, b) if keys.exists(mightContain(b, h, _)) => f }
+      .toSeq
+  }
+
+  /** Exact point lookup through the index: scan only the matched files,
+    * then the exact `isin` filter (Bloom false positives contribute
+    * files, never rows). Empty match -> empty result with the data
+    * schema, zero data files opened. */
+  def lookupIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    keyCol: String, keys: Seq[Long]): DataFrame = {
+    val files = matchedFiles(spark, dir, keys)
+    val all = spark.read.parquet(s"$dir/data")
+    if (files.isEmpty) all.limit(0)
+    else spark.read.schema(all.schema).parquet(files: _*)
+      .where(col(keyCol).isin(keys: _*))
+  }
+
   /** Exact semi join of `big` against `keys(keyCol)`, Bloom-pruned first.
     *
     * Plan shape: scan(big) -> codegen'd bitset probe (no exchange) ->
