@@ -1405,6 +1405,19 @@ object SparkEntry {
       Graphs.triangleCounts(edges)
     }),
 
+    // 8-core of the proximity graph: the density filter that keeps the
+    // mutually-linked community and peels star boilerplate — bounded
+    // confluent peel, converges in 5 rounds at sf0.01, hash-exact vs a
+    // 6-round unrolled replay (extra rounds past the fixpoint are no-ops)
+    "q_kcore" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+      Graphs.kCore(edges, k = 8, maxRounds = 12)
+    }),
+
     // damped PageRank (3 rounds) over the same proximity graph, in scaled
     // INTEGER arithmetic — shuffle-order-independent, so the iterative
     // operator is hash-exact against an unrolled-CTE SQL replay instead
@@ -3968,6 +3981,35 @@ object SparkEntry {
          |  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
          |n AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
          |SELECT id, count(*) AS triangles FROM n GROUP BY id""".stripMargin
+    },
+
+    // the peel unrolled to 6 rounds (fixpoint at 4 changing rounds at
+    // sf0.01; peeling is confluent so extra rounds are idempotent)
+    "q_kcore" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      // every CTE MATERIALIZED: each ei references its predecessor three
+      // times (via di twice), so default inlining re-expands the base
+      // pair join ~3^6 times — enough reopened parquet scans to exhaust
+      // file handles before it exhausts patience
+      val base =
+        s"""WITH pts AS MATERIALIZED (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+           |e0 AS MATERIALIZED (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+           |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+           |  WHERE $d <= 500000.0)""".stripMargin
+      val rounds = (1 to 6).map { i =>
+        s""",
+           |d${i - 1} AS MATERIALIZED (SELECT id, count(*) AS c FROM (
+           |  SELECT id_a AS id FROM e${i - 1} UNION ALL SELECT id_b FROM e${i - 1}) t
+           |  GROUP BY 1),
+           |e$i AS MATERIALIZED (SELECT e.id_a, e.id_b FROM e${i - 1} e
+           |  JOIN d${i - 1} x ON x.id = e.id_a AND x.c >= 8
+           |  JOIN d${i - 1} y ON y.id = e.id_b AND y.c >= 8)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT id, count(*) AS core_deg FROM (
+          |  SELECT id_a AS id FROM e6 UNION ALL SELECT id_b FROM e6) t
+          |GROUP BY 1""".stripMargin
     },
 
     // the 3 PageRank rounds unrolled as CTEs in the identical scaled

@@ -126,6 +126,49 @@ object Graphs {
       .unionAll(edges0.select(col("id_b").as("src")))
       .groupBy("src").agg(count(lit(1)).as("deg"))
 
+  /** k-core decomposition (the Matula–Beck peel, bounded): repeatedly
+    * delete nodes of degree < k until a fixpoint; the survivors are the
+    * k-core — the standard density filter for dup/contact/citation
+    * graphs (a spam farm's mutual-link clique survives a high-k peel;
+    * star boilerplate does not). Output: (id, core_deg) for every node
+    * of the k-core, with its WITHIN-CORE degree (>= k by definition).
+    *
+    * Exactness: peeling is confluent — the fixpoint is unique whatever
+    * the deletion order — so the converged result is hash-exact against
+    * an unrolled fixed-depth SQL replay (extra unrolled rounds past the
+    * fixpoint are idempotent). Convergence is REQUIRED within
+    * `maxRounds` (loud failure, never a silently-truncated peel).
+    *
+    * Shape per round: one degree aggregate + two left-semi equi-joins of
+    * the edge list against the surviving nodes; 16-byte edge rows only,
+    * lineage cut per round. Rounds needed = core number spread along
+    * degeneracy chains — single digits on proximity/dup graphs; worst
+    * case (a path peeled from the ends) is O(n/2), which `maxRounds`
+    * makes an explicit contract rather than a hang. */
+  def kCore(edges0: DataFrame, k: Long, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    var edges = edges0.select(col("id_a"), col("id_b")).localCheckpoint()
+    var n = edges.count()
+    var round = 0
+    var converged = false
+    while (!converged && n > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"k-core peel did not converge in $maxRounds rounds (still $n edges)")
+      val keep = degrees(edges).where(col("deg") >= k)
+      val pruned = edges
+        .join(keep.select(col("src").as("id_a")), Seq("id_a"), "left_semi")
+        .join(keep.select(col("src").as("id_b")), Seq("id_b"), "left_semi")
+        .localCheckpoint()
+      val n2 = pruned.count()
+      converged = n2 == n
+      edges = pruned
+      n = n2
+    }
+    degrees(edges).select(col("src").as("id"), col("deg").as("core_deg"))
+  }
+
   /** Damped PageRank over an undirected edge list, in SCALED INTEGER
     * arithmetic (the q_collocations discipline): ranks are int64 multiples
     * of `scale`, every round computes

@@ -155,6 +155,55 @@ class GraphsSpec extends SparkTestBase {
     assert(ResumableWrite.readManifest(state).size == 3)
   }
 
+  test("kCore: hand-checked K5-with-tail and the empty-core case") {
+    import spark.implicits._
+    // K5 on 0..4 plus a tail 4-5-6: the 3-core is exactly the K5 (deg 4),
+    // peeling the tail takes two rounds (6 first, then 5)
+    val k5 = for { a <- 0 to 4; b <- a + 1 to 4 } yield (a.toLong, b.toLong)
+    val edges = (k5 ++ Seq((4L, 5L), (5L, 6L))).toDF("id_a", "id_b")
+    val core = Graphs.kCore(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(core == (0L to 4L).map(id => (id, 4L)))
+    // k above the max degree: empty core, zero rows (not a failure)
+    assert(Graphs.kCore(edges, 10).count() == 0)
+  }
+
+  test("kCore == scalar peel replay on a generated graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val n = 60
+    val edges = (for {
+      a <- 0 until n; b <- a + 1 until n
+      if rnd.nextInt(100) < 10
+    } yield (a.toLong, b.toLong)).toSeq
+    def peel(k: Long): Map[Long, Long] = {
+      var es = edges.toSet
+      var done = false
+      while (!done) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (i, v) => i -> v.size.toLong }
+        val keep = deg.filter(_._2 >= k).keySet
+        val ns = es.filter(e => keep(e._1) && keep(e._2))
+        done = ns.size == es.size
+        es = ns
+      }
+      es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (i, v) => i -> v.size.toLong }
+    }
+    for (k <- Seq(2L, 4L, 6L)) {
+      val got = Graphs.kCore(edges.toDF("id_a", "id_b"), k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == peel(k), s"k=$k")
+    }
+  }
+
+  test("kCore maxRounds is a loud contract, not a silent truncation") {
+    import spark.implicits._
+    // a path peels one node from each end per round: 9 nodes, 2-core is
+    // empty but needs 4 rounds — maxRounds=2 must throw, not truncate
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] { Graphs.kCore(path, 2, maxRounds = 2) }
+    assert(Graphs.kCore(path, 2, maxRounds = 10).count() == 0)
+  }
+
   test("pageRankScaled rejects an overflow-capable (maxNodes, scale) pair") {
     import spark.implicits._
     val e = Seq((1L, 2L)).toDF("id_a", "id_b")
