@@ -625,6 +625,14 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       Sequences.transitionCounts(events(s, dir), "user_id", "ts", "event_type", "event_id")),
 
+    // clickstream path mining: the 20 most frequent ordered 3-step
+    // event-type paths (adjacent windows per user stream) — one sort
+    // window with two leads, one hash agg over <= |types|^3 strings,
+    // TakeOrdered top-k under the deterministic (n desc, path) rank
+    "q_path_topk" -> ((s, dir) =>
+      Sequences.topPaths(events(s, dir), "user_id", "ts", "event_type", "event_id",
+        len = 3, topK = 20)),
+
     // ordered HIGH-INTENT funnel (view -> click -> purchase among value
     // >= 100 events, as a SUBSEQUENCE): greedy sorted-list fold per user,
     // integer-exact, non-degenerate depth spread (27/51/38/34 at sf0.01);
@@ -3249,6 +3257,16 @@ object SparkEntry {
         | SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
         |  event_type AS next_type FROM events) t
         |WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // identical leads, concatenation, and (n DESC, path) rank rule
+    "q_path_topk" ->
+      """WITH t AS (SELECT event_type AS s0,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+        |  FROM events),
+        |g AS (SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n FROM t
+        |  WHERE s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM g ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     // iterated min-after step times (the greedy-equivalent formulation):
     // t1 = first view, t2 = first click after t1, t3 = first purchase

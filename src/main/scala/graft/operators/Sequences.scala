@@ -31,6 +31,42 @@ object Sequences {
       .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
   }
 
+  /** Top-k ordered event paths: every ADJACENT `len`-step window of each
+    * key's (`tsCol`, `tieCol`)-ordered stream becomes a `a>b>c` path
+    * string; exact counts, global top `topK` by (count desc, path asc) —
+    * the deterministic rank rule that makes the listing hash-exact. The
+    * clickstream path-mining primitive ("what do users do right before
+    * churning/buying").
+    *
+    * Shape: ONE per-key sort window computing len-1 `lead`s (no
+    * self-joins — the wave-18 transition shape generalized), one hash
+    * aggregate over at most |types|^len path strings, and the top-k
+    * plans as TakeOrderedAndProject (driver holds k rows, never the
+    * distribution). Type values must not contain the '>' separator —
+    * loudly checked, a silent collision would merge distinct paths. */
+  def topPaths(events: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, tieCol: String, len: Int, topK: Int): DataFrame = {
+    require(len >= 2, s"len must be >= 2: $len")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val base = events.select(col(keyCol), col(tsCol), col(tieCol),
+      col(typeCol).as("__s0"))
+    val withSteps = (1 until len).foldLeft(base) { case (df, i) =>
+      df.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
+    }
+    val sepFree = (0 until len).map(i => !col(s"__s$i").contains(">")).reduce(_ && _)
+    val path = concat_ws(">", (0 until len).map(i => col(s"__s$i")): _*)
+    withSteps
+      .where((1 until len).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .withColumn("__ok", when(sepFree, true)
+        .otherwise(raise_error(lit(s"topPaths: type value contains the '>' separator"))))
+      .where(col("__ok"))
+      .select(path.as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Ordered-funnel progression: for each key, the greedy depth reached
     * through `steps` as a SUBSEQUENCE of its (`tsCol`, `tieCol`)-ordered
     * stream (other events may interleave); returns (depth, n_keys) over

@@ -96,6 +96,32 @@ class SequencesSpec extends SparkTestBase {
     }
   }
 
+  test("topPaths equals brute-force adjacent trigrams under the (n desc, path) rank (sf0.001)") {
+    val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val got = Sequences.topPaths(events, "user_id", "ts", "event_type", "event_id",
+      len = 3, topK = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = collected("sf0.001").groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+    }.groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq === want)
+    assert(got.map(_._2).sum > 0)
+  }
+
+  test("topPaths rejects type values containing the separator") {
+    import spark.implicits._
+    val bad = Seq((1L, 1L, 1L, "a>b"), (1L, 2L, 2L, "c"), (1L, 3L, 3L, "d"))
+      .toDF("user_id", "ts_raw", "event_id", "event_type")
+      .select(col("user_id"), expr("timestamp_seconds(ts_raw)").as("ts"),
+        col("event_id"), col("event_type"))
+    val e = intercept[Exception] {
+      Sequences.topPaths(bad, "user_id", "ts", "event_type", "event_id", 3, 5).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("cohortRetention equals brute-force first-day cohorts (sf0.001)") {
     val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
     val got = Sequences.cohortRetention(events, "user_id", "ts")
