@@ -216,6 +216,32 @@ object SparkEntry {
        |SELECT id, pr FROM r3""".stripMargin
   }
 
+  /** TextRank keyword oracle: unrolled scaled-integer PageRank rounds in
+    * the [[PageRankOracleSql]] style, but WEIGHTED by the bigram
+    * co-occurrence counts (`pr * w // wdeg` per directed edge) over the
+    * word graph (adjacent whitespace tokens, canonical pair, hapax
+    * filter), finished with the (pr DESC, word ASC) top-20 cut. */
+  private lazy val TextRankOracleSql: String = {
+    val round = (i: Int) =>
+      s"""s$i AS (SELECT a.dst AS id, sum((r.pr * a.w) // d.wdeg) AS s FROM adj a
+         |  JOIN deg d ON a.src = d.src JOIN r${i - 1} r ON r.id = a.src GROUP BY 1),
+         |r$i AS (SELECT d.src AS id,
+         |  CAST(150000000 + (coalesce(s.s, 0) * 17) // 20 AS BIGINT) AS pr
+         |  FROM deg d LEFT JOIN s$i s ON s.id = d.src)""".stripMargin
+    raw"""WITH docs AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+       |big AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM docs, unnest(range(1, len(toks))) AS t(i)),
+       |e AS (SELECT least(w1, w2) AS id_a, greatest(w1, w2) AS id_b, count(*) AS w FROM big
+       |  WHERE w1 <> w2 GROUP BY 1, 2 HAVING count(*) >= 2),
+       |adj AS (SELECT id_a AS src, id_b AS dst, w FROM e
+       |  UNION ALL SELECT id_b, id_a, w FROM e),
+       |deg AS (SELECT src, sum(w) AS wdeg FROM adj GROUP BY 1),
+       |r0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT id AS word, pr FROM r3 ORDER BY pr DESC, id LIMIT 20""".stripMargin
+  }
+
   /** The three lat/lng-rect query regions of the rect PIP join (one wraps
     * the antimeridian); bounds sit on .005 offsets so no derived point can
     * land within fp distance of a boundary. */
@@ -754,6 +780,19 @@ object SparkEntry {
     // origin-destination flow matrix: consecutive-observation region
     // transitions (incl. to/from the implicit 'none' region), counted —
     // label per row against broadcast regions, one lag window, tiny agg
+    // cell co-visitation affinity ("users who visit A also visit B"):
+    // top-30 10-degree-cell pairs by exact scaled-integer Jaccard over
+    // distinct visitors — cell ids derive from event_id in pure int64 so
+    // both engines quantize identically; the per-entity fan guard raises
+    // loudly instead of silently truncating wedges
+    "q_covisit" -> ((s, dir) => {
+      val cellSql = "(((event_id * 9973 + 12345) % 18000) div 1000) * 100 + " +
+        "(((event_id * 31337 + 54321) % 36000) div 1000)"
+      val visits = events(s, dir).withColumn("cell", expr(cellSql))
+      Trajectories.coVisitation(visits, "user_id", "cell",
+        minCommon = 2, maxCellsPerEntity = 512, k = 30)
+    }),
+
     "q_od_flows" -> ((s, dir) => {
       val pts = events(s, dir)
         .withColumn("lat", expr(latSqlFor("event_id")))
@@ -1949,6 +1988,14 @@ object SparkEntry {
     // N^2/B factor is a corpus constant); hapax filter c_xy >= 5
     "q_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(documents(s, dir), "text", minCount = 5, k = 20)),
+
+    // TextRank keyword extraction: damped scaled-INTEGER PageRank over the
+    // adjacent-token co-occurrence graph, WEIGHTED by bigram counts (the
+    // word graph is near-complete, so weights carry the signal), top-20
+    // under (pr DESC, word ASC) — hash-exact vs the unrolled-CTE replay
+    "q_keywords" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(documents(s, dir), "text",
+        minCount = 2, rounds = 3, k = 20)),
 
     // BM25 full-text retrieval: top-5 docs per query, inverted-index shape
     // (vocabulary filter inside the scan, only (id, dl, term) shuffles,
@@ -3392,6 +3439,22 @@ object SparkEntry {
     // OD flows / dwell episodes: first-match label CASE + lag windows in
     // SQL, integer-exact counts and µs dwell on both sides
     "q_od_flows" -> OdFlowsOracleSql,
+
+    // identical int64 cell quantization, distinct-visitor wedge join, and
+    // scaled-quotient Jaccard rank (common*10^12 // (da+db-common))
+    "q_covisit" ->
+      """WITH v AS (SELECT DISTINCT user_id AS e,
+        |  (((event_id * 9973 + 12345) % 18000) // 1000) * 100
+        |    + (((event_id * 31337 + 54321) % 36000) // 1000) AS c FROM events),
+        |deg AS (SELECT c, count(*) AS d FROM v GROUP BY 1),
+        |w AS (SELECT x.c AS cell_a, y.c AS cell_b FROM v x JOIN v y
+        |  ON x.e = y.e AND x.c < y.c),
+        |cm AS (SELECT cell_a, cell_b, count(*) AS common FROM w
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT cm.cell_a, cm.cell_b, cm.common, a.d AS da, b.d AS db,
+        |  (cm.common * 1000000000000) // (a.d + b.d - cm.common) AS score
+        |FROM cm JOIN deg a ON cm.cell_a = a.c JOIN deg b ON cm.cell_b = b.c
+        |ORDER BY score DESC, cm.cell_a, cm.cell_b LIMIT 30""".stripMargin,
     "q_od_flows_stream" -> OdFlowsOracleSql,
     "q_dwell" -> DwellOracleSql,
 
@@ -4034,6 +4097,10 @@ object SparkEntry {
     // integer arithmetic (// == Spark's div on positive int64); sums pass
     // through HUGEINT in DuckDB, the final CAST pins int64
     "q_pagerank" -> PageRankOracleSql,
+
+    // identical scaled-integer rounds over the word co-occurrence graph;
+    // the whitespace tokenizer and hapax filter mirror the Spark side
+    "q_keywords" -> TextRankOracleSql,
 
     // SAME oracle: a crash-resumed checkpointed run must be hash-identical
     // to the one-shot iteration (the integer arithmetic makes that a fair

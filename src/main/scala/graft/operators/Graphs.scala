@@ -208,6 +208,53 @@ object Graphs {
     ranks
   }
 
+  /** [[pageRankScaled]] over WEIGHTED undirected edges (id_a, id_b, w > 0):
+    * a node distributes rank to each neighbor in proportion to the edge
+    * weight — `pr * w div wdeg` per edge, `wdeg` the node's weight sum —
+    * still pure int64, shuffle-order independent, hash-exact vs an
+    * unrolled-CTE replay. This is the TextRank/co-occurrence form: on
+    * near-complete graphs (every word meets every word at least once)
+    * UNWEIGHTED PageRank degenerates to near-uniform ranks, while weights
+    * carry all the signal.
+    *
+    * Extra overflow operand vs the unweighted form: the PRODUCT pr * w,
+    * bounded by n*scale*maxWeight — `require`d at plan time from the
+    * caller's `maxNodes`/`maxWeight` promises; `maxWeight` is also
+    * enforced LOUDLY per edge (a filter-side raise_error, never silent
+    * truncation). Same per-round shape: one equi-join + one hash agg over
+    * (id, pr) rows, adjacency pinned once. */
+  def pageRankWeightedScaled(edges0: DataFrame, rounds: Int,
+                             scale: Long = 1000000000L,
+                             maxNodes: Long = 100000L,
+                             maxWeight: Long = 10000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    requireNoOverflow(scale, maxNodes)
+    require(maxWeight > 0 && maxNodes <= Long.MaxValue / scale / maxWeight,
+      s"n*scale*maxWeight can overflow int64: maxNodes=$maxNodes scale=$scale " +
+        s"maxWeight=$maxWeight — lower scale or maxWeight")
+    val edges = edges0.select(col("id_a"), col("id_b"), col("w"))
+      .withColumn("__ok", when(col("w") > 0 && col("w") <= maxWeight, true)
+        .otherwise(raise_error(concat(
+          lit(s"pageRankWeightedScaled: edge weight outside (0, $maxWeight]: "),
+          col("w").cast("string")))))
+      .where(col("__ok"))
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+    val deg = adj.groupBy("src").agg(sum("w").as("wdeg"))
+    val adjDeg = adj.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("id"), lit(scale).as("pr")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val sums = adjDeg.join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"), expr("pr * w div wdeg").as("__c"))
+        .groupBy("id").agg(sum("__c").as("__s"))
+      ranks = deg.select(col("src").as("id")).join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(3L * scale / 20L) + expr("coalesce(__s, 0L) * 17 div 20")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   private def requireNoOverflow(scale: Long, maxNodes: Long): Unit =
     require(maxNodes > 0 && scale > 0 &&
       maxNodes <= Long.MaxValue / 17 / scale,

@@ -221,4 +221,51 @@ object TextAnalysis {
       .limit(k)
       .select("w1", "w2", "cxy", "cx", "cy", "score")
   }
+
+  /** TextRank corpus keywords (Mihalcea & Tarau 2004, the graph-ranking
+    * keyword extractor): words are nodes, an undirected edge links every
+    * ADJACENT token pair (window 2), and the damped PageRank score ranks
+    * the vocabulary — a frequent word only ranks high when its NEIGHBORS
+    * are themselves central, which is what separates keywords from mere
+    * high-tf noise. Edges below `minCount` occurrences are dropped (the
+    * same hapax discipline as [[collocations]]). Returns the top `k`
+    * (word, pr) under the total order (pr DESC, word ASC).
+    *
+    * Edges are WEIGHTED by their co-occurrence count
+    * ([[Graphs.pageRankWeightedScaled]]): on a corpus whose word graph is
+    * near-complete, the unweighted walk degenerates to near-uniform ranks
+    * — the counts carry all the signal, as in the original paper's
+    * weighted variant.
+    *
+    * Exactness: scaled-INTEGER rounds, so the iteration is shuffle-order
+    * independent and the listing is hash-exact against an unrolled-CTE
+    * SQL replay — no float tolerance.
+    * Shape at scale: one tokenize+bigram pass inside the scan (array
+    * transform, no self-join), one hash agg to the edge list (<= |vocab|^2
+    * but in practice ~|corpus| rows pre-agg, 2-string rows), then
+    * `rounds` adjacency joins over (word, pr) pairs only; top-k plans as
+    * TakeOrderedAndProject. Documents never shuffle — only tokens and
+    * (word, rank) rows. */
+  def textRankKeywords(df: DataFrame, textCol: String, minCount: Long,
+                       rounds: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val rows = df.select(toks.as("toks"))
+    val bigrams = rows.select(explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array())).as("bg"))
+      .select(least(col("bg.w1"), col("bg.w2")).as("id_a"),
+        greatest(col("bg.w1"), col("bg.w2")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val edges = bigrams.groupBy("id_a", "id_b").agg(count(lit(1)).as("w"))
+      .where(col("w") >= minCount)
+    Graphs.pageRankWeightedScaled(edges, rounds)
+      .orderBy(col("pr").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as("word"), col("pr"))
+  }
 }

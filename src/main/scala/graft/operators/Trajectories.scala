@@ -492,4 +492,59 @@ object Trajectories {
         expr("transform(__trk, x -> x.lo)"),
         expr("transform(__trk, x -> x.o)"))).as(orderCol))
   }
+
+  /** Cell co-visitation affinity — "entities that visit cell A also visit
+    * cell B": for every cell pair sharing >= `minCommon` distinct
+    * visitors, the exact visitor overlap and its Jaccard affinity as the
+    * scaled-INTEGER quotient `common * 10^12 div (da + db - common)` (the
+    * [[TextAnalysis.collocations]] rank discipline: no float, the quotient
+    * ORDER is the Jaccard order, the oracle replays it operand-for-operand).
+    * Returns the top `k` rows under (score DESC, cell_a ASC, cell_b ASC)
+    * — the co-occurrence recommender / place-affinity primitive.
+    *
+    * Shape at scale: one distinct on (entity, cell), one hash agg for the
+    * per-cell visitor degrees, then the wedge self-join AT THE ENTITY
+    * (every common visitor IS a wedge — like
+    * [[Graphs.commonNeighborPairs]], the wedge volume is the size of the
+    * answer, not an artifact). The Σ deg(u)² blowup from pathological
+    * entities is pre-empted by `maxCellsPerEntity`: an entity visiting
+    * more cells RAISES (never silently truncates — dropping its wedges
+    * would under-count pairs invisibly). Only (entity, cell) and
+    * (cell, cell) id rows shuffle; degrees join back on the small
+    * per-cell table. */
+  def coVisitation(df: DataFrame, entityCol: String, cellCol: String,
+                   minCommon: Long, maxCellsPerEntity: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
+    require(maxCellsPerEntity >= 2, s"maxCellsPerEntity must be >= 2: $maxCellsPerEntity")
+    val Scale = 1000000000000L // common * 10^12 < 2^63 for common < 9.2e6
+    val visits = df.select(col(entityCol).as("__e"), col(cellCol).as("__c")).distinct()
+    val deg = visits.groupBy("__c").agg(count(lit(1)).as("__d"))
+    val perEntity = visits.groupBy("__e").agg(count(lit(1)).as("__n"))
+    // the guard is a FILTER (not an unused projected column, which column
+    // pruning would silently remove along with the raise_error)
+    val guarded = visits.join(perEntity, "__e")
+      .withColumn("__ok", when(col("__n") <= maxCellsPerEntity, true)
+        .otherwise(raise_error(concat(
+          lit(s"coVisitation: entity exceeds maxCellsPerEntity=$maxCellsPerEntity cells: "),
+          col("__e").cast("string")))))
+      .where(col("__ok"))
+      .select("__e", "__c")
+    val wedges = guarded.as("x").join(guarded.as("y"),
+        col("x.__e") === col("y.__e") && col("x.__c") < col("y.__c"))
+      .select(col("x.__c").as("cell_a"), col("y.__c").as("cell_b"))
+    val common = wedges.groupBy("cell_a", "cell_b").agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+      .withColumn("common", when(col("common") < 9200000L, col("common"))
+        .otherwise(raise_error(concat(
+          lit("coVisitation: common overflows the 10^12 scale: "),
+          col("common").cast("string")))))
+    common
+      .join(deg.select(col("__c").as("cell_a"), col("__d").as("da")), "cell_a")
+      .join(deg.select(col("__c").as("cell_b"), col("__d").as("db")), "cell_b")
+      .withColumn("score", expr(s"common * ${Scale}L div (da + db - common)"))
+      .orderBy(col("score").desc, col("cell_a"), col("cell_b"))
+      .limit(k)
+      .select("cell_a", "cell_b", "common", "da", "db", "score")
+  }
 }
