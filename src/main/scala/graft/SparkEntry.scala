@@ -216,6 +216,41 @@ object SparkEntry {
        |SELECT id, pr FROM r3""".stripMargin
   }
 
+  /** Fixed k-means seeds (cluster_id, x, y) on the [0,18000]x[0,36000]
+    * centi-degree grid — THE single definition shared by the q_kmeans
+    * query and its oracle VALUES list so they cannot drift. */
+  private val KMeansSeeds: Seq[(Int, Long, Long)] = Seq(
+    (0, 3000L, 6000L), (1, 3000L, 18000L), (2, 3000L, 30000L),
+    (3, 9000L, 12000L), (4, 9000L, 24000L),
+    (5, 15000L, 6000L), (6, 15000L, 18000L), (7, 15000L, 30000L))
+
+  /** Integer-Lloyd oracle: 3 unrolled (assign, update) round pairs; the
+    * row_number tie rule (distance, then cluster id) mirrors the engine's
+    * min-struct, and `//` on non-negative sums mirrors `div`. */
+  private lazy val KMeansOracleSql: String = {
+    val values = KMeansSeeds.map { case (i, x, y) => s"($i, 0, $x, $y)" }.mkString(", ")
+    val round = (i: Int) =>
+      s"""a$i AS (SELECT __id, x, y, cluster_id FROM (
+         |  SELECT p.__id, p.x, p.y, c.cluster_id,
+         |    row_number() OVER (PARTITION BY p.__id ORDER BY
+         |      (p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy), c.cluster_id) AS rn
+         |  FROM pts p, c${i - 1} c) t WHERE rn = 1),
+         |g$i AS (SELECT cluster_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy
+         |  FROM a$i GROUP BY 1),
+         |c$i AS (SELECT c.cluster_id, coalesce(g.n, 0) AS n,
+         |  CAST(CASE WHEN g.n IS NULL THEN c.cx ELSE g.sx // g.n END AS BIGINT) AS cx,
+         |  CAST(CASE WHEN g.n IS NULL THEN c.cy ELSE g.sy // g.n END AS BIGINT) AS cy
+         |  FROM c${i - 1} c LEFT JOIN g$i g USING (cluster_id))""".stripMargin
+    s"""WITH c0(cluster_id, n, cx, cy) AS (SELECT * FROM (VALUES $values) v),
+       |pts AS (SELECT o_orderkey AS __id,
+       |  (o_orderkey * 9973 + 12345) % 18000 AS x,
+       |  (o_orderkey * 31337 + 54321) % 36000 AS y FROM orders),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT cluster_id, n, cx, cy FROM c3""".stripMargin
+  }
+
   /** TextRank keyword oracle: unrolled scaled-integer PageRank rounds in
     * the [[PageRankOracleSql]] style, but WEIGHTED by the bigram
     * co-occurrence counts (`pr * w // wdeg` per directed edge) over the
@@ -780,6 +815,18 @@ object SparkEntry {
     // origin-destination flow matrix: consecutive-observation region
     // transitions (incl. to/from the implicit 'none' region), counted —
     // label per row against broadcast regions, one lag window, tiny agg
+    // per-user radius of gyration (the mobility-science spread metric)
+    // over the int64 centi-degree grid: exact integer numerator
+    // n*sum(x^2+y^2) - sum(x)^2 - sum(y)^2 (Konig-Huygens), one hash agg;
+    // the double rg is two correctly-rounded IEEE ops on the same
+    // integers, bit-equal cross-engine
+    "q_rog" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("x", expr("(event_id * 9973 + 12345) % 18000"))
+        .withColumn("y", expr("(event_id * 31337 + 54321) % 36000"))
+      Trajectories.radiusOfGyration(pts, "user_id", "x", "y")
+    }),
+
     // cell co-visitation affinity ("users who visit A also visit B"):
     // top-30 10-degree-cell pairs by exact scaled-integer Jaccard over
     // distinct visitors — cell ids derive from event_id in pure int64 so
@@ -1710,6 +1757,18 @@ object SparkEntry {
     // distance self-join, cores by degree, clusters = min-label connected
     // components of the core-core graph, borders -> min core-neighbor
     // cluster; noise rows absent
+    // seeded integer-Lloyd k-means (3 rounds, k=8): squared-L2 assignment
+    // and sum-div-n centroid updates in pure int64, so the distributed
+    // iteration is hash-exact vs the unrolled-CTE replay — float Lloyd
+    // would depend on partial-agg addition order; centroids stay a
+    // broadcast plan-side table, never a driver collect
+    "q_kmeans" -> ((s, dir) => {
+      val pts = orders(s, dir)
+        .withColumn("x", expr("(o_orderkey * 9973 + 12345) % 18000"))
+        .withColumn("y", expr("(o_orderkey * 31337 + 54321) % 36000"))
+      Clustering.kMeansScaled(pts, "o_orderkey", "x", "y", KMeansSeeds, rounds = 3)
+    }),
+
     "q_dbscan" -> ((s, dir) => {
       val pts = customer(s, dir).select("c_custkey")
         .withColumn("lat", expr(CustLatSql))
@@ -3440,6 +3499,17 @@ object SparkEntry {
     // SQL, integer-exact counts and µs dwell on both sides
     "q_od_flows" -> OdFlowsOracleSql,
 
+    // identical Konig-Huygens integer numerator and the same two IEEE ops
+    "q_rog" ->
+      """WITH pts AS (SELECT user_id,
+        |  (event_id * 9973 + 12345) % 18000 AS x,
+        |  (event_id * 31337 + 54321) % 36000 AS y FROM events),
+        |g AS (SELECT user_id, count(*) AS n,
+        |  CAST(count(*) * sum(x*x + y*y) - sum(x)*sum(x) - sum(y)*sum(y)
+        |    AS BIGINT) AS num
+        |  FROM pts GROUP BY 1)
+        |SELECT user_id, n, num, sqrt(CAST(num AS DOUBLE)) / n AS rg FROM g""".stripMargin,
+
     // identical int64 cell quantization, distinct-visitor wedge join, and
     // scaled-quotient Jaccard rank (common*10^12 // (da+db-common))
     "q_covisit" ->
@@ -4357,6 +4427,8 @@ object SparkEntry {
     // cores (count includes the point itself), recursive-CTE components of
     // the core-core graph seeded (id, id) so singleton cores label
     // themselves, borders = non-core with a core neighbor -> min cluster
+    "q_kmeans" -> KMeansOracleSql,
+
     "q_dbscan" -> {
       val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
       s"""WITH RECURSIVE

@@ -493,6 +493,55 @@ object Trajectories {
         expr("transform(__trk, x -> x.o)"))).as(orderCol))
   }
 
+  /** Per-entity radius of gyration (González/Hidalgo/Barabási, the
+    * mobility-science spread metric): rg = sqrt(mean squared distance of
+    * an entity's points from its own centroid), over non-negative INTEGER
+    * grid coordinates. Emits the EXACT integer numerator
+    * `num = n·Σ(x²+y²) − (Σx)² − (Σy)²` (König-Huygens: num/n² = rg²)
+    * alongside n, so the hash-compared columns are pure int64; the
+    * convenience double `rg = sqrt(double(num))/n` is two correctly-
+    * rounded IEEE ops on identical integers — bit-equal cross-engine.
+    *
+    * Planar-grid caveat: coordinates are treated as Euclidean (the
+    * standard projected-coordinates formulation); an entity straddling
+    * the antimeridian should be unwrapped/translated first — this
+    * operator does not do circular statistics.
+    *
+    * Shape at scale: ONE partial+final hash aggregate — four int64 sums
+    * per entity, no window, no self-join, nothing per-point past the
+    * scan. Overflow is a plan-time contract: n ≤ `maxPointsPerEntity`
+    * and 0 ≤ coord ≤ `maxCoord` (both enforced LOUDLY) keep every
+    * operand under 2^63. */
+  def radiusOfGyration(df: DataFrame, entityCol: String, xCol: String, yCol: String,
+                       maxPointsPerEntity: Long = 20000L,
+                       maxCoord: Long = 100000L): DataFrame = {
+    require(maxPointsPerEntity >= 1 && maxCoord >= 1, "bounds must be positive")
+    require(2.0 * maxCoord * maxCoord * maxPointsPerEntity * maxPointsPerEntity
+      <= Long.MaxValue.toDouble,
+      s"n^2 * 2 * maxCoord^2 can overflow int64: " +
+        s"maxPointsPerEntity=$maxPointsPerEntity maxCoord=$maxCoord")
+    val guarded = df.select(col(entityCol).as("__e"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .withColumn("__ok",
+        when(col("__x").between(0L, maxCoord) && col("__y").between(0L, maxCoord), true)
+          .otherwise(raise_error(concat(
+            lit(s"radiusOfGyration: coordinate outside [0, $maxCoord]: ("),
+            col("__x"), lit(", "), col("__y"), lit(")")))))
+      .where(col("__ok"))
+    guarded.groupBy(col("__e").as(entityCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x") + col("__y") * col("__y")).as("__sq"))
+      .withColumn("n", when(col("n") <= maxPointsPerEntity, col("n"))
+        .otherwise(raise_error(concat(
+          lit(s"radiusOfGyration: entity exceeds maxPointsPerEntity=$maxPointsPerEntity: "),
+          col(entityCol).cast("string")))))
+      .withColumn("num",
+        col("n") * col("__sq") - col("__sx") * col("__sx") - col("__sy") * col("__sy"))
+      .withColumn("rg", sqrt(col("num").cast("double")) / col("n"))
+      .select(entityCol, "n", "num", "rg")
+  }
+
   /** Cell co-visitation affinity — "entities that visit cell A also visit
     * cell B": for every cell pair sharing >= `minCommon` distinct
     * visitors, the exact visitor overlap and its Jaccard affinity as the
