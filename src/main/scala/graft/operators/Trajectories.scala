@@ -567,7 +567,10 @@ object Trajectories {
     require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
     require(maxCellsPerEntity >= 2, s"maxCellsPerEntity must be >= 2: $maxCellsPerEntity")
     val Scale = 1000000000000L // common * 10^12 < 2^63 for common < 9.2e6
+    // pinned: the distinct feeds the degree agg, the fan guard AND both
+    // wedge sides — without the checkpoint each consumer re-runs it
     val visits = df.select(col(entityCol).as("__e"), col(cellCol).as("__c")).distinct()
+      .localCheckpoint()
     val deg = visits.groupBy("__c").agg(count(lit(1)).as("__d"))
     val perEntity = visits.groupBy("__e").agg(count(lit(1)).as("__n"))
     // the guard is a FILTER (not an unused projected column, which column
@@ -579,6 +582,7 @@ object Trajectories {
           col("__e").cast("string")))))
       .where(col("__ok"))
       .select("__e", "__c")
+      .localCheckpoint()
     val wedges = guarded.as("x").join(guarded.as("y"),
         col("x.__e") === col("y.__e") && col("x.__c") < col("y.__c"))
       .select(col("x.__c").as("cell_a"), col("y.__c").as("cell_b"))
