@@ -686,6 +686,21 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       Sequences.transitionCounts(events(s, dir), "user_id", "ts", "event_type", "event_id")),
 
+    // per-user CUSUM drift alarms over inter-event gaps (micros): the
+    // classic change-point recurrence s = max(0, s + (gap - k)) computed
+    // via the prefix-min identity — two window frames over ONE key
+    // exchange, pure int64, no sequential fold; k = 40e9 us drift
+    // allowance, h = 200e9 us alarm threshold
+    "q_cusum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val gaps = events(s, dir)
+        .withColumn("__t", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("gap", col("__t") - lag(col("__t"), 1).over(w))
+        .where(col("gap").isNotNull)
+      Sequences.cusumAlarms(gaps, "user_id", "ts", "event_id", "gap",
+        k = 40000000000L, h = 200000000000L)
+    }),
+
     // clickstream path mining: the 20 most frequent ordered 3-step
     // event-type paths (adjacent windows per user stream) — one sort
     // window with two leads, one hash agg over <= |types|^3 strings,
@@ -3363,6 +3378,23 @@ object SparkEntry {
         | SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
         |  event_type AS next_type FROM events) t
         |WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // identical gap series, prefix-sum and clamped-running-min windows,
+    // and the same integer constants; HUGEINT window sums cast back
+    "q_cusum" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS gap FROM events),
+        |p AS (SELECT user_id, ts, event_id,
+        |  sum(gap - 40000000000) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM t WHERE gap IS NOT NULL),
+        |c AS (SELECT user_id, p - least(min(p) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  0) AS s FROM p)
+        |SELECT user_id, count(*) AS n,
+        |  CAST(sum(CASE WHEN s > 200000000000 THEN 1 ELSE 0 END) AS BIGINT) AS alarms,
+        |  CAST(max(s) AS BIGINT) AS max_s FROM c GROUP BY 1""".stripMargin,
 
     // identical leads, concatenation, and (n DESC, path) rank rule
     "q_path_topk" ->

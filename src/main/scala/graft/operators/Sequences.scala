@@ -67,6 +67,34 @@ object Sequences {
       .limit(topK)
   }
 
+  /** Per-key CUSUM drift alarms over an INTEGER series — the classic
+    * change-point detector s_i = max(0, s_{i-1} + (x_i - k)), computed
+    * WITHOUT a sequential fold via the prefix-min identity
+    *   s_i = p_i - least(min_{j<=i} p_j, 0),   p_i = Σ_{j<=i} (x_j - k)
+    * (the running max-clamp recurrence equals the prefix sum minus its
+    * clamped running minimum), so the whole detector is TWO window frames
+    * over ONE key exchange — no UDF fold, no iteration, pure int64,
+    * hash-exact against the identical-window SQL replay. Emits one row
+    * per key: (n points, alarms where s > h, max s).
+    *
+    * `k` is the drift allowance (the detector integrates x - k), `h` the
+    * alarm threshold, both in x's units. Same hot-key caveat as every
+    * per-key window (one pathological key sorts in one task). */
+  def cusumAlarms(events: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, xCol: String, k: Long, h: Long): DataFrame = {
+    require(h > 0, s"h must be positive: $h")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = events.select(col(keyCol), col(tsCol), col(tieCol),
+        col(xCol).cast("long").as("__x"))
+      .withColumn("__p", sum(col("__x") - lit(k)).over(w))
+    val s = p.withColumn("__s", col("__p") - least(min(col("__p")).over(w), lit(0L)))
+    s.groupBy(keyCol).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__s") > h, 1L).otherwise(0L)).as("alarms"),
+      max(col("__s")).as("max_s"))
+  }
+
   /** Ordered-funnel progression: for each key, the greedy depth reached
     * through `steps` as a SUBSEQUENCE of its (`tsCol`, `tieCol`)-ordered
     * stream (other events may interleave); returns (depth, n_keys) over

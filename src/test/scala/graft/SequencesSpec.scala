@@ -122,6 +122,50 @@ class SequencesSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("cusumAlarms: prefix-min identity equals the sequential recurrence (sf0.001)") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 40000000000L
+    val h = 200000000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .withColumn("__t", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap", col("__t") - lag(col("__t"), 1).over(w))
+      .where(col("gap").isNotNull)
+    val got = Sequences.cusumAlarms(gaps, "user_id", "ts", "event_id", "gap", k, h)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // the TRUE sequential definition: s_i = max(0, s_{i-1} + (x_i - k))
+    val want = collected("sf0.001").groupBy(_._1).view.mapValues { g =>
+      val ts = g.sortBy(e => (e._2, e._3)).map(_._2)
+      val xs = ts.zip(ts.drop(1)).map { case (a, b) => b - a }
+      var s = 0L
+      var alarms = 0L
+      var maxS = Long.MinValue
+      xs.foreach { x =>
+        s = math.max(0L, s + (x - k))
+        if (s > h) alarms += 1
+        maxS = math.max(maxS, s)
+      }
+      (xs.size.toLong, alarms, maxS)
+    }.toMap
+    assert(got === want)
+    assert(got.values.exists(_._2 > 0), "degenerate: no alarms anywhere")
+    assert(got.values.exists(_._2 == 0) || got.values.map(_._2).toSet.size > 1,
+      "degenerate: alarms do not discriminate")
+  }
+
+  test("cusumAlarms: hand fixture with closed-form alarms") {
+    import spark.implicits._
+    // k=10, h=5: xs = 12, 13, 4, 20 -> s = 2, 5, 0, 10 -> alarms at s=10 only
+    val rows = Seq((1L, 1L, 1L, 12L), (1L, 2L, 2L, 13L), (1L, 3L, 3L, 4L), (1L, 4L, 4L, 20L))
+      .toDF("user_id", "ts_raw", "event_id", "x")
+      .select(col("user_id"), expr("timestamp_seconds(ts_raw)").as("ts"),
+        col("event_id"), col("x"))
+    val got = Sequences.cusumAlarms(rows, "user_id", "ts", "event_id", "x", k = 10L, h = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 4L, 1L, 10L)))
+  }
+
   test("cohortRetention equals brute-force first-day cohorts (sf0.001)") {
     val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
     val got = Sequences.cohortRetention(events, "user_id", "ts")
