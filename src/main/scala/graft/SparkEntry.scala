@@ -1527,6 +1527,19 @@ object SparkEntry {
       Graphs.kCore(edges, k = 8, maxRounds = 12)
     }),
 
+    // synchronous label propagation (3 rounds) over the same proximity
+    // graph: every node adopts its neighbors' MODE label under the
+    // deterministic (count DESC, label ASC) tie rule — the fixed round
+    // count makes the whole dynamic hash-exact vs the unrolled replay
+    "q_lpa" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+      Graphs.labelPropagation(edges, rounds = 3)
+    }),
+
     // damped PageRank (3 rounds) over the same proximity graph, in scaled
     // INTEGER arithmetic — shuffle-order-independent, so the iterative
     // operator is hash-exact against an unrolled-CTE SQL replay instead
@@ -4198,6 +4211,29 @@ object SparkEntry {
     // the 3 PageRank rounds unrolled as CTEs in the identical scaled
     // integer arithmetic (// == Spark's div on positive int64); sums pass
     // through HUGEINT in DuckDB, the final CAST pins int64
+    // same proximity edges; each round a (node, label) count CTE + the
+    // row_number (c DESC, label ASC) argmax mirroring the min-struct
+    "q_lpa" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      val round = (i: Int) =>
+        s"""cnt$i AS (SELECT a.dst AS id, l.label, count(*) AS c FROM adj a
+           |  JOIN l${i - 1} l ON l.id = a.src GROUP BY 1, 2),
+           |l$i AS (SELECT id, label FROM (SELECT id, label,
+           |  row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+           |  FROM cnt$i) t WHERE rn = 1)""".stripMargin
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |e AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |  WHERE $d <= 500000.0),
+         |adj AS (SELECT id_a AS src, id_b AS dst FROM e
+         |  UNION ALL SELECT id_b, id_a FROM e),
+         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT id, label FROM l3""".stripMargin
+    },
+
     "q_pagerank" -> PageRankOracleSql,
 
     // identical scaled-integer rounds over the word co-occurrence graph;

@@ -145,6 +145,41 @@ object Graphs {
     * degeneracy chains — single digits on proximity/dup graphs; worst
     * case (a path peeled from the ends) is O(n/2), which `maxRounds`
     * makes an explicit contract rather than a hang. */
+  /** Synchronous label propagation (Raghavan et al.'s community
+    * detection), made DETERMINISTIC: every node starts labeled with its
+    * own id; each round every node simultaneously adopts the MODE of its
+    * neighbors' labels with ties broken by the smaller label — the
+    * (count DESC, label ASC) total order removes the scan-order
+    * non-determinism of textbook async LPA, and a FIXED round count makes
+    * the whole dynamic (oscillations included) hash-exact against an
+    * unrolled-CTE SQL replay. Returns (id, label) after `rounds` updates
+    * — label sets after 2-4 rounds are the standard cheap community
+    * signal over the engine's proximity/dup graphs.
+    *
+    * Shape per round: one adjacency equi-join against the (id, label)
+    * table, one (node, label) count aggregate, one min-struct argmax
+    * aggregate — only 16-byte label rows shuffle, adjacency pinned once,
+    * lineage cut per round. */
+  def labelPropagation(edges0: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val edges = edges0.select(col("id_a"), col("id_b"))
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = adj.join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("id")
+        .agg(min(struct((-col("__c")).as("__nc"), col("label"))).as("__m"))
+        .select(col("id"), col("__m.label").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def kCore(edges0: DataFrame, k: Long, maxRounds: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")

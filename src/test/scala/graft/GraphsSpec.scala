@@ -211,4 +211,43 @@ class GraphsSpec extends SparkTestBase {
       Graphs.pageRankScaled(e, 1, scale = 1000000000000L, maxNodes = 1000000000L)
     }
   }
+
+  test("labelPropagation: two cliques bridged by one edge converge to clique minima") {
+    import spark.implicits._
+    // K4 on 0..3, K4 on 10..13, bridge 3-10
+    val c1 = for { a <- 0 to 3; b <- a + 1 to 3 } yield (a.toLong, b.toLong)
+    val c2 = for { a <- 10 to 13; b <- a + 1 to 13 } yield (a.toLong, b.toLong)
+    val edges = (c1 ++ c2 ++ Seq((3L, 10L))).toDF("id_a", "id_b")
+    val got = Graphs.labelPropagation(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(got(_) == 0L), s"left clique: $got")
+    assert((10L to 13L).forall(got(_) == 10L), s"right clique: $got")
+  }
+
+  test("labelPropagation == synchronous mode replay on a generated graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 50
+    val edges = (for {
+      a <- 0 until n; b <- a + 1 until n
+      if rnd.nextInt(100) < 8
+    } yield (a.toLong, b.toLong)).toSeq
+    for (rounds <- Seq(1, 2, 3)) {
+      val got = Graphs.labelPropagation(edges.toDF("id_a", "id_b"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var labels: Map[Long, Long] = adj.keys.map(i => i -> i).toMap
+      for (_ <- 1 to rounds) {
+        labels = adj.map { case (id, ns) =>
+          // .toSeq BEFORE the pair map: Map.map over pairs would re-key
+          // by -count and collapse equal-count labels
+          val mode = ns.map(labels).groupBy(identity).toSeq
+            .map { case (l, o) => (-o.size.toLong, l) }.min._2
+          id -> mode
+        }
+      }
+      assert(got === labels, s"rounds=$rounds diverged")
+    }
+  }
 }
