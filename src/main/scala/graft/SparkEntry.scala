@@ -701,6 +701,14 @@ object SparkEntry {
         k = 40000000000L, h = 200000000000L)
     }),
 
+    // the streaming CUSUM twin run over the batch table through the SAME
+    // flatMapGroupsWithState function: one (event_id, s, alarm) row per
+    // gap; the oracle replays per-row s via the prefix-min identity (the
+    // sequential recurrence the stream folds directly)
+    "q_cusum_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.cusumStream(events(s, dir), "user_id", "ts", "event_id",
+        k = 40000000000L, h = 200000000000L).toDF()),
+
     // clickstream path mining: the 20 most frequent ordered 3-step
     // event-type paths (adjacent windows per user stream) — one sort
     // window with two leads, one hash agg over <= |types|^3 strings,
@@ -3391,6 +3399,22 @@ object SparkEntry {
         | SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
         |  event_type AS next_type FROM events) t
         |WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // per-row prefix-min replay of the sequential recurrence the stream
+    // folds (same gap series, same constants)
+    "q_cusum_stream" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS gap FROM events),
+        |p AS (SELECT user_id, ts, event_id,
+        |  sum(gap - 40000000000) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM t WHERE gap IS NOT NULL),
+        |c AS (SELECT user_id AS entity_id, event_id,
+        |  CAST(p - least(min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS s
+        |  FROM p)
+        |SELECT entity_id, event_id, s, s > 200000000000 AS alarm FROM c""".stripMargin,
 
     // identical gap series, prefix-sum and clamped-running-min windows,
     // and the same integer constants; HUGEINT window sums cast back

@@ -246,6 +246,75 @@ object EventStreams {
       }
   }
 
+  final case class CusumRow(entity_id: Long, ts: Timestamp, order: Long)
+  final case class CusumState(lastUs: Long, lastOrder: Long, s: Long)
+  final case class CusumAlarm(entity_id: Long, event_id: Long, s: Long, alarm: Boolean)
+
+  /** Streaming CUSUM drift detector over inter-event gaps — the live twin
+    * of [[graft.operators.Sequences.cusumAlarms]]: per entity the
+    * recurrence s = max(0, s + (gap - k)) carried in keyed state ACROSS
+    * micro-batches, one (event_id, s, alarm) row per gap, alarm when
+    * s > h. The batch operator proves the prefix-min identity; the
+    * stream runs the sequential recurrence directly (state is ONE
+    * (lastUs, lastOrder, s) triple per entity — O(1), never a buffer).
+    *
+    * Ordering contract (shared with [[speedFlagsStream]]): rows process
+    * in (ts, order) order within each batch; a row at-or-before the
+    * state's frontier arrived too late to retro-insert and is DROPPED,
+    * never applied backwards. On an in-order feed the output equals the
+    * batch twin row-for-row (StreamingSpec pins this, alarms included).
+    * State evicts via event-time timeout at `lastUs + idleTtlMillis`.
+    * Works identically on a finite batch input (no timeout, trailing
+    * state discarded). */
+  def cusumStream(events: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                  k: Long, h: Long,
+                  watermarkDelay: String = "10 minutes",
+                  idleTtlMillis: Long = 24 * 3600 * 1000L): Dataset[CusumAlarm] = {
+    require(h > 0, s"h must be positive: $h")
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    val isStream = events.isStreaming
+    val src0 = events.select(
+      col(idCol).cast("long").as("entity_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(orderCol).cast("long").as("order"))
+    val src = (if (isStream) src0.withWatermark("ts", watermarkDelay) else src0).as[CusumRow]
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    src
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()) {
+        case (entityId, rows, state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(p => (micros(p.ts), p.order))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[CusumAlarm]
+            for (p <- sorted) {
+              val us = micros(p.ts)
+              val fresh = st == null || us > st.lastUs ||
+                (us == st.lastUs && p.order > st.lastOrder)
+              if (fresh) {
+                if (st == null) st = CusumState(us, p.order, 0L)
+                else {
+                  val s2 = math.max(0L, st.s + (us - st.lastUs) - k)
+                  out += CusumAlarm(entityId, p.order, s2, s2 > h)
+                  st = CusumState(us, p.order, s2)
+                }
+              } // else: stale arrival behind the emitted frontier — dropped
+            }
+            if (isStream) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + idleTtlMillis)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
   final case class SpeedPoint(entity_id: Long, ts: Timestamp, order: Long,
                               lat: Double, lon: Double)
 

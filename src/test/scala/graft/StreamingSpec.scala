@@ -337,6 +337,55 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming CUSUM across batches == the batch twin row-for-row, alarms included") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // per-user gaps alternate 1 min / 7 min; k = 2 min drift allowance,
+    // h = 8 min: the 7-min gaps accumulate s across BATCH boundaries
+    val kUs = 2L * 60000000L
+    val hUs = 8L * 60000000L
+    val events = (0 until 120).map { i =>
+      val user = i % 3
+      val step = (i / 3) * (if (user == 0) 1 else if (user == 1) 7 else 4)
+      Event(i.toLong, ts(step), user.toLong, "move", 0.0)
+    }
+    val input = MemoryStream[Event]
+    input.addData(events.take(41): _*)
+    input.addData(events.slice(41, 83): _*)
+    input.addData(events.drop(83): _*)
+
+    val query = EventStreams
+      .cusumStream(input.toDF(), "user_id", "ts", "event_id", kUs, hUs)
+      .writeStream.format("memory").queryName("cusum_xbatch")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql("SELECT entity_id, event_id, s, alarm FROM cusum_xbatch")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+        .toMap
+      val expected = EventStreams
+        .cusumStream(events.toDF(), "user_id", "ts", "event_id", kUs, hUs).toDF()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+        .toMap
+      assert(got === expected)
+      // and both equal the sequential recurrence by hand
+      val byUser = events.groupBy(_.user_id)
+      val want = byUser.flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        var s = 0L
+        sorted.zip(sorted.drop(1)).map { case (a, b) =>
+          s = math.max(0L, s + (b.ts.getTime - a.ts.getTime) * 1000L - kUs)
+          (u, b.event_id) -> ((s, s > hUs))
+        }
+      }.toMap
+      assert(got === want)
+      assert(got.values.exists(_._2) && got.values.exists(!_._2),
+        "both alarm classes must appear")
+    } finally query.stop()
+  }
+
   test("sessionizeBatch on the events table produces plausible sessions") {
     val df = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
     val sessions = EventStreams.sessionizeBatch(df)
