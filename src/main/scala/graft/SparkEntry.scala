@@ -675,6 +675,14 @@ object SparkEntry {
     "q_ewma" -> ((s, dir) =>
       Sequences.ewma(events(s, dir), "user_id", "ts", "event_id", "value", alpha = 0.25)),
 
+    // per-user lag-1 autocorrelation of event values on the centi-unit
+    // integer grid: exact int64 aggregates (n, Σw, Σw², Σ lag-products,
+    // head/tail), ONE key exchange shared by the sort window and the hash
+    // aggregate, and a single fixed IEEE final expression the oracle
+    // replays verbatim (TimeSeries.acfFinalSql is the shared text)
+    "q_acf" -> ((s, dir) =>
+      TimeSeries.lagAutocorr(events(s, dir), "user_id", "ts", "event_id", "value")),
+
     // cohort retention triangle: users grouped by first-activity day,
     // distinct-active counted per (cohort, day offset) — dates and counts
     // only, integer-exact
@@ -3385,6 +3393,24 @@ object SparkEntry {
         |SELECT o.event_id,
         |  list_reduce(v.vals[1:o.i], (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
         |FROM o JOIN v USING (user_id)""".stripMargin,
+
+    // identical centi-unit quantization, identical exact integer
+    // aggregates, and the engine's own final-coefficient SQL text
+    // (TimeSeries.acfFinalSql) — one division, bit-equal doubles
+    "q_acf" ->
+      s"""WITH s AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS w, ts, event_id
+         |           FROM events WHERE value IS NOT NULL),
+         |p AS (SELECT user_id, w,
+         |        lead(w) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS wn,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |        count(*) OVER (PARTITION BY user_id) AS cn FROM s),
+         |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w*w) AS BIGINT) AS s2,
+         |        CAST(sum(CASE WHEN wn IS NULL THEN 0 ELSE w*wn END) AS BIGINT) AS sp,
+         |        CAST(sum(CASE WHEN rn <= 1 THEN w ELSE 0 END) AS BIGINT) AS hk,
+         |        CAST(sum(CASE WHEN rn > cn - 1 THEN w ELSE 0 END) AS BIGINT) AS tk
+         |      FROM p GROUP BY 1)
+         |SELECT user_id, n AS n_obs, ${TimeSeries.acfFinalSql(1)} AS acf FROM a""".stripMargin,
 
     "q_retention" ->
       """WITH cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date

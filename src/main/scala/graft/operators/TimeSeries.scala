@@ -122,4 +122,63 @@ object TimeSeries {
               (col("__next.u") - col("__prev.u")).cast("double")))
           .as(valueCol))
   }
+
+  /** Per-entity lag-`lag` sample autocorrelation of a numeric series
+    * ordered by (tsCol, ordCol) — the seasonality/persistence probe for
+    * per-key signals (is this user's activity self-correlated step to
+    * step?). Values quantize to `round(value * scale)` int64 first, so
+    * every aggregate (n, Σw, Σw², Σ lag-products, head/tail-k sums) is an
+    * order-independent EXACT integer; the final coefficient
+    *
+    *   acf = [n²·Σp − n·S·(2S − head − tail) + (n−lag)·S²]
+    *         / [n·(n·Σw² − S²)]
+    *
+    * (the Konig-Huygens expansion of Σ(wᵢ−w̄)(wᵢ₊ₗ−w̄) / Σ(wᵢ−w̄)², cleared
+    * of the 1/n means) is ONE fixed IEEE double expression over those
+    * integers, bit-equal on any engine that replays it verbatim. Entities
+    * with n ≤ lag or a constant series yield NULL.
+    *
+    * Distributed shape: one hash exchange on idCol shared by the sort
+    * window (lead + row_number), the whole-partition count, and the final
+    * hash aggregate — no second shuffle, no per-key collect. Integer
+    * headroom: aggregates stay exact while n·(scale·max|value|)² < 2⁶³
+    * (~3.8e9 rows per key at scale=100, |value| ≤ 500); the double-domain
+    * final expression never overflows. Output: (idCol, n_obs, acf). */
+  def lagAutocorr(df: DataFrame, idCol: String, tsCol: String, ordCol: String,
+                  valueCol: String, scale: Long = 100L, lag: Int = 1): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    require(lag >= 1, s"lag must be >= 1: $lag")
+    val clash = df.columns.filter(c => c.startsWith("__") || c == "n_obs" || c == "acf")
+    require(clash.isEmpty, s"lagAutocorr reserves __-prefixed, n_obs, acf; " +
+      s"rename: ${clash.mkString(", ")}")
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol).asc, col(ordCol).asc)
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(idCol), col(tsCol), col(ordCol),
+        round(col(valueCol).cast("double") * scale).cast("long").as("__w"))
+      .withColumn("__wn", lead(col("__w"), lag).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cn", count(lit(1)).over(Window.partitionBy(idCol)))
+    val agg = rows.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__w")).as("sw"),
+        sum(col("__w") * col("__w")).as("s2"),
+        sum(when(col("__wn").isNull, lit(0L))
+          .otherwise(col("__w") * col("__wn"))).as("sp"),
+        sum(when(col("__rn") <= lag, col("__w")).otherwise(lit(0L))).as("hk"),
+        sum(when(col("__rn") > col("__cn") - lag, col("__w"))
+          .otherwise(lit(0L))).as("tk"))
+    // the one double-domain expression; acfFinalSql is shared verbatim
+    // with the SQL oracle so both engines build the identical IEEE tree
+    agg.select(col(idCol), col("n").as("n_obs"),
+      expr(acfFinalSql(lag)).as("acf"))
+  }
+
+  /** The final-coefficient SQL replayed bit-for-bit by the oracle: every
+    * operand is one of the exact integer aggregates n/sw/s2/sp/hk/tk. */
+  def acfFinalSql(lag: Int): String =
+    s"""CASE WHEN n <= $lag OR CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE) - CAST(sw AS DOUBLE)*CAST(sw AS DOUBLE)) = 0 THEN NULL
+       | ELSE (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(sp AS DOUBLE)
+       |   - CAST(n AS DOUBLE)*CAST(sw AS DOUBLE)*(2*CAST(sw AS DOUBLE) - CAST(hk AS DOUBLE) - CAST(tk AS DOUBLE))
+       |   + (CAST(n AS DOUBLE)-$lag)*CAST(sw AS DOUBLE)*CAST(sw AS DOUBLE))
+       |  / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE) - CAST(sw AS DOUBLE)*CAST(sw AS DOUBLE))) END""".stripMargin
 }
