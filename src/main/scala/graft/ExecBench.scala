@@ -203,6 +203,55 @@ object ExecBench {
       Graphs.pageRankScaled(e1.unionAll(e2).toDF(), rounds = 3,
         scale = 100000000L, maxNodes = 20000000L).count()
     }
+    // wave 59-72 additions at the same scale: cusum/acf are one entity
+    // exchange shared by their window frames and aggregate; lpa/kCore run
+    // the per-round join+agg shape on a 20M-edge circular ladder (every
+    // node degree 4, so the k=3 peel STABILIZES in one round — the entry
+    // times the per-round cost, not a degenerate full cascade); the
+    // streaming fold drives flatMapGroupsWithState's typed path at 10M
+    import graft.operators.TimeSeries
+    t("cusum 1M ents     ") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("id").asc)
+      val gaps = trk
+        .withColumn("__t", unix_micros(col("ts")))
+        .withColumn("gap", col("__t") - lag(col("__t"), 1).over(w))
+        .where(col("gap").isNotNull)
+      Sequences.cusumAlarms(gaps.toDF(), "user_id", "ts", "id", "gap",
+        k = 1000000L, h = 5000000L).count(); 100000000L
+    }
+    t("lagAutocorr 1M ent") {
+      val vals = trk.withColumn("value",
+        pmod(col("id") * 7919L, lit(40001L)).cast("double") / lit(100.0))
+      TimeSeries.lagAutocorr(vals.toDF(), "user_id", "ts", "id", "value")
+        .count(); 100000000L
+    }
+    t("lpa 10Mn 3 rounds ") {
+      val n = 10000000L
+      val ids = spark.range(0L, n, 1, 64)
+      val e1 = ids.select(col("id").as("id_a"), pmod(col("id") + 1, lit(n)).as("id_b"))
+      val e2 = ids.select(col("id").as("id_a"), pmod(col("id") + 2, lit(n)).as("id_b"))
+      Graphs.labelPropagation(e1.unionAll(e2).toDF(), rounds = 3).count()
+    }
+    t("kCore k3 20M edges") {
+      val n = 10000000L
+      val ids = spark.range(0L, n, 1, 64)
+      val e1 = ids.select(col("id").as("id_a"), pmod(col("id") + 1, lit(n)).as("id_b"))
+      val e2 = ids.select(col("id").as("id_a"), pmod(col("id") + 2, lit(n)).as("id_b"))
+      val c = Graphs.kCore(e1.unionAll(e2).toDF(), k = 3).count()
+      require(c == n, s"circular ladder 3-core must keep all nodes: $c")
+      c
+    }
+    t("acfStream 10M fold") {
+      val vals = spark.range(0L, 10000000L, 1, 64)
+        .withColumn("user_id", col("id") % 100000L)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) +
+          (col("id") / lit(100000L)).cast("long")))
+        .withColumn("value",
+          pmod(col("id") * 7919L, lit(40001L)).cast("double") / lit(100.0))
+      graft.streaming.EventStreams.acfStream(vals.toDF(), "user_id", "ts", "id", "value")
+        .toDF().count(); 10000000L
+    }
     // z-order: layout written ONCE (100M rows — at 20M both reads are
     // footer/listing-overhead-bound and the comparison is meaningless),
     // then the pruned box read is timed against the same predicate over a

@@ -683,6 +683,15 @@ object SparkEntry {
     "q_acf" -> ((s, dir) =>
       TimeSeries.lagAutocorr(events(s, dir), "user_id", "ts", "event_id", "value")),
 
+    // the streaming running-acf twin over the batch table through the
+    // SAME flatMapGroupsWithState fold: one (event_id, n_obs, acf) row
+    // per event, six exact int64 accumulators per key; the oracle replays
+    // the per-row prefix aggregates in SQL windows and the shared final
+    // expression
+    "q_acf_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.acfStream(events(s, dir), "user_id", "ts",
+        "event_id", "value").toDF()),
+
     // cohort retention triangle: users grouped by first-activity day,
     // distinct-active counted per (cohort, day offset) — dates and counts
     // only, integer-exact
@@ -1255,6 +1264,32 @@ object SparkEntry {
     // aggregate-publication privacy gate (75 of 4874 cells survive at
     // sf0.01; 6969 of 7680 at sf0.1 — suppression bites at both scales).
     // Integer/date-exact under the pinned zxy floor margin
+    // spatial inequality of activity: exact Gini over the zoom-6 tile
+    // counts via the two-pass global range rank (rank-sum identity,
+    // integer-exact numerator, ONE division) — the skew-triage summary
+    // a 100-TB ingest runs before choosing a partitioning
+    "q_gini" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      val tiles = Tiling.zxyAssign(pts, "lat", "lon", 6)
+        .groupBy("zx", "zy").agg(count(lit(1)).as("x"))
+        .withColumn("t", col("zx") * 64L + col("zy"))
+      Profiling.giniIndex(tiles, "x", "t")
+    }),
+
+    // per-user visit concentration (HHI over zoom-6 cells): the log-free
+    // predictability proxy — exact rational Σc²/(Σc)², two chained hash
+    // aggregates, one division
+    "q_hhi" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      val cells = Tiling.zxyAssign(pts, "lat", "lon", 6)
+        .withColumn("cell", col("zx") * 64L + col("zy"))
+      Trajectories.visitConcentration(cells, "user_id", "cell")
+    }),
+
     "q_kanon_release" -> ((s, dir) =>
       Tiling.kAnonymousTileDays(
         events(s, dir)
@@ -1515,6 +1550,18 @@ object SparkEntry {
         .withColumn("lon", expr(CustLonSql))
       SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
         .select("id_a", "id_b")
+    }),
+
+    // spatial isolation: customers with NO other customer within 300 km
+    // (753 of 1500 at sf0.01 — non-degenerate both ways). Same bucketed
+    // pair join as q_distance_join, then ids-only union-distinct and one
+    // left-anti; the oracle is the NOT EXISTS brute force over the same
+    // haversine
+    "q_isolated" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      SpatialJoin.isolatedPoints(pts, "lat", "lon", "c_custkey", radiusM = 300000.0)
     }),
 
     // per-node triangle counts over the 500 km proximity graph — the
@@ -3412,6 +3459,25 @@ object SparkEntry {
          |      FROM p GROUP BY 1)
          |SELECT user_id, n AS n_obs, ${TimeSeries.acfFinalSql(1)} AS acf FROM a""".stripMargin,
 
+    // per-row prefix replay of the streaming fold: the same quantization,
+    // prefix-window exact integers (hk = first value, tk = current), and
+    // the shared final-coefficient text
+    "q_acf_stream" ->
+      s"""WITH s AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS w, ts, event_id
+         |           FROM events WHERE value IS NOT NULL),
+         |p AS (SELECT user_id, event_id, ts, w,
+         |        lag(w) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS wp FROM s),
+         |a AS (SELECT user_id, event_id,
+         |        CAST(row_number() OVER w AS BIGINT) AS n,
+         |        CAST(sum(w) OVER w AS BIGINT) AS sw,
+         |        CAST(sum(w*w) OVER w AS BIGINT) AS s2,
+         |        CAST(sum(CASE WHEN wp IS NULL THEN 0 ELSE wp*w END) OVER w AS BIGINT) AS sp,
+         |        first_value(w) OVER w AS hk, w AS tk
+         |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id AS entity_id, event_id, n AS n_obs,
+         |  ${TimeSeries.acfFinalSql(1)} AS acf FROM a""".stripMargin,
+
     "q_retention" ->
       """WITH cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
         |  FROM events GROUP BY 1),
@@ -3856,6 +3922,35 @@ object SparkEntry {
          |SELECT zx, zy, day, count(DISTINCT user_id) AS n_entities, count(*) AS n_events
          |FROM g GROUP BY 1, 2, 3 HAVING count(DISTINCT user_id) >= 5""".stripMargin,
 
+    // the same zoom-6 mercator arithmetic, an ORDER BY (x, tile) rank,
+    // and the engine's own final expression (Profiling.GiniFinalSql)
+    "q_gini" ->
+      s"""WITH pts AS (SELECT ${latSqlFor("event_id")} AS lat, ${lonSqlFor("event_id")} AS lon FROM events),
+         |g AS (SELECT
+         |  least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) AS zx,
+         |  least(63, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)
+         |    + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT))) AS zy
+         | FROM pts),
+         |cnt AS (SELECT zx, zy, CAST(count(*) AS BIGINT) AS x FROM g GROUP BY 1, 2),
+         |r AS (SELECT x, row_number() OVER (ORDER BY x, zx*64+zy) AS rank FROM cnt),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |        CAST(sum(rank*x) AS BIGINT) AS srx FROM r)
+         |SELECT n AS n_groups, sx AS total, ${graft.operators.Profiling.GiniFinalSql} AS gini FROM a""".stripMargin,
+
+    // identical cell quantization, two integer aggregates, one division
+    "q_hhi" ->
+      s"""WITH pts AS (SELECT user_id, ${latSqlFor("event_id")} AS lat, ${lonSqlFor("event_id")} AS lon FROM events),
+         |g AS (SELECT user_id,
+         |  least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) * 64 +
+         |  least(63, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)
+         |    + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT))) AS cell
+         | FROM pts),
+         |c AS (SELECT user_id, cell, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2)
+         |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_visits,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(c*c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE) AS hhi
+         |FROM c GROUP BY 1""".stripMargin,
+
     // the same zoom-6 arithmetic per snapshot CTE, then a COALESCE'd
     // full-outer count diff — the engine's full_outer join replayed as a
     // two-sided aggregate over the unioned labeled counts
@@ -4212,6 +4307,17 @@ object SparkEntry {
          |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
          |WHERE $d <= 500000.0""".stripMargin
+    },
+
+    // isolation as NOT EXISTS over the identical haversine — the
+    // double-complement of the pair join (lat/lon are verbatim input
+    // copies, so the doubles match trivially)
+    "q_isolated" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer)
+         |SELECT a.c_custkey, a.lat, a.lon FROM pts a
+         |WHERE NOT EXISTS (SELECT 1 FROM pts b
+         |  WHERE b.c_custkey <> a.c_custkey AND $d <= 300000.0)""".stripMargin
     },
 
     // the brute-force pair graph, then the plain a<b<c triple join — the

@@ -51,4 +51,47 @@ object Profiling {
     }
     flat.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
+
+  /** The one double-domain Gini expression, shared verbatim with the SQL
+    * oracle: every operand is an exact int64 aggregate. */
+  val GiniFinalSql: String =
+    "CASE WHEN n < 1 OR sx = 0 THEN NULL " +
+      "ELSE CAST(2*srx - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE) END"
+
+  /** Exact Gini index of a non-negative integer distribution — the
+    * inequality summary for skew triage (how concentrated is activity
+    * across cells / documents across domains?). Uses the rank-sum
+    * identity gini = (2·Σr·xᵣ − (n+1)·Σx) / (n·Σx) over the ASCENDING
+    * global rank r by (value, tie): within a tie group the values are
+    * equal, so Σr·x is invariant under any tie permutation and the
+    * deterministic (value, tie) order makes the integer numerator exact
+    * and engine-independent. One double division at the end
+    * ([[GiniFinalSql]], replayed verbatim by the oracle).
+    *
+    * Distributed shape: [[SortedNeighborhood.globalRank]]'s two-pass
+    * range rank (sampled range exchange + per-partition row_number +
+    * broadcast offsets — never a single-partition window), then one tiny
+    * aggregate. Integer headroom: Σr·x ≤ n·Σx must stay under 2⁶³
+    * (n = distinct groups, Σx = total weight) — loudly guarded.
+    * Output: one row (n_groups, total, gini). */
+  def giniIndex(df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
+    val ranked = SortedNeighborhood.globalRank(
+      df.select(col(valueCol).cast("long").as("x"), col(tieCol).cast("long").as("t")),
+      col("x"), col("t"))
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("rank") * col("x")).as("srx"),
+        min(col("x")).as("__mn"))
+      .withColumn("__ok",
+        when(col("__mn") >= 0L, true)
+          .otherwise(raise_error(lit("giniIndex: negative values are undefined"))))
+      .withColumn("__ok2",
+        // n*sx and 2*srx are the largest intermediates; srx <= n*sx by
+        // construction, so one double-domain check covers both
+        when(col("n").cast("double") * col("sx").cast("double") <= lit(4.6e18), true)
+          .otherwise(raise_error(lit("giniIndex: n*sum(x) overflows int64"))))
+      .where(col("__ok") && col("__ok2"))
+      .select(col("n").as("n_groups"), col("sx").as("total"),
+        expr(GiniFinalSql).as("gini"))
+  }
 }

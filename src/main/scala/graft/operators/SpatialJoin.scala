@@ -229,6 +229,26 @@ object SpatialJoin {
       .select("id_a", "id_b", "distance_m")
   }
 
+  /** Points with NO other point within `radiusM` — the spatial-isolation
+    * gate (stranded sensors, geocoding glitches, sparse-region QA). The
+    * complement composition of [[distanceJoin]]: the same neighbor-cell
+    * bucketed pair join finds every close pair once, the ids touching any
+    * pair union-distinct into the has-a-neighbor set (ids ONLY — payloads
+    * never shuffle twice), and one left-anti join keeps the isolated rows.
+    * The anti side is the SMALL side at any radius worth calling isolation
+    * (most points have neighbors → the distinct id set is dense but still
+    * id-width), so AQE broadcasts it when it fits.
+    * Output: (idCol, latCol, lonCol). */
+  def isolatedPoints(points: DataFrame, latCol: String, lonCol: String,
+                     idCol: String, radiusM: Double): DataFrame = {
+    val pairs = distanceJoin(points, latCol, lonCol, idCol, radiusM)
+    val near = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+    points.select(col(idCol), col(latCol), col(lonCol))
+      .join(near, Seq(idCol), "left_anti")
+  }
+
   /** Sphere surface area at the haversine radius (4π·6367000²) — ONE
     * literal shared with the Ripley's-K SQL oracle so both engines parse
     * the identical double. */

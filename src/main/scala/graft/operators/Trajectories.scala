@@ -600,4 +600,34 @@ object Trajectories {
       .limit(k)
       .select("cell_a", "cell_b", "common", "da", "db", "score")
   }
+
+  /** Per-entity visit concentration (Herfindahl–Hirschman index) over
+    * cells: hhi = Σcᵢ² / (Σc)² where cᵢ is the entity's visit count in
+    * cell i — 1/hhi is the "effective number of places", the standard
+    * log-free predictability proxy for mobility (entropy needs a
+    * transcendental; HHI is an exact rational, so the oracle matches it
+    * bit for bit with one division). Output: (entityCol, n_visits,
+    * n_cells, hhi).
+    *
+    * Distributed shape: two chained hash aggregates — (entity, cell)
+    * counts then per-entity sums — with map-side partials both times;
+    * nothing else. Integer headroom: Σcᵢ² ≤ (Σc)² needs Σc per entity
+    * < ~3e9 (int64 square) — loudly guarded, never truncated. */
+  def visitConcentration(df: DataFrame, entityCol: String,
+                         cellCol: String): DataFrame = {
+    val perCell = df.groupBy(col(entityCol), col(cellCol))
+      .agg(count(lit(1)).as("__c"))
+    perCell.groupBy(col(entityCol))
+      .agg(sum(col("__c")).as("n_visits"), count(lit(1)).as("n_cells"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .withColumn("__ok",
+        when(col("n_visits") <= 3000000000L, true)
+          .otherwise(raise_error(concat(
+            lit("visitConcentration: entity exceeds 3e9 visits (int64 square): "),
+            col(entityCol).cast("string")))))
+      .where(col("__ok"))
+      // ONE fixed IEEE division over exact integers, shared with the oracle
+      .select(col(entityCol), col("n_visits"), col("n_cells"),
+        expr("CAST(__sq AS DOUBLE) / CAST(n_visits * n_visits AS DOUBLE)").as("hhi"))
+  }
 }

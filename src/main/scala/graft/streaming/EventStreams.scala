@@ -250,6 +250,92 @@ object EventStreams {
   final case class CusumState(lastUs: Long, lastOrder: Long, s: Long)
   final case class CusumAlarm(entity_id: Long, event_id: Long, s: Long, alarm: Boolean)
 
+  final case class AcfRow(entity_id: Long, ts: Timestamp, order: Long, v: Double)
+  final case class AcfState(lastUs: Long, lastOrder: Long, n: Long, sw: Long,
+                            s2: Long, sp: Long, firstW: Long, lastW: Long)
+  final case class AcfPoint(entity_id: Long, event_id: Long, n_obs: Long,
+                            acf: Option[Double])
+
+  /** Streaming running lag-1 autocorrelation — the live twin of
+    * [[graft.operators.TimeSeries.lagAutocorr]]: each arriving value folds
+    * into SIX exact int64 accumulators (n, Σw, Σw², Σ adjacent products,
+    * first w, last w — O(1) state, never a buffer), and each event emits
+    * the coefficient over the prefix seen so far via the SAME fixed IEEE
+    * expression the batch operator and oracle share
+    * ([[graft.operators.TimeSeries.acfFinalSql]] with prefix hk/tk =
+    * first/current value). Values quantize with the identical
+    * HALF_UP `round(value * scale)` as the batch side, so on a finite
+    * in-order input the output equals the DuckDB per-row prefix replay
+    * bit for bit. n = 1 and constant prefixes emit NULL.
+    *
+    * Ordering contract (shared with [[cusumStream]]): rows process in
+    * (ts, order) order within each batch; a row at-or-before the state's
+    * frontier is DROPPED, never retro-inserted. Event-time TTL evicts
+    * idle entities. */
+  def acfStream(events: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                valueCol: String, scale: Long = 100L,
+                watermarkDelay: String = "10 minutes",
+                idleTtlMillis: Long = 24 * 3600 * 1000L): Dataset[AcfPoint] = {
+    require(scale > 0, s"scale must be positive: $scale")
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    val isStream = events.isStreaming
+    val src0 = events.where(col(valueCol).isNotNull).select(
+      col(idCol).cast("long").as("entity_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(orderCol).cast("long").as("order"),
+      col(valueCol).cast("double").as("v"))
+    val src = (if (isStream) src0.withWatermark("ts", watermarkDelay) else src0).as[AcfRow]
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    // Spark's round() semantics exactly: decimal HALF_UP on the double's
+    // shortest representation — the quantizer the batch twin codegens
+    def quantize(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    // the one double-domain final expression, same op order as acfFinalSql
+    def acfOf(n: Long, sw: Long, s2: Long, sp: Long, hk: Long, tk: Long): Option[Double] = {
+      val (nd, sd, s2d, spd, hkd, tkd) =
+        (n.toDouble, sw.toDouble, s2.toDouble, sp.toDouble, hk.toDouble, tk.toDouble)
+      val den = nd * (nd * s2d - sd * sd)
+      if (n <= 1 || den == 0) None
+      else Some((nd * nd * spd - nd * sd * (2 * sd - hkd - tkd) + (nd - 1) * sd * sd) / den)
+    }
+    src
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[AcfState, AcfPoint](
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()) {
+        case (entityId, rows, state: GroupState[AcfState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(p => (micros(p.ts), p.order))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[AcfPoint]
+            for (p <- sorted) {
+              val us = micros(p.ts)
+              val fresh = st == null || us > st.lastUs ||
+                (us == st.lastUs && p.order > st.lastOrder)
+              if (fresh) {
+                val w = quantize(p.v)
+                st =
+                  if (st == null) AcfState(us, p.order, 1L, w, w * w, 0L, w, w)
+                  else AcfState(us, p.order, st.n + 1, st.sw + w, st.s2 + w * w,
+                    st.sp + st.lastW * w, st.firstW, w)
+                out += AcfPoint(entityId, p.order, st.n,
+                  acfOf(st.n, st.sw, st.s2, st.sp, st.firstW, st.lastW))
+              } // else: stale arrival behind the emitted frontier — dropped
+            }
+            if (isStream) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + idleTtlMillis)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming CUSUM drift detector over inter-event gaps — the live twin
     * of [[graft.operators.Sequences.cusumAlarms]]: per entity the
     * recurrence s = max(0, s + (gap - k)) carried in keyed state ACROSS

@@ -154,6 +154,28 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("isolatedPoints == brute-force no-neighbor complement at several radii") {
+    val pts = spark.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("c_custkey")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("c_custkey")))
+      .orderBy("c_custkey").limit(300)
+    val rows = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    for (radius <- Seq(200000.0, 500000.0)) {
+      val got = SpatialJoin.isolatedPoints(pts, "lat", "lon", "c_custkey", radius)
+        .select("c_custkey")
+        .collect().map(_.getLong(0)).toSet
+      val expected = rows.filter { case (ka, la, na) =>
+        !rows.exists { case (kb, lb, nb) =>
+          kb != ka &&
+            S2LatLng.fromDegrees(la, na).getEarthDistance(S2LatLng.fromDegrees(lb, nb)) <= radius
+        }
+      }.map(_._1).toSet
+      assert(got == expected, s"radius $radius: missing=${expected -- got} extra=${got -- expected}")
+      assert(expected.nonEmpty && expected.size < rows.length,
+        s"radius $radius should isolate a strict subset")
+    }
+  }
+
   test("exact dedup finds planted duplicates") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val aug = docs.unionByName(
