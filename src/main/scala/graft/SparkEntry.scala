@@ -1552,6 +1552,39 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    // bichromatic distance join: customer × supplier pairs within
+    // 1000 km — the two-table sibling of q_distance_join (left explodes
+    // ≤9 neighbor buckets, right keeps its own cell, exact haversine
+    // refine; 1780 pairs at sf0.01). Ids only: the membership test is
+    // boundary-exact, the raw doubles stay engine-side
+    "q_distance_between" -> ((s, dir) => {
+      val cust = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val supp = supplier(s, dir).select("s_suppkey")
+        .withColumn("lat", expr(latSqlFor("s_suppkey")))
+        .withColumn("lon", expr(lonSqlFor("s_suppkey")))
+      SpatialJoin.distanceJoinBetween(cust, "c_custkey", "lat", "lon",
+        supp, "s_suppkey", "lat", "lon", radiusM = 1000000.0)
+        .select("id_left", "id_right")
+    }),
+
+    // nearest supplier within 1000 km per customer (min distance, ties
+    // by smaller id): bucketed candidates + ONE exact min_by aggregate —
+    // the facility-assignment join; 1031 of 1500 customers match at
+    // sf0.01, the rest legitimately have no supplier in range
+    "q_nearest_join" -> ((s, dir) => {
+      val cust = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val supp = supplier(s, dir).select("s_suppkey")
+        .withColumn("lat", expr(latSqlFor("s_suppkey")))
+        .withColumn("lon", expr(lonSqlFor("s_suppkey")))
+      SpatialJoin.nearestJoin(cust, "c_custkey", "lat", "lon",
+        supp, "s_suppkey", "lat", "lon", radiusM = 1000000.0)
+        .select("id_left", "id_right")
+    }),
+
     // spatial isolation: customers with NO other customer within 300 km
     // (753 of 1500 at sf0.01 — non-degenerate both ways). Same bucketed
     // pair join as q_distance_join, then ids-only union-distinct and one
@@ -4307,6 +4340,27 @@ object SparkEntry {
          |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
          |WHERE $d <= 500000.0""".stripMargin
+    },
+
+    // the plain two-table brute force over the identical haversine
+    "q_distance_between" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH a AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |b AS (SELECT s_suppkey, ${latSqlFor("s_suppkey")} AS lat, ${lonSqlFor("s_suppkey")} AS lon FROM supplier)
+         |SELECT a.c_custkey AS id_left, b.s_suppkey AS id_right
+         |FROM a JOIN b ON $d <= 1000000.0""".stripMargin
+    },
+
+    // brute-force argmin with the same (distance, id) tie order
+    "q_nearest_join" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH a AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |b AS (SELECT s_suppkey, ${latSqlFor("s_suppkey")} AS lat, ${lonSqlFor("s_suppkey")} AS lon FROM supplier),
+         |p AS (SELECT a.c_custkey AS id_left, b.s_suppkey AS id_right, $d AS dm
+         |  FROM a JOIN b ON $d <= 1000000.0),
+         |r AS (SELECT id_left, id_right,
+         |  row_number() OVER (PARTITION BY id_left ORDER BY dm, id_right) AS rn FROM p)
+         |SELECT id_left, id_right FROM r WHERE rn = 1""".stripMargin
     },
 
     // isolation as NOT EXISTS over the identical haversine — the

@@ -229,6 +229,63 @@ object SpatialJoin {
       .select("id_a", "id_b", "distance_m")
   }
 
+  /** Bichromatic distance join: every (left, right) pair within `radiusM`
+    * across TWO point tables (customers × facilities, images × landmarks)
+    * — [[distanceJoin]]'s two-table sibling. Same adjacency argument:
+    * bucketing level L = max level with cell min-width ≥ radius, the LEFT
+    * side explodes its closed 8-neighborhood, the RIGHT keeps its own
+    * cell, hash equi-join + exact haversine refinement. Each qualifying
+    * pair appears exactly once (the right side is keyed by its unique own
+    * cell — no a<b filter here, the tables are distinct). Shuffle volume:
+    * ≤ 9×(id, lat, lon) on the left, 1× on the right.
+    * Output: (id_left, id_right, distance_m). */
+  def distanceJoinBetween(left: DataFrame, leftId: String,
+                          leftLat: String, leftLon: String,
+                          right: DataFrame, rightId: String,
+                          rightLat: String, rightLon: String,
+                          radiusM: Double): DataFrame = {
+    val angle = radiusM / S2LatLng.EarthRadiusMeters
+    require(angle > 0 && angle <= S2Projections.MinWidth.getValue(0),
+      s"distanceJoinBetween radius $radiusM m exceeds the level-0 adjacency guarantee (~3000 km)")
+    val level = S2Projections.MinWidth.getMaxLevel(angle)
+    val a = left.select(col(leftId).as("id_left"),
+        col(leftLat).as("__lata"), col(leftLon).as("__lona"))
+      .withColumn("__cell", s2_tile(col("__lata"), col("__lona"), level))
+      .select(col("id_left"), col("__lata"), col("__lona"),
+        explode(array_union(array(col("__cell")),
+          s2_all_neighbors(col("__cell"), level))).as("__bucket"))
+    val b = right.select(col(rightId).as("id_right"),
+        col(rightLat).as("__latb"), col(rightLon).as("__lonb"))
+      .withColumn("__bucket", s2_tile(col("__latb"), col("__lonb"), level))
+    a.join(b, "__bucket")
+      .withColumn("distance_m",
+        s2_distance_m(col("__lata"), col("__lona"), col("__latb"), col("__lonb")))
+      .where(col("distance_m") <= radiusM)
+      .select("id_left", "id_right", "distance_m")
+  }
+
+  /** Bounded nearest-neighbor join: for each left point, THE closest
+    * right point within `radiusM` (ties broken by smallest right id) —
+    * the facility-assignment / nearest-landmark join. One bichromatic
+    * candidate join ([[distanceJoinBetween]]) then an exact per-left-id
+    * min_by aggregate — never a window sort, and left rows with no
+    * neighbor in range simply don't appear (the caller anti-joins for the
+    * orphans; [[isolatedPoints]] is the monochromatic version of that
+    * question). Output: (id_left, id_right, distance_m). */
+  def nearestJoin(left: DataFrame, leftId: String,
+                  leftLat: String, leftLon: String,
+                  right: DataFrame, rightId: String,
+                  rightLat: String, rightLon: String,
+                  radiusM: Double): DataFrame = {
+    distanceJoinBetween(left, leftId, leftLat, leftLon,
+      right, rightId, rightLat, rightLon, radiusM)
+      .groupBy(col("id_left"))
+      .agg(min_by(struct(col("distance_m"), col("id_right")),
+        struct(col("distance_m"), col("id_right"))).as("__best"))
+      .select(col("id_left"), col("__best.id_right").as("id_right"),
+        col("__best.distance_m").as("distance_m"))
+  }
+
   /** Points with NO other point within `radiusM` — the spatial-isolation
     * gate (stranded sensors, geocoding glitches, sparse-region QA). The
     * complement composition of [[distanceJoin]]: the same neighbor-cell

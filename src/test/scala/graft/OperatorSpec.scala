@@ -154,6 +154,40 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("distanceJoinBetween + nearestJoin == brute force across two tables") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("c_custkey")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("c_custkey")))
+      .orderBy("c_custkey").limit(250)
+    val supp = spark.read.parquet(s"$dir/supplier.parquet").select("s_suppkey")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("s_suppkey")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("s_suppkey")))
+    val cs = cust.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val ss = supp.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def d(a: (Long, Double, Double), b: (Long, Double, Double)) =
+      S2LatLng.fromDegrees(a._2, a._3).getEarthDistance(S2LatLng.fromDegrees(b._2, b._3))
+    for (radius <- Seq(500000.0, 1500000.0)) {
+      val gotPairs = SpatialJoin.distanceJoinBetween(cust, "c_custkey", "lat", "lon",
+          supp, "s_suppkey", "lat", "lon", radius)
+        .select("id_left", "id_right")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantPairs = (for { a <- cs; b <- ss if d(a, b) <= radius } yield (a._1, b._1)).toSet
+      assert(gotPairs == wantPairs,
+        s"radius $radius: missing=${wantPairs -- gotPairs} extra=${gotPairs -- wantPairs}")
+      assert(wantPairs.nonEmpty)
+
+      val gotNn = SpatialJoin.nearestJoin(cust, "c_custkey", "lat", "lon",
+          supp, "s_suppkey", "lat", "lon", radius)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val wantNn = cs.flatMap { a =>
+        val cands = ss.map(b => (d(a, b), b._1)).filter(_._1 <= radius)
+        if (cands.isEmpty) None else Some(a._1 -> cands.min.swap)
+      }.toMap
+      assert(gotNn === wantNn, s"radius $radius nearest mismatch")
+      assert(wantNn.size < cs.length, s"radius $radius should leave some customers unmatched")
+    }
+  }
+
   test("isolatedPoints == brute-force no-neighbor complement at several radii") {
     val pts = spark.read.parquet(s"$dir/customer.parquet").select("c_custkey")
       .withColumn("lat", expr(SparkEntry.latSqlFor("c_custkey")))
