@@ -692,6 +692,14 @@ object SparkEntry {
       graft.streaming.EventStreams.acfStream(events(s, dir), "user_id", "ts",
         "event_id", "value").toDF()),
 
+    // per-user OLS value-vs-time trend on the (minute, centi-unit)
+    // integer grid: ONE map + ONE hash aggregate (no window — OLS needs
+    // no ordering), exact int64 sums, slope/intercept each a single
+    // fixed IEEE expression shared verbatim with the oracle
+    "q_ols" -> ((s, dir) =>
+      TimeSeries.linearTrend(events(s, dir), "user_id", "ts", "value",
+        originMicros = 1704067200000000L, stepMicros = 60000000L)),
+
     // cohort retention triangle: users grouped by first-activity day,
     // distinct-active counted per (cohort, day offset) — dates and counts
     // only, integer-exact
@@ -3510,6 +3518,20 @@ object SparkEntry {
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |SELECT user_id AS entity_id, event_id, n AS n_obs,
          |  ${TimeSeries.acfFinalSql(1)} AS acf FROM a""".stripMargin,
+
+    // identical minute/centi-unit quantization, the same five exact
+    // integer aggregates, and the engine's own slope/intercept SQL
+    "q_ols" ->
+      s"""WITH s AS (SELECT user_id,
+         |    (epoch_us(ts) - 1704067200000000) // 60000000 AS x,
+         |    CAST(round(value*100) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+         |      FROM s GROUP BY 1)
+         |SELECT user_id, n AS n_obs, ${TimeSeries.trendSlopeSql} AS slope,
+         |  ${TimeSeries.trendInterceptSql} AS intercept FROM a""".stripMargin,
 
     "q_retention" ->
       """WITH cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date

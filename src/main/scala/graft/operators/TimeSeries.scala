@@ -173,6 +173,63 @@ object TimeSeries {
       expr(acfFinalSql(lag)).as("acf"))
   }
 
+  /** Per-entity ordinary-least-squares trend of a numeric series against
+    * time — "is this user's value drifting, and how fast?". Time
+    * quantizes to the integer grid x = (µs − origin) div step and values
+    * to y = round(value·scale), so n, Σx, Σy, Σx², Σxy are exact
+    * order-independent int64 aggregates; slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) and intercept = (Σy − slope·Σx)/n are fixed IEEE
+    * expressions over those integers ([[trendSlopeSql]] /
+    * [[trendInterceptSql]], shared verbatim with the oracle). Slope is in
+    * scaled-value units per step; entities with n < 2 or a constant time
+    * axis yield NULL.
+    *
+    * Distributed shape: ONE map + ONE hash aggregate — no window, no
+    * sort, no second shuffle (OLS needs no ordering, unlike
+    * [[lagAutocorr]]). Integer headroom: Σx² exact while n·maxX² < 2⁶³
+    * (maxX = series span in steps), loudly guarded against negative x
+    * (observations before `originMicros` are a caller bug, not data).
+    * Output: (idCol, n_obs, slope, intercept). */
+  def linearTrend(df: DataFrame, idCol: String, tsCol: String,
+                  valueCol: String, originMicros: Long, stepMicros: Long,
+                  scale: Long = 100L): DataFrame = {
+    require(stepMicros > 0, s"stepMicros must be positive: $stepMicros")
+    require(scale > 0, s"scale must be positive: $scale")
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(idCol),
+        expr(s"(unix_micros(CAST($tsCol AS TIMESTAMP)) - ${originMicros}L) div ${stepMicros}L")
+          .as("__x0"),
+        round(col(valueCol).cast("double") * scale).cast("long").as("__y"))
+      .withColumn("__x",
+        when(col("__x0") >= 0L, col("__x0"))
+          .otherwise(raise_error(concat(
+            lit("linearTrend: observation before originMicros: x = "),
+            col("__x0").cast("string")))))
+    rows.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__x") * col("__y")).as("sxy"))
+      .select(col(idCol), col("n").as("n_obs"),
+        expr(trendSlopeSql).as("slope"),
+        expr(trendInterceptSql).as("intercept"))
+  }
+
+  /** OLS slope over the exact integer aggregates n/sx/sy/sxx/sxy —
+    * shared verbatim with the SQL oracle. */
+  val trendSlopeSql: String =
+    """CASE WHEN n < 2 OR CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) = 0 THEN NULL
+      | ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |  / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) END""".stripMargin
+
+  /** OLS intercept (Σy − slope·Σx)/n with the slope text inlined — one
+    * IEEE tree, shared verbatim with the SQL oracle. */
+  val trendInterceptSql: String =
+    s"""CASE WHEN n < 2 OR CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) = 0 THEN NULL
+       | ELSE (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+       |  / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+       |  / CAST(n AS DOUBLE) END""".stripMargin
+
   /** The final-coefficient SQL replayed bit-for-bit by the oracle: every
     * operand is one of the exact integer aggregates n/sw/s2/sp/hk/tk. */
   def acfFinalSql(lag: Int): String =

@@ -73,4 +73,50 @@ class LagAutocorrSpec extends SparkTestBase {
     assert(defined.forall(a => a >= -1.0 && a <= 1.0),
       "lag-1 acf must satisfy the Cauchy-Schwarz bound")
   }
+
+  private val Origin = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+
+  test("linearTrend: hand-checked line, NULL guards, exact fixture replay") {
+    import spark.implicits._
+    def tm(m: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(Origin / 1000000L + m * 60))
+    // user 1: exact line y = 2x + 1 on the minute grid (scaled units)
+    // user 2: one point -> NULL; user 3: constant time axis -> NULL
+    val pts = Seq(
+      (1L, tm(0), 0.01), (1L, tm(1), 0.03), (1L, tm(2), 0.05),
+      (2L, tm(5), 9.0),
+      (3L, tm(7), 1.0), (3L, tm(7), 2.0)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.linearTrend(pts, "user_id", "ts", "value",
+        originMicros = Origin, stepMicros = 60000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got === Map(
+      1L -> ((3L, Some(2.0), Some(1.0))),
+      2L -> ((1L, None, None)),
+      3L -> ((2L, None, None))))
+
+    val df = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val res = TimeSeries.linearTrend(df, "user_id", "ts", "value",
+        originMicros = Origin, stepMicros = 60000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val brute = df.selectExpr("user_id",
+        s"(unix_micros(CAST(ts AS TIMESTAMP)) - ${Origin}L) div 60000000L AS x",
+        "CAST(round(value * 100) AS LONG) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (u, rows) =>
+        val n = rows.length.toLong
+        val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+        val sxx = rows.map(r => r._2 * r._2).sum
+        val sxy = rows.map(r => r._2 * r._3).sum
+        val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+        val slope =
+          if (n < 2 || den == 0) None
+          else Some((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) / den)
+        u -> ((n, slope))
+      }
+    assert(res === brute)
+    assert(res.values.exists(_._2.isDefined))
+  }
 }
