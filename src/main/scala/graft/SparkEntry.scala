@@ -216,6 +216,28 @@ object SparkEntry {
        |SELECT id, pr FROM r3""".stripMargin
   }
 
+  /** HITS oracle: two unrolled (authority, hub) half-step pairs with the
+    * identical scaled-integer max normalization (`raw * scale // max`,
+    * scalar-subquery maxima) over the distinct user→cell edge set. */
+  private lazy val HitsOracleSql: String = {
+    val cell =
+      "least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) * 64 + " +
+        "least(63, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0) " +
+        "+ 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT)))"
+    val round = (i: Int) =>
+      s"""ar$i AS (SELECT e.dst AS id, sum(h.h) AS raw FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY 1),
+         |a$i AS (SELECT id, CAST(raw * 1000000 // (SELECT max(raw) FROM ar$i) AS BIGINT) AS a FROM ar$i),
+         |hr$i AS (SELECT e.src AS id, sum(a.a) AS raw FROM e JOIN a$i a ON a.id = e.dst GROUP BY 1),
+         |h$i AS (SELECT id, CAST(raw * 1000000 // (SELECT max(raw) FROM hr$i) AS BIGINT) AS h FROM hr$i)""".stripMargin
+    s"""WITH pts AS (SELECT user_id, ${latSqlFor("event_id")} AS lat, ${lonSqlFor("event_id")} AS lon FROM events),
+       |e AS (SELECT DISTINCT user_id AS src, $cell AS dst FROM pts),
+       |h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS h FROM e),
+       |${round(1)},
+       |${round(2)}
+       |SELECT 'hub' AS role, id, h AS score FROM h2
+       |UNION ALL SELECT 'authority' AS role, id, a AS score FROM a2""".stripMargin
+  }
+
   /** Fixed k-means seeds (cluster_id, x, y) on the [0,18000]x[0,36000]
     * centi-degree grid — THE single definition shared by the q_kmeans
     * query and its oracle VALUES list so they cannot drift. */
@@ -1296,6 +1318,21 @@ object SparkEntry {
       val cells = Tiling.zxyAssign(pts, "lat", "lon", 6)
         .withColumn("cell", col("zx") * 64L + col("zy"))
       Trajectories.visitConcentration(cells, "user_id", "cell")
+    }),
+
+    // HITS hubs/authorities over the bipartite user→cell visit graph
+    // (zoom-6): L∞-normalized scaled-integer half-steps (the classic L2
+    // norm is transcendental; max-normalization keeps every op in int64),
+    // 2 rounds, hash-exact vs the unrolled-CTE replay — hub users visit
+    // authority places, authority places attract hub users
+    "q_hits" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      val edges = Tiling.zxyAssign(pts, "lat", "lon", 6)
+        .select(col("user_id").as("src"), (col("zx") * 64L + col("zy")).as("dst"))
+        .distinct()
+      Graphs.hitsScaled(edges, rounds = 2)
     }),
 
     "q_kanon_release" -> ((s, dir) =>
@@ -4467,6 +4504,7 @@ object SparkEntry {
     },
 
     "q_pagerank" -> PageRankOracleSql,
+    "q_hits" -> HitsOracleSql,
 
     // identical scaled-integer rounds over the word co-occurrence graph;
     // the whitespace tokenizer and hapax filter mirror the Spark side

@@ -290,6 +290,61 @@ object Graphs {
     ranks
   }
 
+  /** HITS hubs & authorities over DIRECTED edges (src, dst) — the
+    * bipartite ranking twin of [[pageRankScaled]] (users→cells: a good
+    * hub visits good places, a good place attracts good hubs). Classic
+    * HITS L2-normalizes each half-step — transcendental, so not
+    * replayable; this uses L∞ (max) normalization instead, which has the
+    * same fixpoint direction and keeps every operation in pure int64:
+    * a = (Σ h over in-edges)·scale div max, h = (Σ a over out-edges)·
+    * scale div max, per round — shuffle-order independent and hash-exact
+    * against an unrolled-CTE SQL replay. Scores land in [0, scale] with
+    * the max element AT scale each round.
+    *
+    * Per round: two equi-join + hash-agg passes over (id, score) rows
+    * plus two broadcast scalar maxima — the adjacency is pinned once and
+    * never reshuffled. Overflow: post-normalization scores ≤ scale, so
+    * raw sums ≤ maxDegree·scale and the normalizing product ≤
+    * maxDegree·scale² — `require`d at plan time, and per-node degrees
+    * are checked LOUDLY against the promise (raise_error, never silent).
+    * Output: (role 'hub'|'authority', id, score). */
+  def hitsScaled(edges0: DataFrame, rounds: Int, scale: Long = 1000000L,
+                 maxDegree: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(scale > 0 && maxDegree > 0 &&
+      maxDegree <= Long.MaxValue / scale / scale,
+      s"maxDegree*scale^2 can overflow int64: maxDegree=$maxDegree scale=$scale")
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
+    val degGuard = edges.select(col("src").as("__n"))
+      .unionAll(edges.select(col("dst").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__d"))
+      .select(max(col("__d")).as("__dmax"))
+      .select(when(col("__dmax") <= maxDegree, true)
+        .otherwise(raise_error(concat(
+          lit(s"hitsScaled: degree exceeds the maxDegree=$maxDegree promise: "),
+          col("__dmax").cast("string")))).as("__ok"))
+    def normalized(raw: DataFrame, out: String): DataFrame =
+      raw.crossJoin(broadcast(
+          raw.agg(max(col("__raw")).as("__mx")).crossJoin(degGuard)))
+        .where(col("__ok")) // load-bearing: pruning must not drop the guard
+        .select(col("id"), expr(s"__raw * ${scale}L div __mx").as(out))
+        .localCheckpoint()
+    var hubs = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(scale).as("h")).localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auths = normalized(
+        edges.join(hubs.select(col("id").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("id")).agg(sum("h").as("__raw")), "a")
+      hubs = normalized(
+        edges.join(auths.select(col("id").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("id")).agg(sum("a").as("__raw")), "h")
+    }
+    hubs.select(lit("hub").as("role"), col("id"), col("h").as("score"))
+      .unionByName(auths.select(lit("authority").as("role"), col("id"),
+        col("a").as("score")))
+  }
+
   private def requireNoOverflow(scale: Long, maxNodes: Long): Unit =
     require(maxNodes > 0 && scale > 0 &&
       maxNodes <= Long.MaxValue / 17 / scale,

@@ -250,4 +250,47 @@ class GraphsSpec extends SparkTestBase {
       assert(got === labels, s"rounds=$rounds diverged")
     }
   }
+
+  test("hitsScaled: hand-checked bipartite fold and sequential replay") {
+    import spark.implicits._
+    // u1 -> {c1, c2}, u2 -> {c1}; scale 1e6, 2 rounds, hand-traced:
+    // r1: a(c1)=1e6, a(c2)=5e5; h(u1)=1e6, h(u2)=666666
+    // r2: a_raw(c1)=1666666, a_raw(c2)=1e6 -> a(c1)=1e6, a(c2)=600000
+    //     h_raw(u1)=1.6e6, h_raw(u2)=1e6  -> h(u1)=1e6, h(u2)=625000
+    val edges = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("src", "dst")
+    val got = Graphs.hitsScaled(edges, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("hub", 1L) -> 1000000L, ("hub", 2L) -> 625000L,
+      ("authority", 101L) -> 1000000L, ("authority", 102L) -> 600000L))
+
+    // larger random-ish bipartite graph vs a driver-side sequential fold
+    val big = (0L until 400L).map(i => (i % 23L, 100L + (i * 7919L) % 31L)).distinct
+    val gotBig = Graphs.hitsScaled(big.toDF("src", "dst"), rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val scale = 1000000L
+    var h: Map[Long, Long] = big.map(_._1).distinct.map(_ -> scale).toMap
+    var a: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 3) {
+      val araw = big.groupBy(_._2).map { case (c, es) => c -> es.map(e => h(e._1)).sum }
+      val amax = araw.values.max
+      a = araw.map { case (c, r) => c -> r * scale / amax }
+      val hraw = big.groupBy(_._1).map { case (u, es) => u -> es.map(e => a(e._2)).sum }
+      val hmax = hraw.values.max
+      h = hraw.map { case (u, r) => u -> r * scale / hmax }
+    }
+    val want = h.map { case (u, s) => ("hub", u) -> s } ++
+      a.map { case (c, s) => ("authority", c) -> s }
+    assert(gotBig === want)
+    assert(gotBig.values.max === scale && gotBig.values.forall(s => s >= 0 && s <= scale))
+  }
+
+  test("hitsScaled raises loudly when a degree exceeds the promise") {
+    import spark.implicits._
+    val star = (0L until 40L).map(i => (i, 999L)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      Graphs.hitsScaled(star, rounds = 1, maxDegree = 10L).collect()
+    }
+    assert(ex.getMessage.contains("maxDegree"))
+  }
 }
