@@ -897,6 +897,17 @@ object SparkEntry {
       Trajectories.radiusOfGyration(pts, "user_id", "x", "y")
     }),
 
+    // per-user EXACT squared diameter on the same centi-degree grid:
+    // convex hull + pairwise-over-hull inside one typed Aggregator
+    // (buffers compact to their own hull — O(hull) state, never O(n));
+    // the O(n²) SQL self-join is an exact integer oracle
+    "q_diameter" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("x", expr("(event_id * 9973 + 12345) % 18000"))
+        .withColumn("y", expr("(event_id * 31337 + 54321) % 36000"))
+      Trajectories.spatialDiameter(pts, "user_id", "x", "y")
+    }),
+
     // cell co-visitation affinity ("users who visit A also visit B"):
     // top-30 10-degree-cell pairs by exact scaled-integer Jaccard over
     // distinct visitors — cell ids derive from event_id in pure int64 so
@@ -3762,6 +3773,15 @@ object SparkEntry {
         |    AS BIGINT) AS num
         |  FROM pts GROUP BY 1)
         |SELECT user_id, n, num, sqrt(CAST(num AS DOUBLE)) / n AS rg FROM g""".stripMargin,
+
+    // the O(n²) brute force IS exact here: pure integer squared
+    // distances, so hull+calipers must reproduce it bit for bit
+    "q_diameter" ->
+      """WITH pts AS (SELECT user_id,
+        |  (event_id * 9973 + 12345) % 18000 AS x,
+        |  (event_id * 31337 + 54321) % 36000 AS y FROM events)
+        |SELECT a.user_id, CAST(max((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS BIGINT) AS diam_sq
+        |FROM pts a JOIN pts b USING (user_id) GROUP BY 1""".stripMargin,
 
     // identical int64 cell quantization, distinct-visitor wedge join, and
     // scaled-quotient Jaccard rank (common*10^12 // (da+db-common))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -599,6 +599,104 @@ object Trajectories {
       .orderBy(col("score").desc, col("cell_a"), col("cell_b"))
       .limit(k)
       .select("cell_a", "cell_b", "common", "da", "db", "score")
+  }
+
+  /** Integer monotone-chain convex hull — exact Long cross products, no
+    * floats anywhere. Input order free; collinear boundary points drop. */
+  private[graft] object IntHull {
+    def cross(ox: Long, oy: Long, ax: Long, ay: Long, bx: Long, by: Long): Long =
+      (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    /** Hull vertices (CCW, no duplicates). n ≤ 2 returns the distinct
+      * input. */
+    def hull(pts: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val s = pts.distinct.sorted
+      if (s.length <= 2) return s
+      val lower = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (p <- s) {
+        while (lower.length >= 2 && cross(lower(lower.length - 2)._1,
+          lower(lower.length - 2)._2, lower.last._1, lower.last._2, p._1, p._2) <= 0)
+          lower.remove(lower.length - 1)
+        lower += p
+      }
+      val upper = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (p <- s.reverse) {
+        while (upper.length >= 2 && cross(upper(upper.length - 2)._1,
+          upper(upper.length - 2)._2, upper.last._1, upper.last._2, p._1, p._2) <= 0)
+          upper.remove(upper.length - 1)
+        upper += p
+      }
+      (lower.dropRight(1) ++ upper.dropRight(1)).toSeq
+    }
+
+    /** Exact squared diameter over the hull (O(h²) on the SMALL hull —
+      * h is O(gridWidth^(2/3)) lattice points, never the raw n). */
+    def diamSq(h: Seq[(Long, Long)]): Long = {
+      var best = 0L
+      var i = 0
+      while (i < h.length) {
+        var j = i + 1
+        while (j < h.length) {
+          val dx = h(i)._1 - h(j)._1; val dy = h(i)._2 - h(j)._2
+          val d = dx * dx + dy * dy
+          if (d > best) best = d
+          j += 1
+        }
+        i += 1
+      }
+      best
+    }
+  }
+
+  /** Hull-buffer cap: a partial aggregation buffer compacts to its own
+    * convex hull whenever it exceeds this, so buffers stay O(hull), not
+    * O(points) — the property that makes the Aggregator safe at any
+    * per-entity cardinality. */
+  private val HullCompactAt = 512
+
+  /** Per-entity EXACT spatial extent (squared diameter) on an integer
+    * grid — "how far apart are this user's two most distant sightings?".
+    * The naive answer is a per-key O(n²) self-join; this computes the
+    * identical integer via convex hull + pairwise-over-hull inside ONE
+    * typed Aggregator: partial buffers hold at most [[HullCompactAt]]
+    * points (hull(A ∪ B) = hull(hull(A) ∪ hull(B)), so compacting a
+    * partial buffer to its hull is lossless), merge concatenates + re-
+    * compacts, and finish runs O(h²) over the FINAL hull only (h = the
+    * entity's hull size, O(grid^(2/3)) lattice points, never n). All
+    * geometry is exact Long cross products / squared distances — no
+    * floats, so the O(n²) SQL brute force is an exact oracle. Coordinate
+    * bound |coord| ≤ 10⁹ keeps every product in int64 — loudly guarded.
+    * Output: (entityCol, diam_sq). */
+  def spatialDiameter(df: DataFrame, entityCol: String, xCol: String,
+                      yCol: String, maxCoord: Long = 1000000000L): DataFrame = {
+    require(maxCoord >= 1 && maxCoord <= 1500000000L,
+      s"maxCoord out of the int64-exact range: $maxCoord")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val guarded = df.select(col(entityCol).cast("long").as("__e"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .withColumn("__ok",
+        when(abs(col("__x")) <= maxCoord && abs(col("__y")) <= maxCoord, true)
+          .otherwise(raise_error(concat(
+            lit(s"spatialDiameter: coordinate outside ±$maxCoord: ("),
+            col("__x"), lit(", "), col("__y"), lit(")")))))
+      .where(col("__ok"))
+      .as[(Long, Long, Long, Boolean)]
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Long, Boolean), Seq[(Long, Long)], Long] {
+      private def compact(pts: Seq[(Long, Long)]): Seq[(Long, Long)] =
+        if (pts.length > HullCompactAt) IntHull.hull(pts) else pts
+      def zero: Seq[(Long, Long)] = Nil
+      def reduce(b: Seq[(Long, Long)], r: (Long, Long, Long, Boolean)): Seq[(Long, Long)] =
+        compact(b :+ ((r._2, r._3)))
+      def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+        compact(a ++ b)
+      def finish(b: Seq[(Long, Long)]): Long = IntHull.diamSq(IntHull.hull(b))
+      def bufferEncoder: Encoder[Seq[(Long, Long)]] = implicitly
+      def outputEncoder: Encoder[Long] = implicitly
+    }
+    guarded.groupByKey(_._1).agg(agg.toColumn.name("diam_sq"))
+      .toDF(entityCol, "diam_sq")
   }
 
   /** Per-entity visit concentration (Herfindahl–Hirschman index) over
