@@ -722,6 +722,15 @@ object SparkEntry {
       TimeSeries.linearTrend(events(s, dir), "user_id", "ts", "value",
         originMicros = 1704067200000000L, stepMicros = 60000000L)),
 
+    // the streaming running-OLS twin through the same
+    // flatMapGroupsWithState fold: five exact int64 accumulators per
+    // key, per-event (slope, intercept) over the prefix; the oracle
+    // replays prefix windows + the shared final expressions
+    "q_ols_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.olsStream(events(s, dir), "user_id", "ts",
+        "event_id", "value",
+        originMicros = 1704067200000000L, stepMicros = 60000000L).toDF()),
+
     // cohort retention triangle: users grouped by first-activity day,
     // distinct-active counted per (cohort, day offset) — dates and counts
     // only, integer-exact
@@ -3579,6 +3588,23 @@ object SparkEntry {
          |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
          |      FROM s GROUP BY 1)
          |SELECT user_id, n AS n_obs, ${TimeSeries.trendSlopeSql} AS slope,
+         |  ${TimeSeries.trendInterceptSql} AS intercept FROM a""".stripMargin,
+
+    // per-row prefix replay of the streaming fold with the same shared
+    // final expressions
+    "q_ols_stream" ->
+      s"""WITH s AS (SELECT user_id, event_id, ts,
+         |    (epoch_us(ts) - 1704067200000000) // 60000000 AS x,
+         |    CAST(round(value*100) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |a AS (SELECT user_id, event_id,
+         |        CAST(row_number() OVER w AS BIGINT) AS n,
+         |        CAST(sum(x) OVER w AS BIGINT) AS sx, CAST(sum(y) OVER w AS BIGINT) AS sy,
+         |        CAST(sum(x*x) OVER w AS BIGINT) AS sxx, CAST(sum(x*y) OVER w AS BIGINT) AS sxy
+         |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id AS entity_id, event_id, n AS n_obs,
+         |  ${TimeSeries.trendSlopeSql} AS slope,
          |  ${TimeSeries.trendInterceptSql} AS intercept FROM a""".stripMargin,
 
     "q_retention" ->

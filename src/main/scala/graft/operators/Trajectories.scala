@@ -682,21 +682,28 @@ object Trajectories {
             col("__x"), lit(", "), col("__y"), lit(")")))))
       .where(col("__ok"))
       .as[(Long, Long, Long, Boolean)]
-    val agg = new org.apache.spark.sql.expressions.Aggregator[
-        (Long, Long, Long, Boolean), Seq[(Long, Long)], Long] {
-      private def compact(pts: Seq[(Long, Long)]): Seq[(Long, Long)] =
-        if (pts.length > HullCompactAt) IntHull.hull(pts) else pts
-      def zero: Seq[(Long, Long)] = Nil
-      def reduce(b: Seq[(Long, Long)], r: (Long, Long, Long, Boolean)): Seq[(Long, Long)] =
-        compact(b :+ ((r._2, r._3)))
-      def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-        compact(a ++ b)
-      def finish(b: Seq[(Long, Long)]): Long = IntHull.diamSq(IntHull.hull(b))
-      def bufferEncoder: Encoder[Seq[(Long, Long)]] = implicitly
-      def outputEncoder: Encoder[Long] = implicitly
-    }
-    guarded.groupByKey(_._1).agg(agg.toColumn.name("diam_sq"))
+    guarded.groupByKey(_._1).agg(new DiamAgg().toColumn.name("diam_sq"))
       .toDF(entityCol, "diam_sq")
+  }
+
+  /** Top-level (no outer/session capture — a method-local Aggregator
+    * resolves its encoders through `spark.implicits` and drags the
+    * SparkSession into the task closure) hull-compacting diameter
+    * aggregator. Encoders are built session-free. */
+  private final class DiamAgg extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long, Long, Boolean), Seq[(Long, Long)], Long] {
+    private def compact(pts: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      if (pts.length > HullCompactAt) IntHull.hull(pts) else pts
+    def zero: Seq[(Long, Long)] = Nil
+    def reduce(b: Seq[(Long, Long)], r: (Long, Long, Long, Boolean)): Seq[(Long, Long)] =
+      compact(b :+ ((r._2, r._3)))
+    def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      compact(a ++ b)
+    def finish(b: Seq[(Long, Long)]): Long = IntHull.diamSq(IntHull.hull(b))
+    def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
   }
 
   /** Per-entity visit concentration (Herfindahl–Hirschman index) over

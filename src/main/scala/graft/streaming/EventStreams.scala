@@ -336,6 +336,89 @@ object EventStreams {
       }
   }
 
+  final case class OlsState(lastUs: Long, lastOrder: Long, n: Long, sx: Long,
+                            sy: Long, sxx: Long, sxy: Long)
+  final case class OlsPoint(entity_id: Long, event_id: Long, n_obs: Long,
+                            slope: Option[Double], intercept: Option[Double])
+
+  /** Streaming running OLS trend — the live twin of
+    * [[graft.operators.TimeSeries.linearTrend]]: each arriving value
+    * folds into FIVE exact int64 accumulators (n, Σx, Σy, Σx², Σxy —
+    * O(1) state), and each event emits the slope/intercept of the prefix
+    * seen so far via the same fixed IEEE expressions the batch operator
+    * shares with its oracle. Quantization is identical to batch: x =
+    * (µs − origin) div step (negative x raises loudly — a caller bug),
+    * y = HALF_UP round(value·scale). n = 1 and constant-time prefixes
+    * emit NULL. Ordering contract as [[acfStream]]: in-(ts, order) order
+    * within a batch, stale arrivals dropped, event-time TTL eviction. */
+  def olsStream(events: DataFrame, idCol: String, tsCol: String, orderCol: String,
+                valueCol: String, originMicros: Long, stepMicros: Long,
+                scale: Long = 100L,
+                watermarkDelay: String = "10 minutes",
+                idleTtlMillis: Long = 24 * 3600 * 1000L): Dataset[OlsPoint] = {
+    require(stepMicros > 0, s"stepMicros must be positive: $stepMicros")
+    require(scale > 0, s"scale must be positive: $scale")
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    val isStream = events.isStreaming
+    val src0 = events.where(col(valueCol).isNotNull).select(
+      col(idCol).cast("long").as("entity_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(orderCol).cast("long").as("order"),
+      col(valueCol).cast("double").as("v"))
+    val src = (if (isStream) src0.withWatermark("ts", watermarkDelay) else src0).as[AcfRow]
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    def quantY(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def fit(st: OlsState): (Option[Double], Option[Double]) = {
+      val (nd, sxd, syd, sxxd, sxyd) = (st.n.toDouble, st.sx.toDouble,
+        st.sy.toDouble, st.sxx.toDouble, st.sxy.toDouble)
+      val den = nd * sxxd - sxd * sxd
+      if (st.n < 2 || den == 0) (None, None)
+      else {
+        val slope = (nd * sxyd - sxd * syd) / den
+        (Some(slope), Some((syd - slope * sxd) / nd))
+      }
+    }
+    src
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[OlsState, OlsPoint](
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()) {
+        case (entityId, rows, state: GroupState[OlsState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(p => (micros(p.ts), p.order))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[OlsPoint]
+            for (p <- sorted) {
+              val us = micros(p.ts)
+              val fresh = st == null || us > st.lastUs ||
+                (us == st.lastUs && p.order > st.lastOrder)
+              if (fresh) {
+                val x = Math.floorDiv(us - originMicros, stepMicros)
+                require(x >= 0, s"olsStream: observation before originMicros: x = $x")
+                val y = quantY(p.v)
+                st =
+                  if (st == null) OlsState(us, p.order, 1L, x, y, x * x, x * y)
+                  else OlsState(us, p.order, st.n + 1, st.sx + x, st.sy + y,
+                    st.sxx + x * x, st.sxy + x * y)
+                val (slope, intercept) = fit(st)
+                out += OlsPoint(entityId, p.order, st.n, slope, intercept)
+              } // else: stale arrival behind the emitted frontier — dropped
+            }
+            if (isStream) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + idleTtlMillis)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming CUSUM drift detector over inter-event gaps — the live twin
     * of [[graft.operators.Sequences.cusumAlarms]]: per entity the
     * recurrence s = max(0, s + (gap - k)) carried in keyed state ACROSS

@@ -69,6 +69,57 @@ class StreamingAcfSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("running OLS across batches == batch fold; last row == linearTrend") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val origin = 1700000000000000L
+    // u0: exact line (slope 2 scaled units/min), u1: noisy-ish alternating
+    val events = (0 until 60).map { i =>
+      val user = i % 2
+      val step = i / 2
+      val v = if (user == 0) 0.01 + 0.02 * step else (if (step % 2 == 0) 1.0 else 2.0)
+      Event(i.toLong, new Timestamp(origin / 1000L + step * 60000L), user.toLong, "m", v)
+    }
+    val input = MemoryStream[Event]
+    val query = EventStreams
+      .olsStream(input.toDF(), "user_id", "ts", "event_id", "value",
+        originMicros = origin, stepMicros = 60000000L)
+      .writeStream.format("memory").queryName("ols_xbatch")
+      .outputMode("append").start()
+    try {
+      input.addData(events.take(25): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(25): _*)
+      query.processAllAvailable()
+      def asMap(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      val got = asMap(spark.sql(
+        "SELECT entity_id, event_id, n_obs, slope, intercept FROM ols_xbatch").collect())
+      val batch = asMap(EventStreams
+        .olsStream(events.toDF(), "user_id", "ts", "event_id", "value",
+          originMicros = origin, stepMicros = 60000000L).toDF().collect())
+      assert(got === batch)
+      assert(got.size === 60)
+      // the exact line: every prefix of u0 with n >= 2 fits slope 2 exactly
+      assert(got.collect { case ((0L, _), (n, s, _)) if n >= 2 => s }
+        .forall(_.contains(2.0)))
+      // final rows equal the batch operator
+      val lastRows = got.groupBy(_._1._1).map { case (u, m) =>
+        val (_, (n, s, i)) = m.maxBy(_._1._2); u -> ((n, s, i))
+      }
+      val whole = TimeSeries
+        .linearTrend(events.toDF(), "user_id", "ts", "value",
+          originMicros = origin, stepMicros = 60000000L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(lastRows === whole)
+    } finally query.stop()
+  }
+
   test("stale arrivals behind the frontier are dropped, not retro-inserted") {
     val spark0 = spark
     import spark0.implicits._
