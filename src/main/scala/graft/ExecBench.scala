@@ -252,6 +252,75 @@ object ExecBench {
       graft.streaming.EventStreams.acfStream(vals.toDF(), "user_id", "ts", "id", "value")
         .toDF().count(); 10000000L
     }
+    // wave 73-82 additions at the same scale. Isolation runs at 1 km so
+    // the candidate-pair volume stays genuine-neighborhood-bounded on a
+    // uniform 100M-point globe (~0.6 neighbors/point); nearestJoin probes
+    // 10k facilities (broadcast side) from the full 100M; gini ranks the
+    // ~1M-group zoom-10 tile distribution end to end; ols/hhi/diameter
+    // are the one-exchange per-entity shapes at 1M entities
+    // isolation is a monochromatic self-join — BOTH sides are the table,
+    // so the 9× exploded exchange is unavoidable and the honest scale
+    // knob is partition sizing: 20M points / 180M exploded rows at 128
+    // shuffle partitions (a first attempt at 100M×3 reps with 32
+    // partitions was a ~28M-rows-per-task sort — a guaranteed heap
+    // cliff; partitions-per-volume is the 100-TB lesson here).
+    // nearestJoin is the contrast: exploding the SMALL side makes it a
+    // broadcast join and the 100M points never shuffle at all.
+    def withPartitions(n: Int)(body: => Unit): Unit = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val pts20 = spark.range(100000000L, 120000000L, 1, 64)
+      .withColumn("lat", ((col("id") * 9973 + 12345) % 18000).cast("double") / lit(100.0) - lit(90.0))
+      .withColumn("lon", ((col("id") * 31337 + 54321) % 36000).cast("double") / lit(100.0) - lit(180.0))
+    withPartitions(128) {
+      t("isolated 20M 500m ") {
+        SpatialJoin.isolatedPoints(pts20.toDF(), "lat", "lon", "id", radiusM = 500.0)
+          .count(); 20000000L
+      }
+    }
+    t("nearestJoin 100Mx10k") {
+      val fac = spark.range(0L, 10000L, 1, 8)
+        .withColumn("lat", ((col("id") * 6007 + 991) % 18000).cast("double") / lit(100.0) - lit(90.0))
+        .withColumn("lon", ((col("id") * 21001 + 77) % 36000).cast("double") / lit(100.0) - lit(180.0))
+      SpatialJoin.nearestJoin(pts.toDF(), "id", "lat", "lon",
+        fac.toDF(), "id", "lat", "lon", radiusM = 100000.0,
+        explodeRight = true).count(); 100000000L
+    }
+    t("gini z10 100M     ") {
+      val tiles = Tiling.zxyAssign(pts.toDF(), "lat", "lon", 10)
+        .groupBy("zx", "zy").agg(count(lit(1)).as("x"))
+        .withColumn("t", col("zx") * 1024L + col("zy"))
+      val r = graft.operators.Profiling.giniIndex(tiles, "x", "t").head()
+      require(r.getLong(0) > 100000L, s"degenerate tile count: ${r.getLong(0)}")
+      100000000L
+    }
+    t("hhi 1M ents       ") {
+      val cells = Tiling.zxyAssign(trk.toDF(), "lat", "lon", 6)
+        .withColumn("cell", col("zx") * 64L + col("zy"))
+      Trajectories.visitConcentration(cells, "user_id", "cell").count(); 100000000L
+    }
+    t("ols 1M ents       ") {
+      val vals = trk.withColumn("value",
+        pmod(col("id") * 7919L, lit(40001L)).cast("double") / lit(100.0))
+      TimeSeries.linearTrend(vals.toDF(), "user_id", "ts", "value",
+        originMicros = 1700000000000000L, stepMicros = 1000000L).count(); 100000000L
+    }
+    t("diameter 1M ents  ") {
+      val grid = trk
+        .withColumn("x", (col("id") * 9973 + 12345) % 18000)
+        .withColumn("y", (col("id") * 31337 + 54321) % 36000)
+      Trajectories.spatialDiameter(grid.toDF(), "user_id", "x", "y")
+        .count(); 100000000L
+    }
+    t("hits 10M edges 2rnd") {
+      val e = spark.range(0L, 10000000L, 1, 64)
+        .select((col("id") % 1000000L).as("src"),
+          (pmod(col("id") * 7919L, lit(64L)) + 2000000L).as("dst"))
+        .distinct()
+      Graphs.hitsScaled(e.toDF(), rounds = 2).count()
+    }
     // z-order: layout written ONCE (100M rows — at 20M both reads are
     // footer/listing-overhead-bound and the comparison is meaningless),
     // then the pruned box read is timed against the same predicate over a

@@ -235,28 +235,43 @@ object SpatialJoin {
     * bucketing level L = max level with cell min-width ≥ radius, the LEFT
     * side explodes its closed 8-neighborhood, the RIGHT keeps its own
     * cell, hash equi-join + exact haversine refinement. Each qualifying
-    * pair appears exactly once (the right side is keyed by its unique own
-    * cell — no a<b filter here, the tables are distinct). Shuffle volume:
-    * ≤ 9×(id, lat, lon) on the left, 1× on the right.
+    * pair appears exactly once (the non-exploded side is keyed by its
+    * unique own cell — no a<b filter here, the tables are distinct).
+    *
+    * `explodeRight = false` (default) explodes the LEFT side's closed
+    * 8-neighborhood; pass `true` to explode the RIGHT instead. The
+    * adjacency argument is symmetric (within-radius ⟹ same-or-adjacent
+    * cells, and cell adjacency is mutual), so BOTH variants return the
+    * identical pair set — the choice is purely physical: explode the
+    * SMALL side. A 10k-facility table exploded 9× is still a broadcast
+    * (the 100M-point side then never shuffles at all); exploding the big
+    * side there would be a pointless 9×-inflated exchange.
     * Output: (id_left, id_right, distance_m). */
   def distanceJoinBetween(left: DataFrame, leftId: String,
                           leftLat: String, leftLon: String,
                           right: DataFrame, rightId: String,
                           rightLat: String, rightLon: String,
-                          radiusM: Double): DataFrame = {
+                          radiusM: Double,
+                          explodeRight: Boolean = false): DataFrame = {
     val angle = radiusM / S2LatLng.EarthRadiusMeters
     require(angle > 0 && angle <= S2Projections.MinWidth.getValue(0),
       s"distanceJoinBetween radius $radiusM m exceeds the level-0 adjacency guarantee (~3000 km)")
     val level = S2Projections.MinWidth.getMaxLevel(angle)
-    val a = left.select(col(leftId).as("id_left"),
-        col(leftLat).as("__lata"), col(leftLon).as("__lona"))
-      .withColumn("__cell", s2_tile(col("__lata"), col("__lona"), level))
-      .select(col("id_left"), col("__lata"), col("__lona"),
-        explode(array_union(array(col("__cell")),
-          s2_all_neighbors(col("__cell"), level))).as("__bucket"))
-    val b = right.select(col(rightId).as("id_right"),
-        col(rightLat).as("__latb"), col(rightLon).as("__lonb"))
-      .withColumn("__bucket", s2_tile(col("__latb"), col("__lonb"), level))
+    def keyed(df: DataFrame, id: String, lat: String, lon: String,
+              outId: String, outLat: String, outLon: String,
+              explodeNeighbors: Boolean): DataFrame = {
+      val base = df.select(col(id).as(outId), col(lat).as(outLat), col(lon).as(outLon))
+        .withColumn("__cell", s2_tile(col(outLat), col(outLon), level))
+      if (explodeNeighbors)
+        base.select(col(outId), col(outLat), col(outLon),
+          explode(array_union(array(col("__cell")),
+            s2_all_neighbors(col("__cell"), level))).as("__bucket"))
+      else base.withColumnRenamed("__cell", "__bucket")
+    }
+    val a = keyed(left, leftId, leftLat, leftLon,
+      "id_left", "__lata", "__lona", explodeNeighbors = !explodeRight)
+    val b = keyed(right, rightId, rightLat, rightLon,
+      "id_right", "__latb", "__lonb", explodeNeighbors = explodeRight)
     a.join(b, "__bucket")
       .withColumn("distance_m",
         s2_distance_m(col("__lata"), col("__lona"), col("__latb"), col("__lonb")))
@@ -276,9 +291,9 @@ object SpatialJoin {
                   leftLat: String, leftLon: String,
                   right: DataFrame, rightId: String,
                   rightLat: String, rightLon: String,
-                  radiusM: Double): DataFrame = {
+                  radiusM: Double, explodeRight: Boolean = false): DataFrame = {
     distanceJoinBetween(left, leftId, leftLat, leftLon,
-      right, rightId, rightLat, rightLon, radiusM)
+      right, rightId, rightLat, rightLon, radiusM, explodeRight)
       .groupBy(col("id_left"))
       .agg(min_by(struct(col("distance_m"), col("id_right")),
         struct(col("distance_m"), col("id_right"))).as("__best"))

@@ -175,6 +175,12 @@ class OperatorSpec extends SparkTestBase {
       assert(gotPairs == wantPairs,
         s"radius $radius: missing=${wantPairs -- gotPairs} extra=${gotPairs -- wantPairs}")
       assert(wantPairs.nonEmpty)
+      // exploding the other side is the same pair set (mutual adjacency)
+      val gotSwapped = SpatialJoin.distanceJoinBetween(cust, "c_custkey", "lat", "lon",
+          supp, "s_suppkey", "lat", "lon", radius, explodeRight = true)
+        .select("id_left", "id_right")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotSwapped == wantPairs, s"radius $radius explodeRight diverged")
 
       val gotNn = SpatialJoin.nearestJoin(cust, "c_custkey", "lat", "lon",
           supp, "s_suppkey", "lat", "lon", radius)
