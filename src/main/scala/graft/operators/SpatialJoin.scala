@@ -314,8 +314,11 @@ object SpatialJoin {
   def isolatedPoints(points: DataFrame, latCol: String, lonCol: String,
                      idCol: String, radiusM: Double): DataFrame = {
     val pairs = distanceJoin(points, latCol, lonCol, idCol, radiusM)
-    val near = pairs.select(col("id_a").as(idCol))
-      .unionByName(pairs.select(col("id_b").as(idCol)))
+    // ONE subtree: a two-select union would compute the pair join twice
+    // (different projections defeat exchange reuse); exploding both ids
+    // from the same rows keeps it a single pass
+    val near = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
     points.select(col(idCol), col(latCol), col(lonCol))
       .join(near, Seq(idCol), "left_anti")
