@@ -489,6 +489,27 @@ object SparkEntry {
       .join(df, "line_id")
   }
 
+  /** Track-point fixture for map matching: each event pins to a fixture
+    * vertex (event_id % 75) and jitters ±0.15° around it — every fix sits
+    * well inside [[PolylineJoinRadiusM]] of its line, with per-user
+    * sequences long enough that the Viterbi transition term decides real
+    * choices. The jitter arithmetic is integer-then-one-division, shared
+    * verbatim with the oracle. */
+  private[graft] def mapMatchPoints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val verts = FixturePolylines.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case ((la, lo), i) => (k * 3 + i, la, lo) }
+    }.toDF("__vi", "__vlat", "__vlon")
+    events(s, dir)
+      .withColumn("__vi", col("event_id") % 75)
+      .join(broadcast(verts), "__vi")
+      .withColumn("lat", col("__vlat") +
+        ((col("event_id") * 131 + 17) % 301 - 150).cast("double") / 1000.0)
+      .withColumn("lon", col("__vlon") +
+        ((col("event_id") * 577 + 29) % 301 - 150).cast("double") / 1000.0)
+      .select("user_id", "ts", "event_id", "lat", "lon")
+  }
+
   /** Literal SQL transcription of the kernel's point-to-edge distance
     * (`S2EdgeUtil.GetDistance`, S2EdgeUtil.scala:91-98) over a unit vector
     * (px, py, pz), in RADIANS: interior case asin(|p.n|/|n|) guarded by the
@@ -697,6 +718,14 @@ object SparkEntry {
     "q_ewma" -> ((s, dir) =>
       Sequences.ewma(events(s, dir), "user_id", "ts", "event_id", "value", alpha = 0.25)),
 
+    // Holt double-exponential smoothing: each user's final (level, trend)
+    // forecast state from the ordered fold — dyadic α=0.25/β=0.125 so the
+    // complements are exact and the oracle's identical list_reduce tree
+    // hash-matches the doubles bit-for-bit
+    "q_holt" -> ((s, dir) =>
+      Sequences.holt(events(s, dir), "user_id", "ts", "event_id", "value",
+        alpha = 0.25, beta = 0.125)),
+
     // per-user lag-1 autocorrelation of event values on the centi-unit
     // integer grid: exact int64 aggregates (n, Σw, Σw², Σ lag-products,
     // head/tail), ONE key exchange shared by the sort window and the hash
@@ -730,6 +759,14 @@ object SparkEntry {
       graft.streaming.EventStreams.olsStream(events(s, dir), "user_id", "ts",
         "event_id", "value",
         originMicros = 1704067200000000L, stepMicros = 60000000L).toDF()),
+
+    // per-user Mann–Kendall monotone-trend test: S = Σ sign-of-pair and
+    // the tie-corrected 18·variance, BOTH exact int64 — the rank-based
+    // robust sibling of q_ols. The engine computes the inversion count in
+    // one mapGroups Fenwick pass (O(n log n) per entity, never a pair
+    // join); the oracle replays the O(n²) pair definition in SQL
+    "q_mann_kendall" -> ((s, dir) =>
+      TimeSeries.mannKendall(events(s, dir), "user_id", "ts", "event_id", "value")),
 
     // cohort retention triangle: users grouped by first-activity day,
     // distinct-active counted per (cohort, day offset) — dates and counts
@@ -1675,6 +1712,20 @@ object SparkEntry {
       Graphs.triangleCounts(edges)
     }),
 
+    // per-node local clustering coefficient over the same proximity graph:
+    // the per-node clique-ness score — exact integer (deg, triangles) plus
+    // ONE shared IEEE final expression (Graphs.clusteringFinalSql), so the
+    // doubles hash-match the oracle bit-for-bit; triangle-free nodes 0,
+    // degree-1 nodes NULL (no closing edge is even possible)
+    "q_clustering_coeff" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+      Graphs.clusteringCoefficient(edges)
+    }),
+
     // 8-core of the proximity graph: the density filter that keeps the
     // mutually-linked community and peels star boilerplate — bounded
     // confluent peel, converges in 5 rounds at sf0.01, hash-exact vs a
@@ -2458,6 +2509,18 @@ object SparkEntry {
           polylineTable(s, dir), "line_id", "lats", "lons", PolylineJoinRadiusM)
         .select("o_orderkey", "line_id", "edge_idx")),
 
+    // HMM map matching (Newson–Krumm shape): per-track Viterbi over
+    // (line, edge) states within 150 km — quantized-integer emissions +
+    // |Δedge|/line-switch transition costs, so the whole dynamic is
+    // hash-exact; the oracle replays the DP as a recursive CTE with
+    // path-string accumulation under the identical (cost, line, edge)
+    // tie rule. The sequence-aware refinement of q_snap_join
+    "q_map_match" -> ((s, dir) =>
+      MapMatch.viterbi(mapMatchPoints(s, dir), "user_id", "ts", "event_id",
+        "lat", "lon", polylineTable(s, dir), "line_id", "lats", "lons",
+        radiusM = PolylineJoinRadiusM)
+        .select("user_id", "event_id", "line_id", "edge_idx", "total_cost")),
+
     // the multi-loop (shell + hole) variant: XOR-parity containment at
     // table granularity — covering cells inside the hole never exist, the
     // refine is the exact S2Polygon parity test
@@ -2812,6 +2875,15 @@ object SparkEntry {
           !col("lang").isin("en", "zh", "es", "de", "fr")),
         "nchars_range" -> (col("n_chars").isNull ||
           col("n_chars") < 1L || col("n_chars") > 100000L)))),
+
+    // distribution-drift gate between the two halves of January: per
+    // event-type bucket, exact integer counts and the total-variation
+    // contribution |n_a·N_B − n_b·N_A| — the batch-shape monitor; TV over
+    // PSI/KL on purpose (one exact integer per bucket, no log, no
+    // empty-bucket smoothing fudge)
+    "q_drift" -> ((s, dir) =>
+      Validation.tvDrift(events(s, dir), col("event_type"),
+        col("ts").cast("timestamp") >= lit("2024-01-16 00:00:00").cast("timestamp"))),
 
     // --- text analysis ---
     "q_text_stats" -> ((s, dir) =>
@@ -3539,6 +3611,21 @@ object SparkEntry {
         |  list_reduce(v.vals[1:o.i], (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
         |FROM o JOIN v USING (user_id)""".stripMargin,
 
+    // the identical fold: values mapped to [v, 0.0] state pairs so
+    // list_reduce's first-element accumulator IS the engine's init branch,
+    // then the verbatim level/trend IEEE trees (b recomputes l's
+    // expression on both sides; 0.75/0.875 are the exact dyadic
+    // complements of the engine's literals)
+    "q_holt" ->
+      """WITH v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |f AS (SELECT user_id, CAST(len(vals) AS BIGINT) AS n_obs,
+        |  list_reduce(list_transform(vals, x -> [x, 0.0]),
+        |    (a, x) -> [0.25*x[1] + 0.75*(a[1]+a[2]),
+        |               0.125*((0.25*x[1] + 0.75*(a[1]+a[2])) - a[1]) + 0.875*a[2]]) AS lb
+        |  FROM v)
+        |SELECT user_id, n_obs, lb[1] AS level, lb[2] AS trend FROM f""".stripMargin,
+
     // identical centi-unit quantization, identical exact integer
     // aggregates, and the engine's own final-coefficient SQL text
     // (TimeSeries.acfFinalSql) — one division, bit-equal doubles
@@ -3606,6 +3693,25 @@ object SparkEntry {
          |SELECT user_id AS entity_id, event_id, n AS n_obs,
          |  ${TimeSeries.trendSlopeSql} AS slope,
          |  ${TimeSeries.trendInterceptSql} AS intercept FROM a""".stripMargin,
+
+    // the O(n²) pair definition of S replayed literally (fine at sf
+    // scale), the tie term from per-value group counts — every output
+    // column an exact integer, so the hash either matches or the Fenwick
+    // fold is wrong
+    "q_mann_kendall" ->
+      """WITH s AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS w, ts, event_id
+        |           FROM events WHERE value IS NOT NULL),
+        |o AS (SELECT user_id, w,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i FROM s),
+        |p AS (SELECT a.user_id,
+        |        CAST(sum(CASE WHEN b.w > a.w THEN 1 WHEN b.w < a.w THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |      FROM o a JOIN o b ON b.user_id = a.user_id AND b.i > a.i GROUP BY 1),
+        |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        |t AS (SELECT user_id, CAST(sum(c*(c-1)*(2*c+5)) AS BIGINT) AS tie18 FROM (
+        |   SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY user_id, w) g GROUP BY 1)
+        |SELECT n.user_id, n.n AS n_obs, COALESCE(p.s_stat, 0) AS s_stat,
+        |  n.n*(n.n-1)*(2*n.n+5) - t.tie18 AS var18
+        |FROM n JOIN t USING (user_id) LEFT JOIN p ON p.user_id = n.user_id""".stripMargin,
 
     "q_retention" ->
       """WITH cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
@@ -4492,6 +4598,27 @@ object SparkEntry {
          |  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
          |n AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
          |SELECT id, count(*) AS triangles FROM n GROUP BY id""".stripMargin
+    },
+
+    // same pair join; degrees and the a<b<c triple-join triangle counts
+    // left-joined per node, then the engine's own final-coefficient text
+    "q_clustering_coeff" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |pairs AS MATERIALIZED (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |  WHERE $d <= 500000.0),
+         |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs) t GROUP BY 1),
+         |t AS (SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c FROM pairs p1
+         |  JOIN pairs p2 ON p2.id_a = p1.id_b
+         |  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+         |tr AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |  SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) n
+         |  GROUP BY id),
+         |j AS (SELECT dg.id, dg.deg, COALESCE(tr.triangles, 0) AS triangles
+         |  FROM dg LEFT JOIN tr ON tr.id = dg.id)
+         |SELECT id, deg, triangles, ${Graphs.clusteringFinalSql} AS clustering FROM j""".stripMargin
     },
 
     // the peel unrolled to 6 rounds (fixpoint at 4 changing rounds at
@@ -5584,6 +5711,72 @@ object SparkEntry {
          |WHERE rk = 1 AND d <= $PolylineJoinRadiusM""".stripMargin
     },
 
+    // the Viterbi dynamic replayed literally: the same per-edge exact
+    // distance branches as q_snap_join over the jittered track fixture,
+    // quantized to the same 10 m integer emissions, then a recursive CTE
+    // carrying (cost, path-string) per state with arg_min over the
+    // zero-padded (cost, line, edge) key — the engine's tie rule as a
+    // sortable string. MapMatchSpec pins the radius/quantization margins
+    // that make the candidate set and emissions cross-engine identical
+    "q_map_match" -> {
+      val vertRows = FixturePolylines.flatMap { case (k, vs) =>
+        vs.zipWithIndex.map { case ((la, lo), i) => s"(${k * 3 + i}, $la, $lo)" }
+      }.mkString(", ")
+      val branches = FixturePolylines.flatMap { case (k, verts) =>
+        val pts = verts.map { case (la, lo) => graft.s2.S2LatLng.fromDegrees(la, lo).toPoint }
+        pts.indices.dropRight(1).map { i =>
+          s"""SELECT user_id, ts, event_id, CAST($k AS BIGINT) AS line,
+             | CAST($i AS INTEGER) AS edge,
+             | ${edgeDistSql(pts(i), pts(i + 1))} * 6367000.0 AS d FROM xyz""".stripMargin
+        }
+      }
+      val tieKey = (c: String, l: String, e: String) =>
+        s"lpad(CAST($c AS VARCHAR), 19, '0') || lpad(CAST($l AS VARCHAR), 10, '0') || " +
+          s"lpad(CAST($e AS VARCHAR), 5, '0')"
+      val trans = "CASE WHEN p.line = c.line THEN abs(p.edge - c.edge) * 100 ELSE 20000 END"
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT user_id, ts, event_id,
+         |    v.vlat + CAST((event_id * 131 + 17) % 301 - 150 AS DOUBLE) / 1000.0 AS lat,
+         |    v.vlon + CAST((event_id * 577 + 29) % 301 - 150 AS DOUBLE) / 1000.0 AS lon
+         |  FROM events JOIN (VALUES $vertRows) v(vi, vlat, vlon) ON event_id % 75 = v.vi),
+         |xyz AS (SELECT user_id, ts, event_id,
+         |  cos(radians(lat))*cos(radians(lon)) AS px,
+         |  cos(radians(lat))*sin(radians(lon)) AS py,
+         |  sin(radians(lat)) AS pz FROM pts),
+         |cand0 AS (${branches.mkString("\nUNION ALL\n")}),
+         |cand AS (SELECT user_id, ts, event_id, line, edge,
+         |    CAST(round(d / 10.0) AS BIGINT) AS e
+         |  FROM cand0 WHERE d <= 150000.0),
+         |steps AS (SELECT user_id, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
+         |  FROM (SELECT DISTINCT user_id, ts, event_id FROM cand) t),
+         |c2 AS (SELECT c.user_id, s.step, c.line, c.edge, c.e
+         |  FROM cand c JOIN steps s USING (user_id, event_id)),
+         |v AS (
+         |  SELECT user_id, step, line, edge, e AS cost,
+         |    CAST(line AS VARCHAR) || ':' || CAST(edge AS VARCHAR) AS path
+         |  FROM c2 WHERE step = 1
+         |  UNION ALL
+         |  SELECT c.user_id, c.step, c.line, c.edge,
+         |    min(p.cost + $trans) + c.e AS cost,
+         |    arg_min(p.path, ${tieKey(s"p.cost + $trans", "p.line", "p.edge")})
+         |      || '|' || CAST(c.line AS VARCHAR) || ':' || CAST(c.edge AS VARCHAR) AS path
+         |  FROM v p JOIN c2 c ON c.user_id = p.user_id AND c.step = p.step + 1
+         |  GROUP BY c.user_id, c.step, c.line, c.edge, c.e),
+         |tail AS (SELECT user_id, max(step) AS n FROM v GROUP BY 1),
+         |best AS (SELECT v.user_id, min(v.cost) AS total_cost,
+         |    string_split(arg_min(v.path, ${tieKey("v.cost", "v.line", "v.edge")}), '|') AS parts
+         |  FROM v JOIN tail t ON t.user_id = v.user_id AND v.step = t.n
+         |  GROUP BY v.user_id),
+         |flat AS (SELECT user_id, total_cost, unnest(parts) AS pe,
+         |    unnest(range(1, len(parts) + 1)) AS step FROM best)
+         |SELECT st.user_id, st.event_id,
+         |  CAST(string_split(f.pe, ':')[1] AS BIGINT) AS line_id,
+         |  CAST(string_split(f.pe, ':')[2] AS INTEGER) AS edge_idx,
+         |  f.total_cost
+         |FROM flat f JOIN steps st ON st.user_id = f.user_id AND st.step = f.step""".stripMargin
+    },
+
     // shell-minus-hole edge-plane branches per region (both loops convex;
     // same inlined-normal exactness argument as q_poly_table_join)
     "q_holed_table_join" -> {
@@ -5902,6 +6095,16 @@ object SparkEntry {
            | count(*) AS n_rows FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+
+    // the same one-aggregate-plus-totals arithmetic in SQL; every output
+    // an exact integer
+    "q_drift" ->
+      """WITH c AS (SELECT event_type AS bucket,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+        |SELECT c.bucket, c.n_a, c.n_b, abs(c.n_a*t.tb - c.n_b*t.ta) AS contrib FROM c, t""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,

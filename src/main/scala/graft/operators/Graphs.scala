@@ -126,6 +126,38 @@ object Graphs {
       .unionAll(edges0.select(col("id_b").as("src")))
       .groupBy("src").agg(count(lit(1)).as("deg"))
 
+  /** The local-clustering final expression — one fixed IEEE tree over the
+    * exact integer (triangles, deg) pair, shared verbatim with the SQL
+    * oracle so both engines emit bit-equal doubles. Degree-1 nodes have
+    * no possible closing edge: NULL, not 0 (0 means "open wedges exist"). */
+  val clusteringFinalSql: String =
+    """CASE WHEN deg < 2 THEN NULL
+      | ELSE 2*CAST(triangles AS DOUBLE) / (CAST(deg AS DOUBLE)*(CAST(deg AS DOUBLE)-1)) END""".stripMargin
+
+  /** Per-node local clustering coefficient c(v) = 2·T(v) / (d(v)·(d(v)−1))
+    * over an undirected canonical edge list — "how clique-like is this
+    * node's neighborhood?", the per-node refinement of [[triangleCounts]]'
+    * QA signal (a dup cluster whose members all cluster near 1.0 is a true
+    * re-upload family; boilerplate stars sit at 0). Output: (id, deg,
+    * triangles, clustering) for every node with at least one edge;
+    * triangle-free nodes report 0, degree-1 nodes NULL.
+    *
+    * Shape at scale: the edge list is checkpointed ONCE and feeds both the
+    * degree aggregate and the oriented wedge join, so the upstream pair
+    * producer (typically a distance or near-dup join) runs once; the final
+    * assembly is a left join of two id-keyed aggregates — partial-agg'd,
+    * skew-safe (the O(m^1.5) wedge bound is [[triangleCounts]]'s). The
+    * coefficient itself is driver-free arithmetic on the integer pair. */
+  def clusteringCoefficient(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("id_a"), col("id_b")).localCheckpoint()
+    val deg = degrees(edges).select(col("src").as("id"), col("deg"))
+    val tri = triangleCounts(edges)
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering", expr(clusteringFinalSql))
+  }
+
   /** k-core decomposition (the Matula–Beck peel, bounded): repeatedly
     * delete nodes of degree < k until a fixpoint; the survivors are the
     * k-core — the standard density filter for dup/contact/citation

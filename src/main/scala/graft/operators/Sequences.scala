@@ -193,6 +193,50 @@ object Sequences {
       .select(col("z.evs.tie").as(tieCol), col("z.ewmas").as("ewma"))
   }
 
+  /** Per-entity Holt double-exponential smoothing — [[ewma]]'s sibling
+    * for signals with drift: a level AND a trend state folded over each
+    * key's (`tsCol`, `tieCol`)-ordered values,
+    *
+    *   l_1 = x_1, b_1 = 0
+    *   l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})
+    *   b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+    *
+    * returning each key's FINAL (level, trend) — the per-entity forecast
+    * state (next-step prediction = level + trend). Returns (keyCol,
+    * n_obs, level, trend).
+    *
+    * Exactness: the fold is the same deterministic sorted-list aggregate
+    * as [[ewma]], the (1−α)/(1−β) complements are spelled as literal
+    * constants on both engines, and b_i recomputes l_i's expression
+    * verbatim rather than referencing it — so for dyadic α/β every step
+    * is the identical IEEE tree and a SQL oracle folding the same
+    * transformed list hash-matches bit-for-bit. One shuffle on the key;
+    * per-key state is O(that key's events), the documented hot-key
+    * tail. Pass dyadic α/β (0.25, 0.125, …) when hash-exactness against
+    * a replaying oracle matters. */
+  def holt(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1]: $beta")
+    val ca = 1.0 - alpha
+    val cb = 1.0 - beta
+    val sorted = events.where(col(valueCol).isNotNull).groupBy(keyCol)
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(valueCol).cast("double").as("v")))).as("evs"))
+    def lNext(acc: org.apache.spark.sql.Column,
+              v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(alpha) * v + lit(ca) * (element_at(acc, 1) + element_at(acc, 2))
+    val folded = sorted.withColumn("lb",
+      aggregate(col("evs"), array().cast("array<double>"),
+        (acc, e) => when(size(acc) === 0, array(e.getField("v"), lit(0.0)))
+          .otherwise(array(
+            lNext(acc, e.getField("v")),
+            lit(beta) * (lNext(acc, e.getField("v")) - element_at(acc, 1)) +
+              lit(cb) * element_at(acc, 2)))))
+    folded.select(col(keyCol), size(col("evs")).cast("long").as("n_obs"),
+      element_at(col("lb"), 1).as("level"), element_at(col("lb"), 2).as("trend"))
+  }
+
   /** Cohort retention: keys grouped by their FIRST-activity day, counted
     * distinct-active per (cohort_date, day offset). Returns (cohort_date,
     * offset_days, n_keys) — the classic retention triangle, all dates and

@@ -230,6 +230,76 @@ object TimeSeries {
        |  / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
        |  / CAST(n AS DOUBLE) END""".stripMargin
 
+  /** Per-entity Mann–Kendall trend test statistic — the RANK-based
+    * monotone-trend detector (is this signal drifting, without assuming
+    * linearity or caring about outliers — the robust sibling of
+    * [[linearTrend]]). Values quantize to w = round(value·scale) int64;
+    * per entity, ordered by (tsCol, ordCol),
+    *
+    *   S = Σ_{i<j} sign(w_j − w_i)
+    *
+    * and the tie-corrected variance integer
+    *
+    *   var18 = 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)
+    *
+    * (t_g = size of each tied-value group). Both outputs are EXACT int64
+    * — consumers divide S by sqrt(var18/18) for the normal approximation;
+    * the engine emits only integers so the contract is hash-exact.
+    * Output: (idCol, n_obs, s_stat, var18); a constant series gives
+    * S = 0, var18 = 0.
+    *
+    * Distributed shape: S is an inversion count, not a window expression —
+    * computed per entity in ONE `groupByKey.mapGroups` pass: sort the
+    * entity's rows by (ts, ord), coordinate-compress the values, and walk
+    * a Fenwick tree in time order (S += seen-smaller − seen-larger), so a
+    * series costs O(n log n) time and O(n) task memory, never the O(n²)
+    * pair join the oracle replays. Entities are independent — the pass
+    * scales horizontally; per-entity size is loudly capped at
+    * `maxPerEntity` (default 1M, which also keeps n(n−1)(2n+5) < 2⁶³ —
+    * the var18 overflow bound is n ≤ 1.66M). Keys must be integral
+    * (cast to long) — the id shape every events table here uses. */
+  def mannKendall(df: DataFrame, idCol: String, tsCol: String, ordCol: String,
+                  valueCol: String, scale: Long = 100L,
+                  maxPerEntity: Int = 1000000): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    require(maxPerEntity <= 1660000,
+      s"maxPerEntity $maxPerEntity would overflow the int64 var18 bound (n <= 1.66M)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(idCol).cast("long"),
+        unix_micros(col(tsCol).cast("timestamp")),
+        col(ordCol).cast("long"),
+        round(col(valueCol).cast("double") * scale).cast("long"))
+      .as[(Long, Long, Long, Long)]
+    rows.groupByKey(_._1).mapGroups { (id, it) =>
+      val buf = it.toArray
+      require(buf.length <= maxPerEntity,
+        s"mannKendall: entity $id has ${buf.length} rows (> $maxPerEntity) — " +
+          "pre-aggregate the series or raise the cap explicitly")
+      java.util.Arrays.sort(buf, Ordering.by((r: (Long, Long, Long, Long)) => (r._2, r._3)))
+      val n = buf.length.toLong
+      // coordinate-compress the values; Fenwick counts of seen ranks
+      val distinct = buf.map(_._4).distinct.sorted
+      val rank = distinct.zipWithIndex.toMap
+      val m = distinct.length
+      val fen = new Array[Long](m + 1)
+      def add(i0: Int): Unit = { var i = i0 + 1; while (i <= m) { fen(i) += 1; i += i & -i } }
+      def cum(i0: Int): Long = { var i = i0 + 1; var s = 0L; while (i > 0) { s += fen(i); i -= i & -i }; s }
+      var s = 0L; var seen = 0L
+      for (r <- buf) {
+        val rk = rank(r._4)
+        val below = if (rk == 0) 0L else cum(rk - 1) // seen strictly smaller
+        val gt = seen - cum(rk)                      // seen strictly larger
+        s += below - gt
+        add(rk); seen += 1
+      }
+      val tie18 = buf.groupBy(_._4).valuesIterator
+        .map { g => val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }.sum
+      (id, n, s, n * (n - 1) * (2 * n + 5) - tie18)
+    }.toDF(idCol, "n_obs", "s_stat", "var18")
+  }
+
   /** The final-coefficient SQL replayed bit-for-bit by the oracle: every
     * operand is one of the exact integer aggregates n/sw/s2/sp/hk/tk. */
   def acfFinalSql(lag: Int): String =

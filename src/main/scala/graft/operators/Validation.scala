@@ -40,4 +40,34 @@ object Validation {
       .select(col("__r.rule").as("rule"), col("__r.violations").as("violations"),
         col("__r.n_rows").as("n_rows"))
   }
+
+  /** Distribution-drift gate between two periods of the same table — the
+    * "did this week's ingest change shape?" monitor a training-data
+    * pipeline runs per batch. Per bucket b with period counts (a_b, b_b)
+    * and period totals (N_A, N_B), emits the EXACT integer total-variation
+    * contribution
+    *
+    *   contrib_b = |a_b·N_B − b_b·N_A|      (so TV distance = Σ contrib
+    *                                         / (2·N_A·N_B))
+    *
+    * Total variation instead of PSI/KL on purpose: TV clears the
+    * per-bucket rational to one integer — hash-exact, no transcendental
+    * log, no epsilon for empty buckets (a bucket absent from one period
+    * contributes its full count, where PSI needs a smoothing fudge).
+    * Output: (bucket, n_a, n_b, contrib), every column exact int64.
+    *
+    * Shape at scale: ONE hash aggregate over (bucket) with two
+    * conditional-sum partials, then a 1-row total broadcast joined back —
+    * no second scan, no window, no per-row shuffle. Integer headroom:
+    * contrib < count·total ≤ N_A·N_B, exact while N_A·N_B < 2⁶³ (~3e9
+    * rows per period). */
+  def tvDrift(df: DataFrame, bucketCol: Column, isPeriodB: Column): DataFrame = {
+    val counts = df.groupBy(bucketCol.as("bucket"))
+      .agg(sum(when(isPeriodB, 0L).otherwise(1L)).as("n_a"),
+        sum(when(isPeriodB, 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        abs(col("n_a") * col("__tb") - col("n_b") * col("__ta")).as("contrib"))
+  }
 }

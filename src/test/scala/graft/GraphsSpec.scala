@@ -48,6 +48,39 @@ class GraphsSpec extends SparkTestBase {
     assert(got == want.toMap)
   }
 
+  test("clusteringCoefficient: K4 all 1.0; star hub 0; pendant NULL; brute equality") {
+    import spark.implicits._
+    def coeffs(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Option[Double])] =
+      Graphs.clusteringCoefficient(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long, Long, Option[Double])].collect()
+        .map { case (id, d, t, c) => id -> (d, t, c) }.toMap
+    val k4 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    assert(coeffs(k4).values.toSet == Set((3L, 3L, Some(1.0))))
+    // star: hub deg 50, 0 triangles -> 0.0; leaves deg 1 -> NULL
+    val star = (1L to 50L).map(i => (0L, i))
+    val cs = coeffs(star)
+    assert(cs(0L) == ((50L, 0L, Some(0.0))))
+    assert(cs(1L) == ((1L, 0L, None)))
+    // brute force on a generated graph: c = 2t / d(d-1)
+    val rnd = new scala.util.Random(11)
+    val n = 50
+    val edges = (for {
+      i <- 0L until n; j <- i + 1 until n if rnd.nextDouble() < 0.15
+    } yield (i, j)).toSeq
+    val eset = edges.toSet
+    def adjOf(v: Long) = (0L until n).filter(u => eset((v min u, v max u)) && u != v)
+    val got = coeffs(edges)
+    for ((id, (d, t, c)) <- got) {
+      val nbrs = adjOf(id)
+      assert(d == nbrs.size)
+      val tri = (for (u <- nbrs; v <- nbrs if u < v && eset((u, v))) yield 1).size
+      assert(t == tri)
+      if (d < 2) assert(c.isEmpty)
+      else assert(c.contains(2.0 * tri / (d.toDouble * (d.toDouble - 1))))
+    }
+    assert(got.nonEmpty && got.values.exists(_._3.exists(x => x > 0 && x < 1)))
+  }
+
   private def ranks(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
     import spark.implicits._
     Graphs.pageRankScaled(edges.toDF("id_a", "id_b"), rounds)

@@ -236,6 +236,43 @@ class SequencesSpec extends SparkTestBase {
     }
   }
 
+  test("holt == driver-side two-state fold, bit for bit (sf0.001)") {
+    val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val got = Sequences.holt(events, "user_id", "ts", "event_id", "value", 0.25, 0.125)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val rows = events.where("value IS NOT NULL")
+      .select("user_id", "ts", "event_id", "value").collect().map { r =>
+        val t = r.getAs[java.time.LocalDateTime](1)
+        (r.getLong(0), t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L,
+          r.getLong(2), r.getDouble(3))
+      }
+    val want = rows.groupBy(_._1).map { case (id, g) =>
+      var l = 0.0; var b = 0.0; var first = true
+      g.sortBy(e => (e._2, e._3)).foreach { e =>
+        if (first) { first = false; l = e._4; b = 0.0 }
+        else {
+          val ln = 0.25 * e._4 + 0.75 * (l + b)
+          // b recomputes l's tree, exactly as the engine does
+          b = 0.125 * ((0.25 * e._4 + 0.75 * (l + b)) - l) + 0.875 * b
+          l = ln
+        }
+      }
+      id -> ((g.size.toLong, l, b))
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (n, l, b)) =>
+      val (wn, wl, wb) = want(id)
+      assert(n === wn)
+      assert(java.lang.Double.doubleToLongBits(l) === java.lang.Double.doubleToLongBits(wl),
+        s"user $id level: $l != $wl")
+      assert(java.lang.Double.doubleToLongBits(b) === java.lang.Double.doubleToLongBits(wb),
+        s"user $id trend: $b != $wb")
+    }
+    // a single-observation entity (if any) yields (v, 0.0); at minimum the
+    // fold must produce a non-zero trend somewhere on real data
+    assert(got.values.exists(_._3 != 0.0))
+  }
+
   test("oracle precondition: no user has two events at the same timestamp (sf0.01)") {
     val dups = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
       .groupBy("user_id", "ts").count().where(col("count") > 1).count()

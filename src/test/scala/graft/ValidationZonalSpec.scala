@@ -36,6 +36,23 @@ class ValidationZonalSpec extends SparkTestBase {
     assert(scans == 1, s"expected exactly 1 scan, got $scans:\n$plan")
   }
 
+  test("tvDrift: identical periods give zero contribs; a moved bucket's contrib is exact") {
+    import spark.implicits._
+    // period A: 6×x, 4×y; period B: identical shape scaled 2x -> all zero
+    val same = (Seq.fill(6)("x") ++ Seq.fill(4)("y")).map((_, false)) ++
+      (Seq.fill(12)("x") ++ Seq.fill(8)("y")).map((_, true))
+    val g0 = Validation.tvDrift(same.toDF("b", "p"), col("b"), col("p"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(g0 == Map("x" -> ((6L, 12L, 0L)), "y" -> ((4L, 8L, 0L))))
+    // shift mass x->z in B: contribs = |a*NB - b*NA|, NA = 10, NB = 10
+    val drift = (Seq.fill(6)("x") ++ Seq.fill(4)("y")).map((_, false)) ++
+      (Seq.fill(2)("x") ++ Seq.fill(4)("y") ++ Seq.fill(4)("z")).map((_, true))
+    val g1 = Validation.tvDrift(drift.toDF("b", "p"), col("b"), col("p"))
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(g1 == Map("x" -> 40L, "y" -> 0L, "z" -> 40L))
+    // TV = sum/(2*NA*NB) = 80/200 = 0.4: exactly the moved mass fraction
+  }
+
   test("validate guards: empty rules, bad names, duplicate names") {
     intercept[IllegalArgumentException](Validation.validate(docs, Seq.empty))
     intercept[IllegalArgumentException](
