@@ -1110,6 +1110,19 @@ object SparkEntry {
         .select("id_a", "id_b", "haus_m")
     }),
 
+    // DTW track-similarity join: the alignment-aware sibling of
+    // q_hausdorff_join — every user pair's 8-fix signature warped by the
+    // classic DP over EXACT 10m-quantized integer local costs, so the
+    // whole dynamic hash-matches the oracle's per-anti-diagonal unrolled
+    // replay; DtwSpec pins the rounding margins and brute-force paths
+    "q_dtw_join" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.dtwJoin(pts, "user_id", "ts", "event_id", "lat", "lon",
+        maxPoints = 8, quantMeters = 10.0)
+    }),
+
     // stay-point detection: anchor-walk runs within 4000 km of their first
     // point spanning >= ~13.9 h of event time (both parameters sit far from
     // the fixture's decision boundaries — TrajectorySpec pins the margins)
@@ -4024,6 +4037,49 @@ object SparkEntry {
 
     // brute-force symmetric Hausdorff: max-of-min over all cross point
     // pairs per user pair — min/max pick elements, so the only fp-order
+    // the DP unrolled per anti-diagonal: local whole-meter costs from the
+    // shared haversine text, then 15 MATERIALIZED diagonal CTEs (each cell
+    // takes least() of its up/left/diagonal predecessors, NULLs ignored at
+    // the borders) — every cost an exact BIGINT, final cell per pair
+    "q_dtw_join" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val hav = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      val diags = (1 to 14).map { d =>
+        val zJoin = if (d >= 2)
+          s"""
+             |  LEFT JOIN d${d - 2} z ON z.ua = l.ua AND z.ub = l.ub
+             |    AND z.i = l.i - 1 AND z.j = l.j - 1""".stripMargin
+        else ""
+        val zArg = if (d >= 2) ", z.cost" else ""
+        s""",
+           |d$d AS MATERIALIZED (SELECT l.ua, l.ub, l.i, l.j,
+           |  l.c + least(x.cost, y.cost$zArg) AS cost
+           |  FROM loc l
+           |  LEFT JOIN d${d - 1} x ON x.ua = l.ua AND x.ub = l.ub
+           |    AND x.i = l.i - 1 AND x.j = l.j
+           |  LEFT JOIN d${d - 1} y ON y.ua = l.ua AND y.ub = l.ub
+           |    AND y.i = l.i AND y.j = l.j - 1$zJoin
+           |  WHERE l.i + l.j = ${d + 2})""".stripMargin
+      }.mkString
+      val unionAll = (0 to 14).map(d => s"SELECT * FROM d$d").mkString("\nUNION ALL\n")
+      s"""WITH pts AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon
+         |             FROM events),
+         |o AS (SELECT user_id, lat, lon, row_number() OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id) AS i FROM pts),
+         |p8 AS MATERIALIZED (SELECT * FROM o WHERE i <= 8),
+         |loc AS MATERIALIZED (SELECT a.user_id AS ua, b.user_id AS ub,
+         |    a.i AS i, b.i AS j, CAST(round(($hav) / 10.0) AS BIGINT) AS c
+         |  FROM p8 a JOIN p8 b ON a.user_id < b.user_id),
+         |d0 AS MATERIALIZED (SELECT ua, ub, i, j, c AS cost FROM loc
+         |  WHERE i = 1 AND j = 1)$diags,
+         |alld AS ($unionAll),
+         |nn AS (SELECT user_id, CAST(max(i) AS INTEGER) AS n FROM p8 GROUP BY 1)
+         |SELECT al.ua AS id_a, al.ub AS id_b, al.cost AS dtw_cost
+         |FROM alld al JOIN nn x ON x.user_id = al.ua JOIN nn y ON y.user_id = al.ub
+         |WHERE al.i = x.n AND al.j = y.n""".stripMargin
+    },
+
     // hazard is the final half-meter rounding boundary (margin 2.9e-4 m on
     // this fixture, asserted in TrajectorySpec)
     "q_hausdorff_join" -> {

@@ -735,4 +735,104 @@ object Trajectories {
       .select(col(entityCol), col("n_visits"), col("n_cells"),
         expr("CAST(__sq AS DOUBLE) / CAST(n_visits * n_visits AS DOUBLE)").as("hhi"))
   }
+
+  /** Dynamic-time-warping track-similarity join — the alignment-aware
+    * sibling of [[hausdorffJoin]]: two tracks sampled at different rates
+    * along the same route score LOW (DTW warps the time axis), where
+    * Hausdorff only bounds the worst excursion. Tracks are first compacted
+    * to their first `maxPoints` fixes in (tsCol, tieCol) order — the
+    * signature under comparison — and every pair's cost is the classic DP
+    *
+    *   D(i,j) = c(i,j) + min(D(i−1,j), D(i,j−1), D(i−1,j−1))
+    *
+    * with c(i,j) = round(haversine meters / `quantMeters`) — an EXACT
+    * int64, so the whole dynamic is hash-reproducible (a SQL oracle
+    * unrolling the DP per anti-diagonal matches bit-for-bit; DtwSpec pins
+    * the rounding margins — a coarser quantum buys rounding-boundary
+    * headroom, which is why the catalog query uses 10 m). Output:
+    * (id_a, id_b, dtw_cost) per candidate pair, id_a < id_b, cost in
+    * quantMeters units.
+    *
+    * Distributed shape: ONE window pass truncates tracks, one hash
+    * aggregate builds the per-track signature row (≤ `maxPoints` structs —
+    * bounded state however long the raw track), and each pair costs one
+    * O(maxPoints²) task-side DP over two tiny arrays — no per-cell
+    * shuffle, no driver involvement. `pairs` plugs in any blocking gate
+    * (start-tile equality, [[hausdorffJoin]] output, an LSH bucket join);
+    * the default all-pairs self-join of the SIGNATURE table (one row per
+    * track) is the oracle-scale baseline and is loudly capped at
+    * `maxTracksAllPairs` — at fleet scale, pass real candidate pairs. */
+  def dtwJoin(points: DataFrame, idCol: String, tsCol: String, tieCol: String,
+              latCol: String, lonCol: String, maxPoints: Int = 8,
+              quantMeters: Double = 1.0,
+              pairs: Option[DataFrame] = None,
+              maxTracksAllPairs: Long = 20000L): DataFrame = {
+    require(maxPoints >= 1 && maxPoints <= 1024,
+      s"maxPoints must be in [1, 1024]: $maxPoints")
+    require(quantMeters > 0, s"quantMeters must be positive: $quantMeters")
+    val reserved = Seq("__rn", "__sig", "id_a", "id_b")
+    val clash = points.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"dtwJoin reserves ${reserved.mkString(", ")}; " +
+      s"rename: ${clash.mkString(", ")}")
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val sigs = points
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPoints)
+      .groupBy(col(idCol).cast("long").as("id"))
+      .agg(sort_array(collect_list(struct(col("__rn"),
+        col(latCol).cast("double").as("la"),
+        col(lonCol).cast("double").as("lo")))).as("__sig"))
+      .localCheckpoint()
+    val cand = pairs match {
+      case Some(p) =>
+        p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .join(sigs.select(col("id").as("id_a"), col("__sig").as("__siga")), "id_a")
+          .join(sigs.select(col("id").as("id_b"), col("__sig").as("__sigb")), "id_b")
+      case None =>
+        val n = sigs.count()
+        require(n <= maxTracksAllPairs,
+          s"dtwJoin: $n tracks is too many for the all-pairs default " +
+            s"(> $maxTracksAllPairs) — pass a blocked `pairs` candidate set")
+        sigs.select(col("id").as("id_a"), col("__sig").as("__siga"))
+          .join(sigs.select(col("id").as("id_b"), col("__sig").as("__sigb")),
+            col("id_a") < col("id_b"))
+    }
+    val spark = points.sparkSession
+    import spark.implicits._
+    cand.select(col("id_a"), col("__siga"), col("id_b"), col("__sigb"))
+      .as[(Long, Seq[(Int, Double, Double)], Long, Seq[(Int, Double, Double)])]
+      .map { case (ida, siga, idb, sigb) =>
+        (ida, idb, dtwCost(siga, sigb, quantMeters)) }
+      .toDF("id_a", "id_b", "dtw_cost")
+  }
+
+  /** The O(nm) DP over quantized integer local costs, two-row memory. */
+  private def dtwCost(a: Seq[(Int, Double, Double)],
+                      b: Seq[(Int, Double, Double)], quantMeters: Double): Long = {
+    import graft.s2.S2LatLng
+    val pa = a.map(v => S2LatLng.fromDegrees(v._2, v._3)).toArray
+    val pb = b.map(v => S2LatLng.fromDegrees(v._2, v._3)).toArray
+    val n = pa.length
+    val m = pb.length
+    require(n > 0 && m > 0, "dtwJoin: empty signature")
+    var prev = new Array[Long](m)
+    var cur = new Array[Long](m)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        val c = math.round(pa(i).getEarthDistance(pb(j)) / quantMeters)
+        val best =
+          if (i == 0 && j == 0) 0L
+          else if (i == 0) cur(j - 1)
+          else if (j == 0) prev(j)
+          else math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
+        cur(j) = c + best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m - 1)
+  }
 }
