@@ -1350,6 +1350,18 @@ object SparkEntry {
           .withColumn("lon", expr(lonSqlFor("event_id"))),
         "lat", "lon", 2, "ts", "2024-01-01", "2024-01-16", "2024-01-31")),
 
+    // seasonal per-tile anomaly gate: each zoom-3 tile's hour-of-day
+    // profile vs its own zero-filled lower-median baseline — 2x spike /
+    // 2x quiet flags, every comparison an exact integer (34 spikes + 116
+    // quiet hours at sf0.01 — non-degenerate both ways); after the one
+    // (tile, hour) count pass everything is bounded by 4^z * 24 rows
+    "q_tile_anomaly" -> ((s, dir) =>
+      Tiling.tileSeasonalAnomalies(
+        events(s, dir)
+          .withColumn("lat", expr(latSqlFor("event_id")))
+          .withColumn("lon", expr(lonSqlFor("event_id"))),
+        "lat", "lon", "ts", z = 3)),
+
     // spatio-temporal cube over events: per (geohash-3 cell, hour) stats
     // plus all three marginalizations in one pass via native GROUPING SETS
     "q_st_cube" -> ((s, dir) =>
@@ -4470,6 +4482,28 @@ object SparkEntry {
 
     // geohashTrend replayed exactly: same window bounds, conditional sums,
     // and the identical integer-ratio expression
+    // the zoom-3 zxy replay + the same zero-fill index arithmetic on the
+    // sorted present-hour counts; every gate comparison an exact integer
+    "q_tile_anomaly" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      s"""WITH pts AS (SELECT hour(ts) AS hour, $evLat AS lat, $evLon AS lon FROM events),
+         |t AS (SELECT CAST(hour AS BIGINT) AS hour,
+         |  least(7, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 8.0) AS BIGINT))) AS zx,
+         |  least(7, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)
+         |    + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * 8.0) AS BIGINT))) AS zy
+         | FROM pts),
+         |c AS (SELECT zx, zy, hour, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2, 3),
+         |m AS (SELECT zx, zy, list(n ORDER BY n) AS l, len(list(n)) AS k FROM c GROUP BY 1, 2),
+         |m2 AS (SELECT zx, zy,
+         |  CAST(CASE WHEN 24 - k > 11 THEN 0 ELSE l[12 - (24 - k)] END AS BIGINT) AS med FROM m)
+         |SELECT c.zx, c.zy, c.hour, c.n, m2.med,
+         |  CASE WHEN c.n > 2 * m2.med THEN 'spike'
+         |       WHEN 2 * c.n < m2.med THEN 'quiet' END AS flag
+         |FROM c JOIN m2 USING (zx, zy)
+         |WHERE c.n > 2 * m2.med OR 2 * c.n < m2.med""".stripMargin
+    },
+
     "q_trend" -> {
       val evLat = latSqlFor("event_id")
       val evLon = lonSqlFor("event_id")

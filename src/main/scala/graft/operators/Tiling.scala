@@ -134,6 +134,44 @@ object Tiling {
       .where(col("n_entities") >= k)
   }
 
+  /** Seasonal per-tile anomaly gate: each tile's hour-of-day activity
+    * profile is its own baseline — hour h of tile t is a SPIKE when its
+    * count exceeds `spikeFactor`× the tile's median hourly count, QUIET
+    * when the median exceeds `spikeFactor`× the count. The median is the
+    * LOWER median of the 24 ZERO-FILLED hourly counts (absent hours count
+    * 0 — a tile active one hour a day is spiking in that hour, not
+    * normal), so the whole rule is integer-exact: no fp, no margins, the
+    * SQL oracle replays it verbatim. Returns flagged rows only:
+    * (zx, zy, hour, n, med, flag).
+    *
+    * Shape at scale: one partial+final (tile, hour) count aggregate (the
+    * only pass over points), then a per-tile aggregate whose state is at
+    * most 24 longs, and a tile-keyed equi-join — everything after the
+    * first aggregate is bounded by 4^z·24 rows regardless of input size.
+    * The zero-fill never materializes 24 rows per tile: it is the
+    * `24 − k > 11 → 0` index arithmetic on the sorted present-hour
+    * counts. */
+  def tileSeasonalAnomalies(df: DataFrame, latCol: String, lonCol: String,
+                            tsCol: String, z: Int,
+                            spikeFactor: Long = 2L): DataFrame = {
+    require(spikeFactor >= 1, s"spikeFactor must be >= 1: $spikeFactor")
+    val counts = zxyAssign(df, latCol, lonCol, z)
+      .withColumn("hour", hour(col(tsCol)).cast("long"))
+      .groupBy("zx", "zy", "hour").agg(count(lit(1)).as("n"))
+    val meds = counts.groupBy("zx", "zy")
+      .agg(sort_array(collect_list(col("n"))).as("__cs"))
+      .withColumn("med",
+        when(lit(24) - size(col("__cs")) > 11, lit(0L))
+          .otherwise(element_at(col("__cs"),
+            lit(12) - (lit(24) - size(col("__cs"))))))
+      .drop("__cs")
+    counts.join(meds, Seq("zx", "zy"))
+      .withColumn("flag",
+        when(col("n") > lit(spikeFactor) * col("med"), lit("spike"))
+          .when(lit(spikeFactor) * col("n") < col("med"), lit("quiet")))
+      .where(col("flag").isNotNull)
+  }
+
   /** Base-4 quadkey of a (zx, zy) tile at zoom `z`: most-significant bit
     * first, digit = 2·ybit + xbit. Pure bit arithmetic — exact in any
     * engine. */

@@ -98,4 +98,55 @@ class TileChangeSpec extends SparkTestBase {
     info(f"min insert-derivation |yf - rint(yf)| = $minMargin%.3e ($equator equator rows)")
     assert(minMargin > 1e-9)
   }
+
+  test("tileSeasonalAnomalies: zero-filled lower median, spike/quiet gates, zero-med branch") {
+    import spark.implicits._
+    def at(lon: Double, h: Int) =
+      (20.0, lon, new java.sql.Timestamp(
+        java.time.LocalDateTime.of(2024, 1, 5, h, 30).toEpochSecond(
+          java.time.ZoneOffset.UTC) * 1000L))
+    // tile A (lon -150): 20 hours at 5 plus hour 23 at 11 -> med 5, spike 11
+    val a = (0 until 20).flatMap(h => Seq.fill(5)(at(-150.0, h))) ++
+      Seq.fill(11)(at(-150.0, 23))
+    // tile B (lon -60): only 3 present hours -> zero median, all spike
+    val b = (0 until 3).flatMap(h => Seq.fill(7)(at(-60.0, h)))
+    // tile C (lon 60): all 24 hours, 23 at 6 and one at 1 -> med 6, quiet 1
+    val c = (0 until 23).flatMap(h => Seq.fill(6)(at(60.0, h))) ++ Seq(at(60.0, 23))
+    val df = (a ++ b ++ c).toDF("lat", "lon", "ts")
+    val got = Tiling.tileSeasonalAnomalies(df, "lat", "lon", "ts", z = 3)
+      .select("zx", "hour", "n", "med", "flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val want: Set[(Long, Long, Long, Long, String)] =
+      Set((0L, 23L, 11L, 5L, "spike"),
+        (2L, 0L, 7L, 0L, "spike"), (2L, 1L, 7L, 0L, "spike"), (2L, 2L, 7L, 0L, "spike"),
+        (5L, 23L, 1L, 6L, "quiet"))
+    assert(got === want, s"got $got")
+  }
+
+  test("tileSeasonalAnomalies == independent per-tile replay on the sf0.01 fixture") {
+    import spark.implicits._
+    val pts = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
+    val got = Tiling.tileSeasonalAnomalies(pts, "lat", "lon", "ts", z = 3)
+      .select("zx", "zy", "hour", "n", "med", "flag")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    val counts = Tiling.zxyAssign(pts, "lat", "lon", 3)
+      .withColumn("hour", hour(col("ts")).cast("long"))
+      .groupBy("zx", "zy", "hour").count()
+      .as[(Long, Long, Long, Long)].collect()
+    val want = counts.groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((zx, zy), rows) =>
+      val sorted = (rows.map(_._4) ++ Seq.fill(24 - rows.length)(0L)).sorted
+      val med = sorted(11)
+      rows.flatMap { case (_, _, h, n) =>
+        if (n > 2 * med) Some((zx, zy, h, n, med, "spike"))
+        else if (2 * n < med) Some((zx, zy, h, n, med, "quiet"))
+        else None
+      }
+    }.toSet
+    assert(want.exists(_._6 == "spike") && want.exists(_._6 == "quiet"),
+      "fixture degenerate")
+    assert(got === want)
+  }
 }
