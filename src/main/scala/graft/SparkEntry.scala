@@ -2790,6 +2790,14 @@ object SparkEntry {
         queryIds = 0L until 10L, k = 5)
         .select("query_id", "neighbor_id")),
 
+    // k-NN majority-vote classification: each probe labeled by its 5
+    // exact nearest neighbors under the deterministic (votes DESC, label
+    // ASC) rule — integer votes over q_ann_brute's pinned ranking, so the
+    // whole result is hash-exact; probes 0..39 give a non-unanimous mix
+    "q_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(embeddings(s, dir), "vec_id", "embedding", "label",
+        queryIds = 0L until 40L, k = 5)),
+
     // hard-negative mining: per anchor, the 5 most-similar CROSS-label
     // rows (the contrastive-training negatives that sit just across the
     // decision boundary); q_ann_brute's shape plus the label predicate
@@ -6130,6 +6138,23 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk
         | FROM embeddings e, embeddings q
         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t WHERE rnk <= 5""".stripMargin,
+
+    // q_ann_brute's pinned top-5 ranking + integer votes + the same
+    // (votes DESC, label ASC) row_number argmax
+    "q_knn_classify" ->
+      """WITH nn AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id < 40 AND e.vec_id <> q.vec_id) t WHERE rnk <= 5),
+        |v AS (SELECT nn.query_id, l.label AS lbl, CAST(count(*) AS BIGINT) AS votes
+        |  FROM nn JOIN embeddings l ON l.vec_id = nn.neighbor_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, lbl AS pred_label, votes FROM (
+        |  SELECT query_id, lbl, votes, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY votes DESC, lbl ASC) AS rk FROM v) t
+        |WHERE rk = 1""".stripMargin,
 
     // q_ann_brute's oracle restricted to cross-label rows
     "q_hard_negatives" ->

@@ -90,6 +90,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** k-NN majority-vote classification over the embedding table — the
+    * label-propagation baseline every curation pipeline runs (label the
+    * unlabeled batch from its nearest labeled neighbors; audit a labeled
+    * set by checking each row against its neighborhood). Per query: the
+    * exact top-`k` cosine neighbors ([[bruteForceTopK]]'s pinned ranking),
+    * one integer vote per neighbor label, argmax under the deterministic
+    * (votes DESC, label ASC) rule. Output: (query_id, pred_label, votes)
+    * — votes integer-exact, so given the rank margins the whole result is
+    * hash-exact.
+    *
+    * Shape at scale: queries broadcast against ONE table scan (vectors
+    * never shuffle); the vote is a (query, label) hash aggregate over k
+    * rows per query plus a size-k argmax window. At fleet scale substitute
+    * the candidate stage exactly as [[bruteForceTopK]] documents (probe
+    * the persisted IVF index); the vote composition is unchanged. */
+  def knnClassify(embeddings: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val nn = bruteForceTopK(embeddings, idCol, vecCol, queryIds, k)
+    val labels = embeddings.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__lbl"))
+    val votes = nn.join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("__lbl").asc)
+    votes.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"))
+  }
+
   /** Deterministic gaussian hyperplanes for the LSH signature. */
   def randomPlanes(dim: Int, bits: Int, seed: Long = 42L): Seq[IndexedSeq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -277,6 +277,25 @@ class OperatorSpec extends SparkTestBase {
     assert(recall >= 0.9, s"bucketed ANN recall $recall below the 0.9 bar")
   }
 
+  test("knnClassify == neighbor-label vote over the exact top-k, ties to the smaller label") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nn = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L until 20L, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[Int](1)).toMap
+    val want = nn.groupBy(_._1).map { case (q, rows) =>
+      val votes = rows.map(r => labelOf(r._2)).groupBy(identity).view.mapValues(_.length)
+      val (lbl, n) = votes.toSeq.minBy { case (l, c) => (-c, l) }
+      (q, lbl, n.toLong)
+    }.toSet
+    val got = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+        0L until 20L, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("pred_label"),
+        r.getAs[Long]("votes"))).toSet
+    assert(got === want)
+    assert(got.exists(_._3 < 5L), "fixture degenerate: every vote unanimous")
+  }
+
   test("image payload: synthesis is lossless PNG, captions verify, PSNR gate holds") {
     val keys = spark.read.parquet(s"$dir/part.parquet").select("p_partkey").limit(50)
     val images = ImagePayload.synthesize(keys, "p_partkey")
