@@ -323,6 +323,70 @@ object ExecBench {
         .distinct()
       Graphs.hitsScaled(e.toDF(), rounds = 2).count()
     }
+    // wave 83-90 additions. mannKendall/holt drive the typed per-entity
+    // folds (Fenwick inversion count; sorted-list two-state fold) at 1M
+    // entities; mapMatch runs the per-edge raster join + per-track DP at
+    // 10M fixes / 100k tracks on the 25-line network; dtw pairs 100k
+    // 8-fix signatures along a blocked chain (the all-pairs default is
+    // an oracle-scale baseline, not a fleet shape); tileAnomaly and
+    // tvDrift are one-count-pass + bounded-state summaries
+    t("mannKendall 1M ent") {
+      val vals = trk.withColumn("value",
+        pmod(col("id") * 7919L, lit(40001L)).cast("double") / lit(100.0))
+      TimeSeries.mannKendall(vals.toDF(), "user_id", "ts", "id", "value")
+        .count(); 100000000L
+    }
+    t("holt 1M ents      ") {
+      val vals = trk.withColumn("value",
+        pmod(col("id") * 7919L, lit(40001L)).cast("double") / lit(100.0))
+      Sequences.holt(vals.toDF(), "user_id", "ts", "id", "value",
+        alpha = 0.25, beta = 0.125).count(); 100000000L
+    }
+    t("tvDrift 1k buckets") {
+      graft.operators.Validation.tvDrift(trk.toDF(),
+        pmod(col("id") * 2654435761L, lit(1000L)), col("id") % 2 === 0)
+        .count(); 100000000L
+    }
+    t("tileAnomaly z8    ") {
+      val spread = pts.withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + pmod(col("id"), lit(2592000L))))
+      Tiling.tileSeasonalAnomalies(spread.toDF(), "lat", "lon", "ts", z = 8)
+        .count(); 100000000L
+    }
+    import graft.operators.MapMatch
+    val vertsDf = SparkEntry.FixturePolylines.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case ((la, lo), i) => (k * 3 + i, la, lo) }
+    }.toDF("__vi", "__vlat", "__vlon")
+    def fixes10M = spark.range(0L, 10000000L, 1, 64)
+      .withColumn("track", col("id") % 100000L)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) +
+        (col("id") / lit(100000L)).cast("long")))
+      .withColumn("__vi", col("id") % 75)
+      .join(broadcast(vertsDf), "__vi")
+      .withColumn("lat", col("__vlat") +
+        ((col("id") * 131 + 17) % 301 - 150).cast("double") / 1000.0)
+      .withColumn("lon", col("__vlon") +
+        ((col("id") * 577 + 29) % 301 - 150).cast("double") / 1000.0)
+      .drop("__vi", "__vlat", "__vlon")
+    t("mapMatch 10M fixes") {
+      MapMatch.viterbi(fixes10M.toDF(), "track", "ts", "id", "lat", "lon",
+        lineDf, "line_id", "lats", "lons", SparkEntry.PolylineJoinRadiusM)
+        .count(); 10000000L
+    }
+    t("dtw 100k trk chain") {
+      val chain = spark.range(0L, 99999L, 1, 8)
+        .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+      Trajectories.dtwJoin(fixes10M.toDF(), "track", "ts", "id", "lat", "lon",
+        maxPoints = 8, quantMeters = 10.0, pairs = Some(chain.toDF()))
+        .count(); 10000000L
+    }
+    t("clustCoef 20M edge") {
+      val n = 10000000L
+      val ids = spark.range(0L, n, 1, 64)
+      val e1 = ids.select(col("id").as("id_a"), (col("id") + 1).as("id_b")).where(col("id_b") < n)
+      val e2 = ids.select(col("id").as("id_a"), (col("id") + 2).as("id_b")).where(col("id_b") < n)
+      Graphs.clusteringCoefficient(e1.unionAll(e2).toDF()).count()
+    }
     // z-order: layout written ONCE (100M rows — at 20M both reads are
     // footer/listing-overhead-bound and the comparison is meaningless),
     // then the pruned box read is timed against the same predicate over a

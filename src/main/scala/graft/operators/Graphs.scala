@@ -30,8 +30,13 @@ object Graphs {
     * stage — rows are (src, dst) id pairs only), one closure equi-join
     * against the canonical edges, one explode+count. The oriented edge
     * list is pinned: it feeds both wedge sides. */
-  def triangleCounts(edges0: DataFrame): DataFrame = {
-    val edges = edges0.select(col("id_a"), col("id_b")).localCheckpoint()
+  def triangleCounts(edges0: DataFrame): DataFrame =
+    triangleCountsOn(edges0.select(col("id_a"), col("id_b")).localCheckpoint())
+
+  /** [[triangleCounts]] on an already-pinned canonical edge list —
+    * callers that feed the same pinned edges to several graph passes
+    * (e.g. [[clusteringCoefficient]]) avoid a second materialization. */
+  private def triangleCountsOn(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("id_a").as("id"))
       .unionAll(edges.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -151,7 +156,7 @@ object Graphs {
   def clusteringCoefficient(edges0: DataFrame): DataFrame = {
     val edges = edges0.select(col("id_a"), col("id_b")).localCheckpoint()
     val deg = degrees(edges).select(col("src").as("id"), col("deg"))
-    val tri = triangleCounts(edges)
+    val tri = triangleCountsOn(edges)
     deg.join(tri, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
