@@ -155,9 +155,13 @@ object Tiling {
                             tsCol: String, z: Int,
                             spikeFactor: Long = 2L): DataFrame = {
     require(spikeFactor >= 1, s"spikeFactor must be >= 1: $spikeFactor")
+    // pinned: the (tile, hour) count table (<= 4^z * 24 rows) feeds both
+    // the median aggregate and the flag join — the pin keeps the point
+    // scan single-pass
     val counts = zxyAssign(df, latCol, lonCol, z)
       .withColumn("hour", hour(col(tsCol)).cast("long"))
       .groupBy("zx", "zy", "hour").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val meds = counts.groupBy("zx", "zy")
       .agg(sort_array(collect_list(col("n"))).as("__cs"))
       .withColumn("med",

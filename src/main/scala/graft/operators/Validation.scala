@@ -62,9 +62,13 @@ object Validation {
     * contrib < count·total ≤ N_A·N_B, exact while N_A·N_B < 2⁶³ (~3e9
     * rows per period). */
   def tvDrift(df: DataFrame, bucketCol: Column, isPeriodB: Column): DataFrame = {
+    // pinned: the bucket-cardinality count table feeds both the totals
+    // aggregate and the final join — without the pin each consumer
+    // re-scans the full input (2 scans for a 1-scan-shaped gate)
     val counts = df.groupBy(bucketCol.as("bucket"))
       .agg(sum(when(isPeriodB, 0L).otherwise(1L)).as("n_a"),
         sum(when(isPeriodB, 1L).otherwise(0L)).as("n_b"))
+      .localCheckpoint()
     val totals = counts.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
     counts.crossJoin(broadcast(totals))
       .select(col("bucket"), col("n_a"), col("n_b"),
