@@ -2918,6 +2918,24 @@ object SparkEntry {
       Validation.tvDrift(events(s, dir), col("event_type"),
         col("ts").cast("timestamp") >= lit("2024-01-16 00:00:00").cast("timestamp"))),
 
+    // exact tie-aware ROC AUC of the centi-quantized value score against
+    // the purchase label — Mann–Whitney with half-credit ties via
+    // consecutive-rank min+max (no tie-rank pass), two-pass global rank
+    // (never a single-task sort), one shared final IEEE expression
+    "q_auc" -> ((s, dir) =>
+      Evaluation.aucStats(
+        events(s, dir).where(col("value").isNotNull),
+        round(col("value") * 100).cast("long"),
+        col("event_type") === "purchase", col("event_id"))),
+
+    // the reliability diagram: equal-frequency score deciles with exact
+    // (n_rows, n_pos) and a one-division rate — same ranked frame
+    "q_calibration" -> ((s, dir) =>
+      Evaluation.calibrationBins(
+        events(s, dir).where(col("value").isNotNull),
+        round(col("value") * 100).cast("long"),
+        col("event_type") === "purchase", col("event_id"), bins = 10)),
+
     // --- text analysis ---
     "q_text_stats" -> ((s, dir) =>
       documents(s, dir)
@@ -6210,6 +6228,33 @@ object SparkEntry {
            | count(*) AS n_rows FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+
+    // the same total order (score, event_id), the same per-score min+max
+    // rank recovery, the engine's own final expression — three exact
+    // integers and one division
+    "q_auc" ->
+      s"""WITH s AS (SELECT CAST(round(value*100) AS BIGINT) AS sc,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, event_id
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT sc, y, row_number() OVER (ORDER BY sc, event_id) AS rank FROM s),
+         |v AS (SELECT sc, CAST(min(rank) AS BIGINT) AS mn, CAST(max(rank) AS BIGINT) AS mx,
+         |        CAST(sum(y) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS t
+         |      FROM r GROUP BY 1),
+         |a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(t - p) AS BIGINT) AS n_neg,
+         |        CAST(sum(p*(mn+mx)) AS BIGINT) AS r2_pos FROM v)
+         |SELECT n_pos, n_neg, r2_pos, ${Evaluation.AucFinalSql} AS auc FROM a""".stripMargin,
+
+    // the same rank, bin index arithmetic, and rate expression
+    "q_calibration" ->
+      s"""WITH s AS (SELECT CAST(round(value*100) AS BIGINT) AS sc,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, event_id
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT y, row_number() OVER (ORDER BY sc, event_id) AS rank FROM s),
+         |t AS (SELECT count(*) AS n FROM s),
+         |b AS (SELECT ((rank - 1) * 10) // n AS bin, CAST(count(*) AS BIGINT) AS n_rows,
+         |        CAST(sum(y) AS BIGINT) AS n_pos
+         |      FROM r, t GROUP BY 1, n)
+         |SELECT bin, n_rows, n_pos, ${Evaluation.CalibrationRateSql} AS rate FROM b""".stripMargin,
 
     // the same one-aggregate-plus-totals arithmetic in SQL; every output
     // an exact integer

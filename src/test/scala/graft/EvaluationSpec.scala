@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Evaluation
+
+/** Exact AUC + calibration: closed-form fixtures (perfect, reversed,
+  * constant score), brute-force pair-counting equality on randomized tied
+  * data, and the bin-partition invariants. */
+class EvaluationSpec extends SparkTestBase {
+
+  private def auc(rows: Seq[(Long, Boolean, Long)]): (Long, Long, Long, Option[Double]) = {
+    import spark.implicits._
+    val df = rows.toDF("score", "label", "tie")
+    Evaluation.aucStats(df, col("score"), col("label"), col("tie"))
+      .as[(Long, Long, Long, Option[Double])].head()
+  }
+
+  test("closed forms: perfect separation 1.0, reversed 0.0, constant score 0.5, one-class NULL") {
+    val perfect = (1L to 50L).map(i => (i, i > 30L, i))
+    assert(auc(perfect)._4.contains(1.0))
+    val reversed = (1L to 50L).map(i => (i, i <= 20L, i))
+    assert(auc(reversed)._4.contains(0.0))
+    val constant = (1L to 50L).map(i => (7L, i % 3 == 0, i))
+    assert(auc(constant)._4.contains(0.5))
+    assert(auc((1L to 10L).map(i => (i, true, i)))._4.isEmpty)
+  }
+
+  test("r2_pos identity == brute-force pair wins + half ties on randomized tied data") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 400L).map(i => (rnd.nextInt(12).toLong, rnd.nextBoolean(), i))
+    val (p, nn, r2, a) = auc(rows)
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    assert(p == pos.size && nn == neg.size)
+    val wins = (for (x <- pos; y <- neg) yield if (x > y) 1L else 0L).sum
+    val ties = (for (x <- pos; y <- neg) yield if (x == y) 1L else 0L).sum
+    // AUC·2PN = 2·wins + ties; engine-side that is r2_pos − P(P+1)
+    assert(r2 - p * (p + 1) == 2 * wins + ties, s"r2=$r2 p=$p wins=$wins ties=$ties")
+    val expect = (r2.toDouble - p.toDouble * (p + 1)) / (2 * p.toDouble * nn.toDouble)
+    assert(a.contains(expect))
+    assert(math.abs(expect - (2.0 * wins + ties) / (2.0 * p * nn)) < 1e-12)
+  }
+
+  test("calibration bins partition the rows near-equally; a ranked fixture is monotone") {
+    import spark.implicits._
+    val rows = (1L to 1003L).map(i => (i, i > 700L, i))
+    val df = rows.toDF("score", "label", "tie")
+    val got = Evaluation.calibrationBins(df, col("score"), col("label"), col("tie"), bins = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L to 9L))
+    assert(got.map(_._2).sum == 1003L)
+    assert(got.map(_._2).max - got.map(_._2).min <= 1)
+    assert(got.map(_._3).sum == 303L)
+    // perfectly ranked: rates non-decreasing, bottom bin 0, top bin 1
+    assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted)
+    assert(got.head._4 == 0.0 && got.last._4 == 1.0)
+  }
+}
