@@ -510,6 +510,51 @@ object SparkEntry {
       .select("user_id", "ts", "event_id", "lat", "lon")
   }
 
+  /** Shared CTE prefix of the two map-match oracles (q_map_match /
+    * q_map_match_stream): the jittered track fixture, per-edge exact
+    * distances, 10 m quantized emissions within the radius, the step
+    * numbering, and the step-joined candidate states — everything up to
+    * the DP itself. Callers append their own recursive dynamic. */
+  private def mapMatchOracleBase: String = {
+    val vertRows = FixturePolylines.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case ((la, lo), i) => s"(${k * 3 + i}, $la, $lo)" }
+    }.mkString(", ")
+    val branches = FixturePolylines.flatMap { case (k, verts) =>
+      val pts = verts.map { case (la, lo) => graft.s2.S2LatLng.fromDegrees(la, lo).toPoint }
+      pts.indices.dropRight(1).map { i =>
+        s"""SELECT user_id, ts, event_id, CAST($k AS BIGINT) AS line,
+           | CAST($i AS INTEGER) AS edge,
+           | ${edgeDistSql(pts(i), pts(i + 1))} * 6367000.0 AS d FROM xyz""".stripMargin
+      }
+    }
+    s"""pts AS (
+       |  SELECT user_id, ts, event_id,
+       |    v.vlat + CAST((event_id * 131 + 17) % 301 - 150 AS DOUBLE) / 1000.0 AS lat,
+       |    v.vlon + CAST((event_id * 577 + 29) % 301 - 150 AS DOUBLE) / 1000.0 AS lon
+       |  FROM events JOIN (VALUES $vertRows) v(vi, vlat, vlon) ON event_id % 75 = v.vi),
+       |xyz AS (SELECT user_id, ts, event_id,
+       |  cos(radians(lat))*cos(radians(lon)) AS px,
+       |  cos(radians(lat))*sin(radians(lon)) AS py,
+       |  sin(radians(lat)) AS pz FROM pts),
+       |cand0 AS (${branches.mkString("\nUNION ALL\n")}),
+       |cand AS (SELECT user_id, ts, event_id, line, edge,
+       |    CAST(round(d / 10.0) AS BIGINT) AS e
+       |  FROM cand0 WHERE d <= 150000.0),
+       |steps AS (SELECT user_id, event_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
+       |  FROM (SELECT DISTINCT user_id, ts, event_id FROM cand) t),
+       |c2 AS (SELECT c.user_id, s.step, c.line, c.edge, c.e
+       |  FROM cand c JOIN steps s USING (user_id, event_id))""".stripMargin
+  }
+
+  /** The (cost, line, edge) tie rule as one zero-pad-sortable string. */
+  private def mapMatchTieKey(c: String, l: String, e: String): String =
+    s"lpad(CAST($c AS VARCHAR), 19, '0') || lpad(CAST($l AS VARCHAR), 10, '0') || " +
+      s"lpad(CAST($e AS VARCHAR), 5, '0')"
+
+  private val MapMatchTransSql =
+    "CASE WHEN p.line = c.line THEN abs(p.edge - c.edge) * 100 ELSE 20000 END"
+
   /** Literal SQL transcription of the kernel's point-to-edge distance
     * (`S2EdgeUtil.GetDistance`, S2EdgeUtil.scala:91-98) over a unit vector
     * (px, py, pz), in RADIANS: interior case asin(|p.n|/|n|) guarded by the
@@ -2545,6 +2590,17 @@ object SparkEntry {
         "lat", "lon", polylineTable(s, dir), "line_id", "lats", "lons",
         radiusM = PolylineJoinRadiusM)
         .select("user_id", "event_id", "line_id", "edge_idx", "total_cost")),
+
+    // ONLINE map matching: the streaming twin run over the batch table —
+    // per fix, the forward-frontier argmin (the live filter view, before
+    // future fixes retro-smooth); O(frontier) state per track, candidate
+    // raster is a stream-static broadcast join. Cross-batch MemoryStream
+    // behavior spec-pinned in MapMatchStreamSpec
+    "q_map_match_stream" -> ((s, dir) =>
+      graft.streaming.MapMatchStream.matchStream(mapMatchPoints(s, dir),
+        "user_id", "ts", "event_id", "lat", "lon",
+        polylineTable(s, dir), "line_id", "lats", "lons",
+        radiusM = PolylineJoinRadiusM).toDF()),
 
     // the multi-loop (shell + hole) variant: XOR-parity containment at
     // table granularity — covering cells inside the hole never exist, the
@@ -5835,53 +5891,21 @@ object SparkEntry {
     // sortable string. MapMatchSpec pins the radius/quantization margins
     // that make the candidate set and emissions cross-engine identical
     "q_map_match" -> {
-      val vertRows = FixturePolylines.flatMap { case (k, vs) =>
-        vs.zipWithIndex.map { case ((la, lo), i) => s"(${k * 3 + i}, $la, $lo)" }
-      }.mkString(", ")
-      val branches = FixturePolylines.flatMap { case (k, verts) =>
-        val pts = verts.map { case (la, lo) => graft.s2.S2LatLng.fromDegrees(la, lo).toPoint }
-        pts.indices.dropRight(1).map { i =>
-          s"""SELECT user_id, ts, event_id, CAST($k AS BIGINT) AS line,
-             | CAST($i AS INTEGER) AS edge,
-             | ${edgeDistSql(pts(i), pts(i + 1))} * 6367000.0 AS d FROM xyz""".stripMargin
-        }
-      }
-      val tieKey = (c: String, l: String, e: String) =>
-        s"lpad(CAST($c AS VARCHAR), 19, '0') || lpad(CAST($l AS VARCHAR), 10, '0') || " +
-          s"lpad(CAST($e AS VARCHAR), 5, '0')"
-      val trans = "CASE WHEN p.line = c.line THEN abs(p.edge - c.edge) * 100 ELSE 20000 END"
-      s"""WITH RECURSIVE pts AS (
-         |  SELECT user_id, ts, event_id,
-         |    v.vlat + CAST((event_id * 131 + 17) % 301 - 150 AS DOUBLE) / 1000.0 AS lat,
-         |    v.vlon + CAST((event_id * 577 + 29) % 301 - 150 AS DOUBLE) / 1000.0 AS lon
-         |  FROM events JOIN (VALUES $vertRows) v(vi, vlat, vlon) ON event_id % 75 = v.vi),
-         |xyz AS (SELECT user_id, ts, event_id,
-         |  cos(radians(lat))*cos(radians(lon)) AS px,
-         |  cos(radians(lat))*sin(radians(lon)) AS py,
-         |  sin(radians(lat)) AS pz FROM pts),
-         |cand0 AS (${branches.mkString("\nUNION ALL\n")}),
-         |cand AS (SELECT user_id, ts, event_id, line, edge,
-         |    CAST(round(d / 10.0) AS BIGINT) AS e
-         |  FROM cand0 WHERE d <= 150000.0),
-         |steps AS (SELECT user_id, event_id,
-         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
-         |  FROM (SELECT DISTINCT user_id, ts, event_id FROM cand) t),
-         |c2 AS (SELECT c.user_id, s.step, c.line, c.edge, c.e
-         |  FROM cand c JOIN steps s USING (user_id, event_id)),
+      s"""WITH RECURSIVE $mapMatchOracleBase,
          |v AS (
          |  SELECT user_id, step, line, edge, e AS cost,
          |    CAST(line AS VARCHAR) || ':' || CAST(edge AS VARCHAR) AS path
          |  FROM c2 WHERE step = 1
          |  UNION ALL
          |  SELECT c.user_id, c.step, c.line, c.edge,
-         |    min(p.cost + $trans) + c.e AS cost,
-         |    arg_min(p.path, ${tieKey(s"p.cost + $trans", "p.line", "p.edge")})
+         |    min(p.cost + $MapMatchTransSql) + c.e AS cost,
+         |    arg_min(p.path, ${mapMatchTieKey(s"p.cost + $MapMatchTransSql", "p.line", "p.edge")})
          |      || '|' || CAST(c.line AS VARCHAR) || ':' || CAST(c.edge AS VARCHAR) AS path
          |  FROM v p JOIN c2 c ON c.user_id = p.user_id AND c.step = p.step + 1
          |  GROUP BY c.user_id, c.step, c.line, c.edge, c.e),
          |tail AS (SELECT user_id, max(step) AS n FROM v GROUP BY 1),
          |best AS (SELECT v.user_id, min(v.cost) AS total_cost,
-         |    string_split(arg_min(v.path, ${tieKey("v.cost", "v.line", "v.edge")}), '|') AS parts
+         |    string_split(arg_min(v.path, ${mapMatchTieKey("v.cost", "v.line", "v.edge")}), '|') AS parts
          |  FROM v JOIN tail t ON t.user_id = v.user_id AND v.step = t.n
          |  GROUP BY v.user_id),
          |flat AS (SELECT user_id, total_cost, unnest(parts) AS pe,
@@ -5891,6 +5915,28 @@ object SparkEntry {
          |  CAST(string_split(f.pe, ':')[2] AS INTEGER) AS edge_idx,
          |  f.total_cost
          |FROM flat f JOIN steps st ON st.user_id = f.user_id AND st.step = f.step""".stripMargin
+    },
+
+    // the online twin: the same forward DP, but emitting each STEP's
+    // frontier argmin (cost, line, edge) — the filter view, no
+    // backtracking, no path strings
+    "q_map_match_stream" -> {
+      s"""WITH RECURSIVE $mapMatchOracleBase,
+         |v AS (
+         |  SELECT user_id, step, line, edge, e AS cost FROM c2 WHERE step = 1
+         |  UNION ALL
+         |  SELECT c.user_id, c.step, c.line, c.edge,
+         |    min(p.cost + $MapMatchTransSql) + c.e AS cost
+         |  FROM v p JOIN c2 c ON c.user_id = p.user_id AND c.step = p.step + 1
+         |  GROUP BY c.user_id, c.step, c.line, c.edge, c.e),
+         |b AS (SELECT user_id, step, CAST(min(cost) AS BIGINT) AS cost,
+         |    string_split(arg_min(CAST(line AS VARCHAR) || ':' || CAST(edge AS VARCHAR),
+         |      ${mapMatchTieKey("cost", "line", "edge")}), ':') AS le
+         |  FROM v GROUP BY 1, 2)
+         |SELECT st.user_id AS track_id, st.event_id,
+         |  CAST(b.le[1] AS BIGINT) AS line_id,
+         |  CAST(b.le[2] AS INTEGER) AS edge_idx, b.cost
+         |FROM b JOIN steps st ON st.user_id = b.user_id AND st.step = b.step""".stripMargin
     },
 
     // shell-minus-hole edge-plane branches per region (both loops convex;

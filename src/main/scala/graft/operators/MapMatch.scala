@@ -54,37 +54,10 @@ object MapMatch {
     require(angle > 0 && angle <= S2Projections.MinWidth.getValue(0),
       s"viterbi radius $radiusM m exceeds the level-0 adjacency guarantee")
     val level = S2Projections.MinWidth.getMaxLevel(angle)
-    val reserved = Seq("__pcell", "__bucket", "__elats", "__elons", "__e", "__d")
-    val collisions = (points.columns ++ lines.columns).filter(reserved.contains)
-    require(collisions.isEmpty,
-      s"viterbi: reserved column name(s) in input: ${collisions.mkString(", ")}")
-
-    // lines -> one 2-vertex chain per edge, executor-side
-    val edges = lines.select(col(lineIdCol).cast("long").as("line_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, size($latsCol) - 2),
-             |  i -> struct(array($latsCol[i], $latsCol[i+1]) AS la,
-             |              array($lonsCol[i], $lonsCol[i+1]) AS lo))""".stripMargin)))
-      .select(col("line_id"), col("pos").cast("int").as("edge_idx"),
-        col("col.la").as("__elats"), col("col.lo").as("__elons"))
-
-    val raster = edges.select(col("line_id"), col("edge_idx"),
-      col("__elats"), col("__elons"),
-      explode(array_distinct(flatten(transform(
-        s2_polyline_covering(col("__elats"), col("__elons"), level),
-        c => array_union(array(c), s2_all_neighbors(c, level)))))).as("__bucket"))
-
-    val cands = points
-      .withColumn("__pcell", s2_tile(col(latCol), col(lonCol), level))
-      .join(raster, col("__pcell") === col("__bucket"))
-      .withColumn("__d",
-        s2_polyline_distance_m(col("__elats"), col("__elons"), col(latCol), col(lonCol)))
-      .where(col("__d") <= radiusM)
-      .select(col(trackCol).cast("long"),
-        unix_micros(col(tsCol).cast("timestamp")),
-        col(tieCol).cast("long"),
-        col("line_id"), col("edge_idx"),
-        round(col("__d") / quantMeters).cast("long"))
+    val cands = candidateStates(points, trackCol, tsCol, tieCol, latCol, lonCol,
+        lines, lineIdCol, latsCol, lonsCol, level, radiusM, quantMeters)
+      .select(col("__track"), unix_micros(col("__ts")), col("__tie"),
+        col("line_id"), col("edge_idx"), col("__e"))
 
     val spark = points.sparkSession
     import spark.implicits._
@@ -150,5 +123,54 @@ object MapMatch {
         }
       }
       .toDF(trackCol, tieCol, "line_id", "edge_idx", "total_cost")
+  }
+
+  /** The shared candidate stage: every (line, edge) state within
+    * `radiusM` of every fix, with the quantized integer emission —
+    * lines exploded into per-edge 2-vertex chains executor-side, their
+    * covering∪neighbor raster equi-joined against each fix's
+    * scan-computed cell (the fix side never shuffles here). Output
+    * columns: (__track, __ts timestamp, __tie, line_id, edge_idx, __e).
+    * Used by the batch [[viterbi]] and the streaming online twin
+    * ([[graft.streaming.MapMatchStream]] — there the raster side is
+    * static and this is a stream-static join). */
+  private[graft] def candidateStates(points: DataFrame, trackCol: String,
+                                     tsCol: String, tieCol: String,
+                                     latCol: String, lonCol: String,
+                                     lines: DataFrame, lineIdCol: String,
+                                     latsCol: String, lonsCol: String,
+                                     level: Int, radiusM: Double,
+                                     quantMeters: Double): DataFrame = {
+    val reserved = Seq("__pcell", "__bucket", "__elats", "__elons", "__e", "__d",
+      "__track", "__ts", "__tie")
+    val collisions = (points.columns ++ lines.columns).filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"mapMatch: reserved column name(s) in input: ${collisions.mkString(", ")}")
+
+    val edges = lines.select(col(lineIdCol).cast("long").as("line_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size($latsCol) - 2),
+             |  i -> struct(array($latsCol[i], $latsCol[i+1]) AS la,
+             |              array($lonsCol[i], $lonsCol[i+1]) AS lo))""".stripMargin)))
+      .select(col("line_id"), col("pos").cast("int").as("edge_idx"),
+        col("col.la").as("__elats"), col("col.lo").as("__elons"))
+
+    val raster = edges.select(col("line_id"), col("edge_idx"),
+      col("__elats"), col("__elons"),
+      explode(array_distinct(flatten(transform(
+        s2_polyline_covering(col("__elats"), col("__elons"), level),
+        c => array_union(array(c), s2_all_neighbors(c, level)))))).as("__bucket"))
+
+    points
+      .withColumn("__pcell", s2_tile(col(latCol), col(lonCol), level))
+      .join(raster, col("__pcell") === col("__bucket"))
+      .withColumn("__d",
+        s2_polyline_distance_m(col("__elats"), col("__elons"), col(latCol), col(lonCol)))
+      .where(col("__d") <= radiusM)
+      .select(col(trackCol).cast("long").as("__track"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        col(tieCol).cast("long").as("__tie"),
+        col("line_id"), col("edge_idx"),
+        round(col("__d") / quantMeters).cast("long").as("__e"))
   }
 }
