@@ -510,6 +510,29 @@ object SparkEntry {
       .select("user_id", "ts", "event_id", "lat", "lon")
   }
 
+  /** Shared CTEs of the LPA-family oracles (q_lpa / q_modularity): the
+    * 500 km proximity pair join `e`, its directed adjacency, and the
+    * three synchronous mode-label rounds ending at `l3`. */
+  private def proximityLpaCtes: String = {
+    val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+    val round = (i: Int) =>
+      s"""cnt$i AS (SELECT a.dst AS id, l.label, count(*) AS c FROM adj a
+         |  JOIN l${i - 1} l ON l.id = a.src GROUP BY 1, 2),
+         |l$i AS (SELECT id, label FROM (SELECT id, label,
+         |  row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+         |  FROM cnt$i) t WHERE rn = 1)""".stripMargin
+    s"""pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+       |e AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+       |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+       |  WHERE $d <= 500000.0),
+       |adj AS (SELECT id_a AS src, id_b AS dst FROM e
+       |  UNION ALL SELECT id_b, id_a FROM e),
+       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
+
   /** Shared CTE prefix of the two map-match oracles (q_map_match /
     * q_map_match_stream): the jittered track fixture, per-edge exact
     * distances, 10 m quantized emissions within the radius, the step
@@ -1780,6 +1803,31 @@ object SparkEntry {
       val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
         .select("id_a", "id_b")
       Graphs.triangleCounts(edges)
+    }),
+
+    // Newman modularity of the LPA partition over the same proximity
+    // graph — the "did community detection find structure?" gate: exact
+    // integer Q·4m² = Σ_c (4m·e_c − d_c²), ONE shared final division
+    "q_modularity" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+      Graphs.modularity(edges, Graphs.labelPropagation(edges, rounds = 3))
+    }),
+
+    // degree assortativity of the proximity graph: hubs-to-hubs or
+    // hubs-to-leaves — the symmetric edge-direction trick makes Pearson a
+    // sqrt-free ratio of exact int64 moments
+    "q_assortativity" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+      Graphs.degreeAssortativity(edges)
     }),
 
     // per-node local clustering coefficient over the same proximity graph:
@@ -4827,25 +4875,49 @@ object SparkEntry {
     // through HUGEINT in DuckDB, the final CAST pins int64
     // same proximity edges; each round a (node, label) count CTE + the
     // row_number (c DESC, label ASC) argmax mirroring the min-struct
-    "q_lpa" -> {
+    "q_lpa" -> s"""WITH $proximityLpaCtes
+         |SELECT id, label FROM l3""".stripMargin,
+
+    // the LPA replay's l3 labels fed into the exact integer modularity
+    // identity Q·4m² = Σ_c (4m·e_c − d_c²); isolated labels contribute
+    // −d_c² through the outer join, and the only float is the engine's
+    // own final division
+    "q_modularity" -> {
+      s"""WITH $proximityLpaCtes,
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e) t GROUP BY 1),
+         |dc AS (SELECT l.label, CAST(sum(dg.deg) AS BIGINT) AS dcs
+         |  FROM dg JOIN l3 l ON l.id = dg.id GROUP BY 1),
+         |ec AS (SELECT la.label, CAST(count(*) AS BIGINT) AS ecs
+         |  FROM e JOIN l3 la ON la.id = e.id_a JOIN l3 lb ON lb.id = e.id_b
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |j AS (SELECT COALESCE(dc.label, ec.label) AS label,
+         |    COALESCE(dc.dcs, 0) AS dcs, COALESCE(ec.ecs, 0) AS ecs
+         |  FROM dc FULL OUTER JOIN ec ON ec.label = dc.label),
+         |a AS (SELECT max(mm.m) AS m,
+         |    CAST(sum(4*mm.m*j.ecs - j.dcs*j.dcs) AS BIGINT) AS q_num
+         |  FROM j, mm)
+         |SELECT m, q_num, ${Graphs.ModularityFinalSql} AS modularity FROM a""".stripMargin
+    },
+
+    // the same endpoint-degree attachment and the sqrt-free symmetric
+    // Pearson ratio over exact integer moments
+    "q_assortativity" -> {
       val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
-      val round = (i: Int) =>
-        s"""cnt$i AS (SELECT a.dst AS id, l.label, count(*) AS c FROM adj a
-           |  JOIN l${i - 1} l ON l.id = a.src GROUP BY 1, 2),
-           |l$i AS (SELECT id, label FROM (SELECT id, label,
-           |  row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
-           |  FROM cnt$i) t WHERE rn = 1)""".stripMargin
       s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
          |e AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
          |  WHERE $d <= 500000.0),
-         |adj AS (SELECT id_a AS src, id_b AS dst FROM e
-         |  UNION ALL SELECT id_b, id_a FROM e),
-         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
-         |SELECT id, label FROM l3""".stripMargin
+         |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e) t GROUP BY 1),
+         |w AS (SELECT x.deg AS da, y.deg AS db FROM e
+         |  JOIN dg x ON x.id = e.id_a JOIN dg y ON y.id = e.id_b),
+         |a AS (SELECT CAST(2*count(*) AS BIGINT) AS m2,
+         |    CAST(sum(da + db) AS BIGINT) AS sx,
+         |    CAST(sum(da*da + db*db) AS BIGINT) AS sxx,
+         |    CAST(2*sum(da*db) AS BIGINT) AS sxy FROM w)
+         |SELECT m2, sx, sxx, sxy, ${Graphs.AssortativityFinalSql} AS assortativity FROM a""".stripMargin
     },
 
     "q_pagerank" -> PageRankOracleSql,

@@ -217,6 +217,95 @@ object Graphs {
     labels
   }
 
+  /** The modularity final expression over (m, q_num) — shared verbatim
+    * with the SQL oracle. Q = q_num / 4m². */
+  val ModularityFinalSql: String =
+    """CASE WHEN m = 0 THEN NULL
+      | ELSE CAST(q_num AS DOUBLE) / (4*CAST(m AS DOUBLE)*CAST(m AS DOUBLE)) END""".stripMargin
+
+  /** Newman modularity of a node partition over an undirected canonical
+    * edge list — "did the community detection actually find structure?",
+    * the quality gate to run on every [[labelPropagation]] output before
+    * trusting its clusters. Exact integer form:
+    *
+    *   Q·4m² = Σ_c (4m·e_c − d_c²)          (e_c intra-community edges,
+    *                                          d_c community degree sum)
+    *
+    * so the output row is (m, q_num, modularity) with m and q_num EXACT
+    * int64 and modularity ONE shared IEEE division ([[ModularityFinalSql]]).
+    * Isolated labels (no intra edge) contribute −d_c² via the outer join.
+    *
+    * Shape at scale: two label-keyed hash aggregates (degree sums; intra
+    * counts from one edges⋈labels⋈labels equi-join pair), a full-outer
+    * label join, a 1-row edge-count broadcast — community-cardinality
+    * rows everywhere after the joins. Integer headroom: |q_num| ≤ 8m²,
+    * guarded loudly past m = 10⁹. */
+  def modularity(edges0: DataFrame, labels: DataFrame): DataFrame = {
+    val edges = edges0.select(col("id_a"), col("id_b")).localCheckpoint()
+    val lab = labels.select(col("id"), col("label")).localCheckpoint()
+    val mRow = edges.agg(count(lit(1)).as("m"))
+    val dC = degrees(edges).join(lab.select(col("id").as("src"), col("label")), "src")
+      .groupBy("label").agg(sum(col("deg")).as("__dc"))
+    val eC = edges
+      .join(lab.select(col("id").as("id_a"), col("label").as("__la")), "id_a")
+      .join(lab.select(col("id").as("id_b"), col("label").as("__lb")), "id_b")
+      .where(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("__ec"))
+    dC.join(eC, Seq("label"), "full_outer")
+      .crossJoin(broadcast(mRow))
+      .withColumn("__ok",
+        when(col("m") <= 1000000000L, true)
+          .otherwise(raise_error(lit("modularity: q_num overflows int64 past m = 1e9"))))
+      .where(col("__ok"))
+      .agg(max(col("m")).as("m"),
+        sum(lit(4L) * col("m") * coalesce(col("__ec"), lit(0L))
+          - coalesce(col("__dc"), lit(0L)) * coalesce(col("__dc"), lit(0L))).as("q_num"))
+      .select(col("m"), col("q_num"), expr(ModularityFinalSql).as("modularity"))
+  }
+
+  /** The assortativity final expression over the exact integer moments
+    * (m2, sx, sxx, sxy) — by edge-direction symmetry the x and y moments
+    * coincide, so Pearson needs NO square root:
+    * r = (m2·sxy − sx²) / (m2·sxx − sx²). Shared verbatim with the
+    * oracle. */
+  val AssortativityFinalSql: String =
+    """CASE WHEN m2 = 0 OR CAST(m2 AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) = 0 THEN NULL
+      | ELSE (CAST(m2 AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |  / (CAST(m2 AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) END""".stripMargin
+
+  /** Degree assortativity (Newman's degree-degree Pearson) over an
+    * undirected canonical edge list — do hubs link to hubs (r > 0, social
+    * nets) or to leaves (r < 0, infrastructure)? Each undirected edge
+    * contributes BOTH ordered endpoint-degree pairs, which makes the x/y
+    * marginals identical and the whole statistic a ratio of exact int64
+    * moments — no sqrt, one shared final division. Output ONE row
+    * (m2, sx, sxx, sxy, assortativity), m2 = 2m ordered pairs.
+    *
+    * Shape: one degree aggregate, two broadcast-or-shuffle joins to
+    * attach endpoint degrees, one global sum — edge-count work, no
+    * windows. Integer headroom: sxy ≤ m2·dmax²; the double-domain guard
+    * trips loudly near 4.6e18. */
+  def degreeAssortativity(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("id_a"), col("id_b")).localCheckpoint()
+    val deg = degrees(edges)
+    val withDeg = edges
+      .join(deg.select(col("src").as("id_a"), col("deg").as("__da")), "id_a")
+      .join(deg.select(col("src").as("id_b"), col("deg").as("__db")), "id_b")
+    withDeg
+      .agg((lit(2L) * count(lit(1))).as("m2"),
+        sum(col("__da") + col("__db")).as("sx"),
+        sum(col("__da") * col("__da") + col("__db") * col("__db")).as("sxx"),
+        (lit(2L) * sum(col("__da") * col("__db"))).as("sxy"),
+        max(greatest(col("__da"), col("__db"))).as("__dmax"))
+      .withColumn("__ok",
+        when(col("m2").cast("double") * col("__dmax").cast("double")
+          * col("__dmax").cast("double") <= lit(4.6e18), true)
+          .otherwise(raise_error(lit("degreeAssortativity: moments overflow int64"))))
+      .where(col("__ok"))
+      .select(col("m2"), col("sx"), col("sxx"), col("sxy"),
+        expr(AssortativityFinalSql).as("assortativity"))
+  }
+
   def kCore(edges0: DataFrame, k: Long, maxRounds: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")

@@ -81,6 +81,61 @@ class GraphsSpec extends SparkTestBase {
     assert(got.nonEmpty && got.values.exists(_._3.exists(x => x > 0 && x < 1)))
   }
 
+  test("modularity: two K4s perfectly split give 0.5; one community gives 0; brute replay") {
+    import spark.implicits._
+    def mod(edges: Seq[(Long, Long)], labels: Map[Long, Long]): (Long, Long, Option[Double]) =
+      Graphs.modularity(edges.toDF("id_a", "id_b"),
+          labels.toSeq.toDF("id", "label"))
+        .as[(Long, Long, Option[Double])].head()
+    val k4a = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val k4b = for (i <- 10L to 13L; j <- i + 1 to 13L) yield (i, j)
+    val two = k4a ++ k4b
+    val split = (0L to 3L).map(_ -> 1L).toMap ++ (10L to 13L).map(_ -> 2L).toMap
+    assert(mod(two, split) == ((12L, 288L, Some(0.5))))
+    assert(mod(two, split.keys.map(_ -> 9L).toMap)._3.contains(0.0))
+    // brute replay on a random graph with random labels
+    val rnd = new scala.util.Random(3)
+    val edges = (for {
+      i <- 0L until 30L; j <- i + 1 until 30L if rnd.nextDouble() < 0.2
+    } yield (i, j)).toSeq
+    val labels = (0L until 30L).map(i => i -> (rnd.nextInt(4) + 1).toLong).toMap
+    val m = edges.size.toLong
+    val degs = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong)
+    val dc = degs.toSeq.groupBy(kv => labels(kv._1)).view.mapValues(_.map(_._2).sum)
+    val ec = edges.filter(e => labels(e._1) == labels(e._2))
+      .groupBy(e => labels(e._1)).view.mapValues(_.size.toLong)
+    val qnum = (dc.keySet ++ ec.keySet).toSeq.map { c =>
+      4 * m * ec.getOrElse(c, 0L) - dc.getOrElse(c, 0L) * dc.getOrElse(c, 0L) }.sum
+    val got = mod(edges, labels)
+    assert(got._1 == m && got._2 == qnum)
+    assert(got._3.contains(qnum.toDouble / (4.0 * m * m)))
+  }
+
+  test("degreeAssortativity: a star is exactly -1, a cycle NULL, random == brute Pearson") {
+    import spark.implicits._
+    def assort(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Option[Double]) =
+      Graphs.degreeAssortativity(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long, Long, Long, Option[Double])].head()
+    val star = (1L to 20L).map(i => (0L, i))
+    assert(assort(star)._5.contains(-1.0))
+    val cycle = (0L until 12L).map(i => (i min ((i + 1) % 12), i max ((i + 1) % 12)))
+    assert(assort(cycle)._5.isEmpty) // degree-regular: zero variance
+    val rnd = new scala.util.Random(17)
+    val edges = (for {
+      i <- 0L until 40L; j <- i + 1 until 40L if rnd.nextDouble() < 0.1
+    } yield (i, j)).toSeq
+    val degs = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong)
+    val pairs = edges.flatMap(e => Seq((degs(e._1), degs(e._2)), (degs(e._2), degs(e._1))))
+    val m2 = pairs.size.toLong
+    val sx = pairs.map(_._1).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val (gm2, gsx, gsxx, gsxy, gr) = assort(edges)
+    assert((gm2, gsx, gsxx, gsxy) == ((m2, sx, sxx, sxy)))
+    val expect = (m2.toDouble * sxy - sx.toDouble * sx) / (m2.toDouble * sxx - sx.toDouble * sx)
+    assert(gr.contains(expect))
+  }
+
   private def ranks(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
     import spark.implicits._
     Graphs.pageRankScaled(edges.toDF("id_a", "id_b"), rounds)
