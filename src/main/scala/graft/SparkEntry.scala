@@ -1818,6 +1818,17 @@ object SparkEntry {
       Graphs.modularity(edges, Graphs.labelPropagation(edges, rounds = 3))
     }),
 
+    // global transitivity of the proximity graph: 3·triangles/wedges as
+    // 2·t3/w2 over two exact integers — the one-number density summary
+    "q_transitivity" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+      Graphs.transitivity(edges)
+    }),
+
     // degree assortativity of the proximity graph: hubs-to-hubs or
     // hubs-to-leaves — the symmetric edge-direction trick makes Pearson a
     // sqrt-free ratio of exact int64 moments
@@ -4899,6 +4910,24 @@ object SparkEntry {
          |    CAST(sum(4*mm.m*j.ecs - j.dcs*j.dcs) AS BIGINT) AS q_num
          |  FROM j, mm)
          |SELECT m, q_num, ${Graphs.ModularityFinalSql} AS modularity FROM a""".stripMargin
+    },
+
+    // the triple-join triangle count and degree sums reduced to the two
+    // integers, then the engine's own final text
+    "q_transitivity" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |e AS MATERIALIZED (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |  WHERE $d <= 500000.0),
+         |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e) t GROUP BY 1),
+         |t AS (SELECT p1.id_a AS a FROM e p1
+         |  JOIN e p2 ON p2.id_a = p1.id_b
+         |  JOIN e p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+         |a AS (SELECT (SELECT CAST(sum(deg*(deg-1)) AS BIGINT) FROM dg) AS w2,
+         |        (SELECT CAST(COALESCE(3*count(*), 0) AS BIGINT) FROM t) AS t3)
+         |SELECT w2, t3, ${Graphs.TransitivityFinalSql} AS transitivity FROM a""".stripMargin
     },
 
     // the same endpoint-degree attachment and the sqrt-free symmetric

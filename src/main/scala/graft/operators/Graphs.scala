@@ -217,6 +217,29 @@ object Graphs {
     labels
   }
 
+  /** The transitivity final expression over (w2, t3) — shared verbatim
+    * with the SQL oracle. w2 = Σ d(d−1) = 2·wedges, t3 = Σ per-node
+    * triangles = 3·triangles, so transitivity = 3T/wedges = 2·t3/w2. */
+  val TransitivityFinalSql: String =
+    "CASE WHEN w2 = 0 THEN NULL ELSE 2*CAST(t3 AS DOUBLE)/CAST(w2 AS DOUBLE) END"
+
+  /** GLOBAL clustering coefficient (transitivity) — what fraction of
+    * connected triples close into triangles, the one-number density
+    * summary of [[clusteringCoefficient]]'s per-node table (and the
+    * whole-graph QA gate for dup/contact graphs). Output ONE row
+    * (w2, t3, transitivity): w2 and t3 exact int64, the coefficient one
+    * shared IEEE division. Shape: the pinned edge list feeds the degree
+    * aggregate and the oriented wedge join once; both reduce to 1-row
+    * sums. */
+  def transitivity(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("id_a"), col("id_b")).localCheckpoint()
+    val w2 = degrees(edges).agg(sum(col("deg") * (col("deg") - 1)).as("w2"))
+    val t3 = triangleCountsOn(edges).agg(
+      coalesce(sum(col("triangles")), lit(0L)).as("t3"))
+    w2.crossJoin(t3)
+      .select(col("w2"), col("t3"), expr(TransitivityFinalSql).as("transitivity"))
+  }
+
   /** The modularity final expression over (m, q_num) — shared verbatim
     * with the SQL oracle. Q = q_num / 4m². */
   val ModularityFinalSql: String =

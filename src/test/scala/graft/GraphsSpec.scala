@@ -81,6 +81,31 @@ class GraphsSpec extends SparkTestBase {
     assert(got.nonEmpty && got.values.exists(_._3.exists(x => x > 0 && x < 1)))
   }
 
+  test("transitivity: K4 is 1.0, a star 0.0, random == brute 3T/wedges") {
+    import spark.implicits._
+    def tr(edges: Seq[(Long, Long)]): (Long, Long, Option[Double]) =
+      Graphs.transitivity(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long, Option[Double])].head()
+    val k4 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    assert(tr(k4)._3.contains(1.0))
+    val star = (1L to 10L).map(i => (0L, i))
+    assert(tr(star) == ((90L, 0L, Some(0.0))))
+    val rnd = new scala.util.Random(29)
+    val edges = (for {
+      i <- 0L until 40L; j <- i + 1 until 40L if rnd.nextDouble() < 0.15
+    } yield (i, j)).toSeq
+    val eset = edges.toSet
+    val degs = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong)
+    val w2 = degs.values.map(d => d * (d - 1)).sum
+    val tcount = (for {
+      a <- 0L until 40L; b <- a + 1 until 40L if eset((a, b))
+      c <- b + 1 until 40L if eset((b, c)) && eset((a, c))
+    } yield 1).size.toLong
+    val got = tr(edges)
+    assert(got._1 == w2 && got._2 == 3 * tcount)
+    assert(got._3.contains(2.0 * (3 * tcount) / w2))
+  }
+
   test("modularity: two K4s perfectly split give 0.5; one community gives 0; brute replay") {
     import spark.implicits._
     def mod(edges: Seq[(Long, Long)], labels: Map[Long, Long]): (Long, Long, Option[Double]) =
