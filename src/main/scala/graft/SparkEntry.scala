@@ -836,6 +836,14 @@ object SparkEntry {
     "q_mann_kendall" -> ((s, dir) =>
       TimeSeries.mannKendall(events(s, dir), "user_id", "ts", "event_id", "value")),
 
+    // the live twin: per-event running (S, var18) from O(distinct-values)
+    // keyed state — the tie term updates by the telescoped 6·(k²−1)
+    // increment; the oracle replays every prefix via a pair join + two
+    // window sums, all exact int64
+    "q_mann_kendall_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.mannKendallStream(events(s, dir),
+        "user_id", "ts", "event_id", "value").toDF()),
+
     // cohort retention triangle: users grouped by first-activity day,
     // distinct-active counted per (cohort, day offset) — dates and counts
     // only, integer-exact
@@ -3878,6 +3886,27 @@ object SparkEntry {
         |SELECT n.user_id, n.n AS n_obs, COALESCE(p.s_stat, 0) AS s_stat,
         |  n.n*(n.n-1)*(2*n.n+5) - t.tie18 AS var18
         |FROM n JOIN t USING (user_id) LEFT JOIN p ON p.user_id = n.user_id""".stripMargin,
+
+    // every prefix replayed: delta_i from the prior-rows pair join, S and
+    // the telescoped tie term as running window sums — exact integers
+    "q_mann_kendall_stream" ->
+      """WITH s AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS w, ts, event_id
+        |           FROM events WHERE value IS NOT NULL),
+        |o AS (SELECT user_id, w, event_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i FROM s),
+        |d AS (SELECT a.user_id, a.event_id, a.i, a.w,
+        |        CAST(COALESCE(sum(CASE WHEN a.w > b.w THEN 1 WHEN a.w < b.w THEN -1 ELSE 0 END), 0) AS BIGINT) AS delta
+        |      FROM o a LEFT JOIN o b ON b.user_id = a.user_id AND b.i < a.i
+        |      GROUP BY a.user_id, a.event_id, a.i, a.w),
+        |r AS (SELECT user_id, event_id, CAST(i AS BIGINT) AS n,
+        |        CAST(sum(delta) OVER wi AS BIGINT) AS s_stat,
+        |        CAST(sum(6*(tv*tv - 1)) OVER wi AS BIGINT) AS tie18
+        |      FROM (SELECT d.*, CAST(row_number() OVER (
+        |              PARTITION BY d.user_id, d.w ORDER BY d.i) AS BIGINT) AS tv FROM d) t
+        |      WINDOW wi AS (PARTITION BY user_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id AS entity_id, event_id, n AS n_obs, s_stat,
+        |  n*(n-1)*(2*n+5) - tie18 AS var18 FROM r""".stripMargin,
 
     "q_retention" ->
       """WITH cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date

@@ -642,6 +642,86 @@ object EventStreams {
       }
   }
 
+  final case class MkState(lastUs: Long, lastOrder: Long, n: Long, s: Long,
+                           tie18: Long, counts: Map[Long, Long])
+  final case class MkPoint(entity_id: Long, event_id: Long, n_obs: Long,
+                           s_stat: Long, var18: Long)
+
+  /** Streaming running Mann–Kendall — the live twin of
+    * [[graft.operators.TimeSeries.mannKendall]]: each arriving value
+    * updates the exact integer prefix statistic
+    * S += (#seen below) − (#seen above) and the tie term incrementally
+    * (a value whose count reaches k adds 6·(k²−1) to Σt(t−1)(2t+5) — the
+    * telescoped tie increment), emitting (entity_id, event_id, n_obs,
+    * s_stat, var18) per event, all exact int64. The last row per entity
+    * equals the batch operator.
+    *
+    * State per key is the value-count map — O(distinct quantized values),
+    * NOT O(events): bounded by the value grid (|value| ≤ 500 at scale 100
+    * → ≤ 100k entries worst case, typically tens), the price of an
+    * inversion count with no window form. Ordering/TTL contract shared
+    * with [[acfStream]]. */
+  def mannKendallStream(events: DataFrame, idCol: String, tsCol: String,
+                        orderCol: String, valueCol: String, scale: Long = 100L,
+                        watermarkDelay: String = "10 minutes",
+                        idleTtlMillis: Long = 24 * 3600 * 1000L): Dataset[MkPoint] = {
+    require(scale > 0, s"scale must be positive: $scale")
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    val isStream = events.isStreaming
+    val src0 = events.where(col(valueCol).isNotNull).select(
+      col(idCol).cast("long").as("entity_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(orderCol).cast("long").as("order"),
+      col(valueCol).cast("double").as("v"))
+    val src = (if (isStream) src0.withWatermark("ts", watermarkDelay) else src0).as[AcfRow]
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    def quantize(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    src
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[MkState, MkPoint](
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()) {
+        case (entityId, rows, state: GroupState[MkState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(p => (micros(p.ts), p.order))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[MkPoint]
+            for (p <- sorted) {
+              val us = micros(p.ts)
+              val fresh = st == null || us > st.lastUs ||
+                (us == st.lastUs && p.order > st.lastOrder)
+              if (fresh) {
+                val w = quantize(p.v)
+                val counts = if (st == null) Map.empty[Long, Long] else st.counts
+                var below = 0L; var above = 0L
+                counts.foreach { case (v, c) =>
+                  if (v < w) below += c else if (v > w) above += c
+                }
+                val k = counts.getOrElse(w, 0L) + 1
+                st = MkState(us, p.order,
+                  (if (st == null) 0L else st.n) + 1,
+                  (if (st == null) 0L else st.s) + below - above,
+                  (if (st == null) 0L else st.tie18) + 6 * (k * k - 1),
+                  counts.updated(w, k))
+                out += MkPoint(entityId, p.order, st.n, st.s,
+                  st.n * (st.n - 1) * (2 * st.n + 5) - st.tie18)
+              }
+            }
+            if (isStream) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + idleTtlMillis)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
   /** Batch-mode sessionization with plain window functions — the oracle-able
     * equivalent of [[sessionize]] (gap > threshold starts a new session). */
   def sessionizeBatch(events: DataFrame, gapMillis: Long = 30 * 60 * 1000L): DataFrame = {

@@ -49,4 +49,48 @@ class MannKendallSpec extends SparkTestBase {
     assert(got.values.exists(_._2 != 0))
     assert(got.values.exists { case (n, _, v) => v < n * (n - 1) * (2 * n + 5) })
   }
+
+  test("streaming twin: cross-batch continuity; last row per entity == batch operator") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 80).map { i =>
+      val user = i % 2
+      val step = i / 2
+      val v = if (user == 0) (step % 5).toDouble * 0.11 else step * 0.07
+      Event(i.toLong, new Timestamp(1700000000000L + step * 60000L), user.toLong, "m", v)
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val query = EventStreams
+      .mannKendallStream(input.toDF(), "user_id", "ts", "event_id", "value")
+      .writeStream.format("memory").queryName("mk_xbatch")
+      .outputMode("append").start()
+    try {
+      input.addData(events.take(27): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(27): _*)
+      query.processAllAvailable()
+      def asMap(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val got = asMap(spark.sql(
+        "SELECT entity_id, event_id, n_obs, s_stat, var18 FROM mk_xbatch").collect())
+      val batch = asMap(EventStreams
+        .mannKendallStream(events.toDF(), "user_id", "ts", "event_id", "value")
+        .toDF().collect())
+      assert(got === batch)
+      assert(got.size === 80)
+      // final row per entity == the batch Fenwick operator
+      val last = got.groupBy(_._1._1).map { case (u, m) => u -> m.maxBy(_._1._2)._2 }
+      val whole = TimeSeries
+        .mannKendall(events.toDF(), "user_id", "ts", "event_id", "value")
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (id, n, s, v) => id -> ((n, s, v)) }.toMap
+      assert(last === whole)
+      // the ramp entity's S reaches the no-tie maximum
+      assert(whole(1L)._2 == 40L * 39L / 2)
+    } finally query.stop()
+  }
 }
