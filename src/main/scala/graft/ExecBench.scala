@@ -387,6 +387,52 @@ object ExecBench {
       val e2 = ids.select(col("id").as("id_a"), (col("id") + 2).as("id_b")).where(col("id_b") < n)
       Graphs.clusteringCoefficient(e1.unionAll(e2).toDF()).count()
     }
+    // wave 91-96 additions: auc/calibration drive the two-pass global
+    // rank at 100M scored rows; modularity/assortativity run the
+    // label/degree join+agg shapes on the 20M-edge ladder (modularity
+    // takes an arbitrary 1k-way hash partition — it measures the metric,
+    // not the community detector); mkStream drives the map-state typed
+    // fold at 10M rows
+    import graft.operators.Evaluation
+    t("auc 100M scored   ") {
+      val scored = spark.range(0L, 100000000L, 1, 64)
+        .withColumn("score", pmod(col("id") * 7919L, lit(100000L)))
+        .withColumn("label", pmod(col("id") * 104729L, lit(7L)) === 0L)
+      Evaluation.aucStats(scored.toDF(), col("score"), col("label"), col("id"))
+        .count(); 100000000L
+    }
+    t("calibration 100M  ") {
+      val scored = spark.range(0L, 100000000L, 1, 64)
+        .withColumn("score", pmod(col("id") * 7919L, lit(100000L)))
+        .withColumn("label", pmod(col("id") * 104729L, lit(7L)) === 0L)
+      Evaluation.calibrationBins(scored.toDF(), col("score"), col("label"),
+        col("id")).count(); 100000000L
+    }
+    t("modularity 20M edg") {
+      val n = 10000000L
+      val ids = spark.range(0L, n, 1, 64)
+      val e1 = ids.select(col("id").as("id_a"), (col("id") + 1).as("id_b")).where(col("id_b") < n)
+      val e2 = ids.select(col("id").as("id_a"), (col("id") + 2).as("id_b")).where(col("id_b") < n)
+      val labels = ids.select(col("id"), pmod(col("id"), lit(1000L)).as("label"))
+      Graphs.modularity(e1.unionAll(e2).toDF(), labels.toDF()).count(); 20000000L
+    }
+    t("assortativity 20M ") {
+      val n = 10000000L
+      val ids = spark.range(0L, n, 1, 64)
+      val e1 = ids.select(col("id").as("id_a"), (col("id") + 1).as("id_b")).where(col("id_b") < n)
+      val e2 = ids.select(col("id").as("id_a"), (col("id") + 2).as("id_b")).where(col("id_b") < n)
+      Graphs.degreeAssortativity(e1.unionAll(e2).toDF()).count(); 20000000L
+    }
+    t("mkStream 10M fold ") {
+      val vals = spark.range(0L, 10000000L, 1, 64)
+        .withColumn("user_id", col("id") % 100000L)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) +
+          (col("id") / lit(100000L)).cast("long")))
+        .withColumn("value",
+          pmod(col("id") * 7919L, lit(4001L)).cast("double") / lit(100.0))
+      graft.streaming.EventStreams.mannKendallStream(vals.toDF(), "user_id", "ts",
+        "id", "value").toDF().count(); 10000000L
+    }
     // z-order: layout written ONCE (100M rows — at 20M both reads are
     // footer/listing-overhead-bound and the comparison is meaningless),
     // then the pruned box read is timed against the same predicate over a

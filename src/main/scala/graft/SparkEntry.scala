@@ -2419,6 +2419,16 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(documents(s, dir), "doc_id", "text", k = 3)),
 
+    // Heaps-law vocabulary-growth curve: per corpus decile, exact integer
+    // (n_tokens, new_types, cum_types) — the dedup/boilerplate health
+    // probe (a flat tail = duplicate mass, a linear tail = id junk);
+    // one token explode, two-pass doc rank, bucket-cardinality cumulative.
+    // This synthetic corpus mints its whole 31-term vocabulary in decile
+    // 0 — exactly the flat-tail signature the probe exists to flag
+    // (VocabGrowthSpec plants a genuinely growing corpus)
+    "q_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(documents(s, dir), "doc_id", "text", buckets = 10)),
+
     // corpus-level phrase mining: top-20 bigram collocations by PMI with
     // the integer-exact scaled-quotient score (same rank as PMI — the
     // N^2/B factor is a corpus constant); hapax filter c_xy >= 5
@@ -5530,6 +5540,22 @@ object SparkEntry {
          | CAST((CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 200 AS BIGINT) AS batch_id
          |FROM b""".stripMargin
     },
+
+    // the same whitespace tokenizer, rank, min-rank first occurrences,
+    // decile index arithmetic, and bucket self-join cumulative
+    "q_vocab_growth" ->
+      """WITH r AS (SELECT row_number() OVER (ORDER BY doc_id) AS rank, text FROM documents),
+        |t AS (SELECT count(*) AS d FROM r),
+        |tk AS (SELECT r.rank, unnest(list_filter(string_split_regex(lower(r.text), '\s+'),
+        |  x -> len(x) > 0)) AS tok FROM r),
+        |occ AS (SELECT ((rank - 1) * 10) // d AS bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tk, t GROUP BY 1),
+        |nt AS (SELECT ((fr - 1) * 10) // d AS bucket, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM (SELECT tok, min(rank) AS fr FROM tk GROUP BY 1) f, t GROUP BY 1),
+        |j AS (SELECT occ.bucket, occ.n_tokens, COALESCE(nt.new_types, 0) AS new_types
+        |  FROM occ LEFT JOIN nt ON nt.bucket = occ.bucket)
+        |SELECT a.bucket, a.n_tokens, a.new_types, CAST(sum(b.new_types) AS BIGINT) AS cum_types
+        |FROM j a JOIN j b ON b.bucket <= a.bucket GROUP BY 1, 2, 3""".stripMargin,
 
     // same tokenizer as q_langid_pred ([^a-z]+ == Spark's [^\p{L}]+ on
     // this corpus); the rank is pure integer comparison, no float score

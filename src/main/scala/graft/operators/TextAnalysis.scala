@@ -268,4 +268,49 @@ object TextAnalysis {
       .limit(k)
       .select(col("id").as("word"), col("pr"))
   }
+
+  /** Heaps-law vocabulary-growth curve: the corpus split into `buckets`
+    * equal-frequency slices in id order, each reporting exact integer
+    * (n_tokens, new_types, cum_types) — new_types = vocabulary terms
+    * whose FIRST occurrence lands in that slice. The corpus-health probe
+    * for dedup/dedup-rate decisions: a healthy crawl keeps minting new
+    * vocabulary sublinearly (Heaps); a near-flat tail means the tail is
+    * duplicates or boilerplate, and a LINEAR tail means the tokenizer is
+    * leaking unique junk (ids, hashes) — both curation bugs this one
+    * query surfaces.
+    *
+    * Shape at scale: one two-pass global rank of the doc ids (no
+    * single-task sort), ONE token explode feeding both the
+    * first-occurrence (min rank per term) and per-slice occurrence
+    * aggregates, a 1-row count broadcast, and a bucket-cardinality
+    * (≤ `buckets` rows) self-join for the cumulative — nothing after the
+    * aggregates is data-sized. Whitespace-lowercase tokens, the house
+    * tokenizer shared with q_heavy_hitters' oracle. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"buckets out of range: $buckets")
+    val ranked = SortedNeighborhood.globalRank(
+        docs.select(col(idCol).as("__id"), col(textCol).as("__text")),
+        col("__id"), col("__id"))
+      .localCheckpoint()
+    val total = ranked.agg(count(lit(1)).as("__d"))
+    val toks = ranked.select(col("rank"),
+      explode(filter(split(lower(col("__text")), "\\s+"),
+        t => length(t) > 0)).as("tok"))
+    val occ = toks.crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"((rank - 1) * $buckets) div __d"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy("tok").agg(min(col("rank")).as("__fr"))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"((__fr - 1) * $buckets) div __d"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val joined = occ.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .localCheckpoint()
+    joined
+      .join(joined.select(col("bucket").as("__b2"), col("new_types").as("__nt2")),
+        col("__b2") <= col("bucket"))
+      .groupBy("bucket", "n_tokens", "new_types")
+      .agg(sum(col("__nt2")).as("cum_types"))
+  }
 }
