@@ -2247,6 +2247,17 @@ object SparkEntry {
           .select("id_a", "id_b"))
         .select("doc_id", "cluster_id")),
 
+    // the dedup report: cluster-size histogram + exact redundancy counts
+    // over the same connected components — "how much would dedup save?",
+    // the summary a pipeline logs before committing its keep list
+    "q_dedup_report" -> ((s, dir) =>
+      Dedup.clusterSizeReport(
+        Dedup.duplicateClusters(
+          Dedup.nearDupPairs(documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+            numHashes = 32, bands = 16, minJaccard = 0.9, minEstJaccard = 0.5)
+            .select("id_a", "id_b"))
+          .select("doc_id", "cluster_id"))),
+
     // deduplicated-corpus keep list: the dedup pipeline's actual output —
     // every doc that is a singleton or its cluster's canonical (min) id;
     // non-canonical near-dup cluster members are dropped via one anti join
@@ -5361,6 +5372,18 @@ object SparkEntry {
       s"""WITH RECURSIVE $TriCte,
          |${ccCte(0.9)}
          |SELECT doc_id, cluster_id FROM cc""".stripMargin,
+
+    // the same reachability closure, then two aggregates to the size
+    // histogram — every output an exact integer
+    "q_dedup_report" ->
+      s"""WITH RECURSIVE $TriCte,
+         |${ccCte(0.9)},
+         |s AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |      FROM cc GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
+         |FROM s GROUP BY 1""".stripMargin,
 
     // keep list = corpus minus non-canonical cluster members, over the same
     // reachability closure as q_dup_clusters

@@ -672,4 +672,19 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
+
+  /** The dedup REPORT: duplicate-cluster size histogram from a
+    * [[duplicateClusters]] (doc_id, cluster_id) table — one row per
+    * cluster size with exact integer (n_clusters, n_docs, n_redundant =
+    * docs the dedup would drop), the "how much would dedup save?" summary
+    * every pipeline run logs before committing a keep list. Covers
+    * clustered docs only (singletons never enter the pair graph).
+    * Shape: two chained hash aggregates — per-cluster sizes, then the
+    * size histogram; nothing after the first aggregate is data-sized. */
+  def clusterSizeReport(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
 }

@@ -51,6 +51,18 @@ class CurationSpec extends SparkTestBase {
     for (d <- 30L until 50L) assert(byDoc(d) == plain(d))
   }
 
+  test("clusterSizeReport: exact histogram + redundancy over known clusters") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterSizeReport(Dedup.duplicateClusters(pairs))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // clusters: {1,2,3} size 3, {10,11} size 2, {20..23} size 4
+    assert(got == Set((3L, 1L, 3L, 2L), (2L, 1L, 2L, 1L), (4L, 1L, 4L, 3L)))
+    // redundancy identity: sum(n_redundant) == docs - clusters
+    assert(got.map(_._4).sum == 9L - 3L)
+  }
+
   test("spatialBlockSplit: side is a pure function of the geohash block, matching the scalar fold") {
     import spark.implicits._
     val pts = (0L until 4000L).map { k =>
