@@ -1426,6 +1426,17 @@ object SparkEntry {
           .withColumn("lon", expr(lonSqlFor("event_id"))),
         "lat", "lon", 2, "ts", "2024-01-01", "2024-01-16", "2024-01-31")),
 
+    // local spatial outliers: zoom-4 tiles deviating > 3x MAD from their
+    // 3x3 neighborhood median — the robust raster QA gate (34 of 256
+    // tiles at sf0.01: the mercator edge pile-ups, exactly what it should
+    // catch); zero-filled valid positions, everything integer-exact
+    "q_tile_outliers" -> ((s, dir) =>
+      Tiling.zxyLocalOutliers(
+        events(s, dir)
+          .withColumn("lat", expr(latSqlFor("event_id")))
+          .withColumn("lon", expr(lonSqlFor("event_id"))),
+        "lat", "lon", z = 4)),
+
     // seasonal per-tile anomaly gate: each zoom-3 tile's hour-of-day
     // profile vs its own zero-filled lower-median baseline — 2x spike /
     // 2x quiet flags, every comparison an exact integer (34 spikes + 116
@@ -4673,6 +4684,33 @@ object SparkEntry {
 
     // geohashTrend replayed exactly: same window bounds, conditional sums,
     // and the identical integer-ratio expression
+    // the zoom-4 replay + the same scatter, zero-pad, and list-median
+    // arithmetic — every comparison an exact integer
+    "q_tile_outliers" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val n = 16
+      s"""WITH pts AS (SELECT $evLat AS lat, $evLon AS lon FROM events),
+         |t AS (SELECT zx, zy, CAST(count(*) AS BIGINT) AS n FROM (SELECT
+         |  least(${n - 1}, greatest(0, CAST(floor((lon + 180.0) / 360.0 * $n.0) AS BIGINT))) AS zx,
+         |  least(${n - 1}, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)
+         |    + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * $n.0) AS BIGINT))) AS zy
+         | FROM pts) g GROUP BY 1, 2),
+         |o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+         |sc AS (SELECT (t.zx + o.dx + $n) % $n AS zx2, t.zy + o.dy AS zy2, t.n FROM t, o
+         |       WHERE t.zy + o.dy >= 0 AND t.zy + o.dy < $n),
+         |nb AS (SELECT zx2 AS zx, zy2 AS zy, list(n) AS vs FROM sc GROUP BY 1, 2),
+         |j AS (SELECT t.zx, t.zy, t.n, COALESCE(nb.vs, []) AS vs,
+         |        CASE WHEN t.zy = 0 OR t.zy = ${n - 1} THEN 5 ELSE 8 END AS nv
+         |      FROM t LEFT JOIN nb ON nb.zx = t.zx AND nb.zy = t.zy),
+         |p AS (SELECT zx, zy, n, nv, list_sort(list_concat(vs,
+         |        list_transform(range(nv - len(vs)), x -> CAST(0 AS BIGINT)))) AS ps FROM j),
+         |m AS (SELECT zx, zy, n, nv, ps, ps[(nv+1)//2] AS med FROM p),
+         |q AS (SELECT zx, zy, n, med,
+         |        list_sort(list_transform(ps, x -> abs(x - med)))[(nv+1)//2] AS mad FROM m)
+         |SELECT zx, zy, n, med, mad FROM q WHERE abs(n - med) > 3*mad""".stripMargin
+    },
+
     // the zoom-3 zxy replay + the same zero-fill index arithmetic on the
     // sorted present-hour counts; every gate comparison an exact integer
     "q_tile_anomaly" -> {

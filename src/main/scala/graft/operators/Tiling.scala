@@ -271,6 +271,55 @@ object Tiling {
     tiles.join(hood, Seq("zx", "zy")).select("zx", "zy", "n", "n_hood")
   }
 
+  /** LOCAL spatial outliers (Anselin-style, but exact): tiles whose count
+    * deviates from their 3×3 NEIGHBORHOOD median by more than
+    * `k`× the neighborhood MAD — the robust raster QA gate ([[moransI]]
+    * says whether a surface is globally smooth; this names the tiles that
+    * break it; the mean/variance Gi* hotspot is one dragged-by-outliers
+    * cousin). Neighbor positions wrap in lon and clamp-EXCLUDE off the
+    * lat edge (5 valid positions on edge rows, 8 elsewhere); positions
+    * with no observed tile count 0 — zero-filled by index arithmetic, so
+    * median and MAD are over exactly the valid positions. Everything is
+    * integer comparisons: no margins, the SQL oracle replays it verbatim.
+    * Output: flagged tiles only, (zx, zy, n, med, mad); a zero-MAD
+    * neighborhood (perfectly flat) flags ANY deviation — the documented
+    * sharp-null contract.
+    *
+    * Shape at scale: one (tile) count pass over points, then a bounded
+    * scatter (8 rows per OBSERVED tile) and one collect of ≤ 8 longs per
+    * tile — everything after the first aggregate is 4^z-bounded. */
+  def zxyLocalOutliers(df: DataFrame, latCol: String, lonCol: String,
+                       z: Int, k: Long = 3L): DataFrame = {
+    require(z >= 2 && z <= 30, s"zoom out of range for a 3x3 kernel: $z")
+    require(k >= 1, s"k must be >= 1: $k")
+    val n = 1L << z
+    val tiles = zxyAssign(df, latCol, lonCol, z)
+      .groupBy("zx", "zy").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 } yield
+      struct(((col("zx") + lit(dx.toLong) + lit(n)) % lit(n)).as("tzx"),
+        (col("zy") + lit(dy.toLong)).as("tzy"), col("n"))
+    val nbrVals = tiles
+      .select(explode(array(offsets: _*)).as("__c"))
+      .select(col("__c.tzx").as("zx"), col("__c.tzy").as("zy"), col("__c.n"))
+      .where(col("zy") >= 0 && col("zy") < n)
+      .groupBy("zx", "zy").agg(collect_list(col("n")).as("__vs"))
+    tiles.join(nbrVals, Seq("zx", "zy"), "left")
+      .withColumn("__nv",
+        when(col("zy") === 0 || col("zy") === (n - 1), lit(5)).otherwise(lit(8)))
+      .withColumn("__ps", sort_array(concat(
+        coalesce(col("__vs"), array().cast("array<long>")),
+        array_repeat(lit(0L), (col("__nv") - size(coalesce(col("__vs"),
+          array().cast("array<long>")))).cast("int")))))
+      .withColumn("med", element_at(col("__ps"),
+        expr("CAST((__nv + 1) div 2 AS INT)")))
+      .withColumn("mad", element_at(
+        sort_array(transform(col("__ps"), x => abs(x - col("med")))),
+        expr("CAST((__nv + 1) div 2 AS INT)")))
+      .where(abs(col("n") - col("med")) > lit(k) * col("mad"))
+      .select("zx", "zy", "n", "med", "mad")
+  }
+
   /** `sqrt(3)/3` and `2/3`, the axial-conversion constants of [[hexBin]],
     * fixed here so Spark and any SQL replay parse identical doubles. */
   val HexC1: Double = math.sqrt(3.0) / 3.0

@@ -99,6 +99,61 @@ class TileChangeSpec extends SparkTestBase {
     assert(minMargin > 1e-9)
   }
 
+  test("zxyLocalOutliers: a planted spike on a flat field flags exactly itself") {
+    import spark.implicits._
+    // z=4 tiles are 22.5 deg wide; fill a 5x5 block of tile centers with
+    // 10 points each, then pile 100 extra onto the center tile
+    def center(zx: Long, zy: Long): (Double, Double) = {
+      val n = 16.0
+      val lon = (zx + 0.5) / n * 360.0 - 180.0
+      val yf = (zy + 0.5) / n
+      val lat = math.toDegrees(math.atan(math.sinh(math.Pi * (1 - 2 * yf))))
+      (lat, lon)
+    }
+    val flat = for {
+      zx <- 3L to 7L; zy <- 3L to 7L; _ <- 0 until 10
+    } yield center(zx, zy)
+    val spike = Seq.fill(100)(center(5L, 5L))
+    val got = Tiling.zxyLocalOutliers((flat ++ spike).toDF("lat", "lon"),
+        "lat", "lon", z = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // center: n=110, neighborhood all 10s -> med 10, mad 0, flagged.
+    // block-edge tiles see zero-filled outside positions (med can drop),
+    // but only tiles breaking 3x MAD flag — the spike must be among them
+    // and every flagged tile must genuinely break the gate
+    assert(got.contains((5L, 5L, 110L, 10L, 0L)), s"spike not flagged: $got")
+    got.foreach { case (_, _, n, med, mad) =>
+      assert(math.abs(n - med) > 3 * mad)
+    }
+  }
+
+  test("zxyLocalOutliers == independent scalar replay on the sf0.01 fixture") {
+    import spark.implicits._
+    val pts = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
+    val got = Tiling.zxyLocalOutliers(pts, "lat", "lon", z = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val counts = Tiling.zxyAssign(pts, "lat", "lon", 4)
+      .groupBy("zx", "zy").count()
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val n = 16L
+    val want = counts.flatMap { case ((zx, zy), v) =>
+      val nbrs = for {
+        dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0
+        zy2 = zy + dy if zy2 >= 0 && zy2 < n
+      } yield counts.getOrElse((((zx + dx + n) % n), zy2), 0L)
+      val sorted = nbrs.sorted
+      val kth = (nbrs.size + 1) / 2
+      val med = sorted(kth - 1)
+      val mad = nbrs.map(x => math.abs(x - med)).sorted.apply(kth - 1)
+      if (math.abs(v - med) > 3 * mad) Some((zx, zy, v, med, mad)) else None
+    }.toSet
+    assert(want.size > 10, s"fixture degenerate: ${want.size}")
+    assert(got === want)
+  }
+
   test("tileSeasonalAnomalies: zero-filled lower median, spike/quiet gates, zero-med branch") {
     import spark.implicits._
     def at(lon: Double, h: Int) =
