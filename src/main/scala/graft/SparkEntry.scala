@@ -794,6 +794,14 @@ object SparkEntry {
       Sequences.holt(events(s, dir), "user_id", "ts", "event_id", "value",
         alpha = 0.25, beta = 0.125)),
 
+    // the live twin: per-event (level, trend) forecast state from an O(1)
+    // keyed fold with the identical IEEE step trees; the oracle replays
+    // every prefix with the same transformed list_reduce
+    "q_holt_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.holtStream(events(s, dir),
+        "user_id", "ts", "event_id", "value",
+        alpha = 0.25, beta = 0.125).toDF()),
+
     // per-user lag-1 autocorrelation of event values on the centi-unit
     // integer grid: exact int64 aggregates (n, Σw, Σw², Σ lag-products,
     // head/tail), ONE key exchange shared by the sort window and the hash
@@ -3831,6 +3839,21 @@ object SparkEntry {
         |               0.125*((0.25*x[1] + 0.75*(a[1]+a[2])) - a[1]) + 0.875*a[2]]) AS lb
         |  FROM v)
         |SELECT user_id, n_obs, lb[1] AS level, lb[2] AS trend FROM f""".stripMargin,
+
+    // per-prefix replay of the same fold: slice the ordered value list at
+    // each row's index, the identical transformed list_reduce trees
+    "q_holt_stream" ->
+      """WITH o AS (SELECT event_id, user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+        |  FROM events WHERE value IS NOT NULL),
+        |v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        |      FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |f AS (SELECT o.user_id AS entity_id, o.event_id, CAST(o.i AS BIGINT) AS n_obs,
+        |  list_reduce(list_transform(v.vals[1:o.i], x -> [x, 0.0]),
+        |    (a, x) -> [0.25*x[1] + 0.75*(a[1]+a[2]),
+        |               0.125*((0.25*x[1] + 0.75*(a[1]+a[2])) - a[1]) + 0.875*a[2]]) AS lb
+        |  FROM o JOIN v USING (user_id))
+        |SELECT entity_id, event_id, n_obs, lb[1] AS level, lb[2] AS trend FROM f""".stripMargin,
 
     // identical centi-unit quantization, identical exact integer
     // aggregates, and the engine's own final-coefficient SQL text

@@ -642,6 +642,77 @@ object EventStreams {
       }
   }
 
+  final case class HoltState(lastUs: Long, lastOrder: Long, n: Long,
+                             l: Double, b: Double)
+  final case class HoltPoint(entity_id: Long, event_id: Long, n_obs: Long,
+                             level: Double, trend: Double)
+
+  /** Streaming running Holt smoothing — the live twin of
+    * [[graft.operators.Sequences.holt]]: each arriving value advances the
+    * two-state (level, trend) recurrence in O(1) keyed state and emits
+    * the entity's CURRENT forecast state per event (next-step prediction
+    * = level + trend, live). The recurrence steps are the identical IEEE
+    * trees as the batch fold (b recomputes l's expression against the
+    * prior state), so on a finite in-order input with dyadic α/β the
+    * output matches a per-prefix list_reduce oracle bit for bit; the
+    * last row per entity equals the batch operator. Ordering/TTL
+    * contract shared with [[acfStream]]. */
+  def holtStream(events: DataFrame, idCol: String, tsCol: String,
+                 orderCol: String, valueCol: String,
+                 alpha: Double, beta: Double,
+                 watermarkDelay: String = "10 minutes",
+                 idleTtlMillis: Long = 24 * 3600 * 1000L): Dataset[HoltPoint] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1]: $beta")
+    val ca = 1.0 - alpha
+    val cb = 1.0 - beta
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    val isStream = events.isStreaming
+    val src0 = events.where(col(valueCol).isNotNull).select(
+      col(idCol).cast("long").as("entity_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(orderCol).cast("long").as("order"),
+      col(valueCol).cast("double").as("v"))
+    val src = (if (isStream) src0.withWatermark("ts", watermarkDelay) else src0).as[AcfRow]
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    src
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()) {
+        case (entityId, rows, state: GroupState[HoltState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(p => (micros(p.ts), p.order))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[HoltPoint]
+            for (p <- sorted) {
+              val us = micros(p.ts)
+              val fresh = st == null || us > st.lastUs ||
+                (us == st.lastUs && p.order > st.lastOrder)
+              if (fresh) {
+                st =
+                  if (st == null) HoltState(us, p.order, 1L, p.v, 0.0)
+                  else {
+                    val ln = alpha * p.v + ca * (st.l + st.b)
+                    HoltState(us, p.order, st.n + 1, ln,
+                      beta * ((alpha * p.v + ca * (st.l + st.b)) - st.l) + cb * st.b)
+                  }
+                out += HoltPoint(entityId, p.order, st.n, st.l, st.b)
+              }
+            }
+            if (isStream) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + idleTtlMillis)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
   final case class MkState(lastUs: Long, lastOrder: Long, n: Long, s: Long,
                            tie18: Long, counts: Map[Long, Long])
   final case class MkPoint(entity_id: Long, event_id: Long, n_obs: Long,

@@ -273,6 +273,54 @@ class SequencesSpec extends SparkTestBase {
     assert(got.values.exists(_._3 != 0.0))
   }
 
+  test("holtStream: cross-batch continuity; last row per entity == batch holt") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 60).map { i =>
+      val user = i % 2
+      val step = i / 2
+      val v = if (user == 0) 1.0 + 0.5 * step else math.sin(step * 0.7) * 3.0
+      Event(i.toLong, new java.sql.Timestamp(1700000000000L + step * 60000L),
+        user.toLong, "m", v)
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val query = EventStreams
+      .holtStream(input.toDF(), "user_id", "ts", "event_id", "value", 0.25, 0.125)
+      .writeStream.format("memory").queryName("holt_xbatch")
+      .outputMode("append").start()
+    try {
+      input.addData(events.take(23): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(23): _*)
+      query.processAllAvailable()
+      def asMap(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val got = asMap(spark.sql(
+        "SELECT entity_id, event_id, n_obs, level, trend FROM holt_xbatch").collect())
+      val batch = asMap(EventStreams
+        .holtStream(events.toDF(), "user_id", "ts", "event_id", "value", 0.25, 0.125)
+        .toDF().collect())
+      assert(got === batch)
+      assert(got.size === 60)
+      // bit-equality of the final row with the batch operator
+      val last = got.groupBy(_._1._1).map { case (u, m) => u -> m.maxBy(_._1._2)._2 }
+      val whole = Sequences.holt(events.toDF(), "user_id", "ts", "event_id", "value",
+          0.25, 0.125)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      last.foreach { case (u, (n, l, b)) =>
+        val (wn, wl, wb) = whole(u)
+        assert(n == wn)
+        assert(java.lang.Double.doubleToLongBits(l) == java.lang.Double.doubleToLongBits(wl))
+        assert(java.lang.Double.doubleToLongBits(b) == java.lang.Double.doubleToLongBits(wb))
+      }
+    } finally query.stop()
+  }
+
   test("oracle precondition: no user has two events at the same timestamp (sf0.01)") {
     val dups = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
       .groupBy("user_id", "ts").count().where(col("count") > 1).count()
