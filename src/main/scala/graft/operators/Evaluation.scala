@@ -75,16 +75,17 @@ object Evaluation {
     * n_pos, rate), `bins` rows.
     *
     * Shape: the same two-pass global rank, a 1-row count broadcast for
-    * the divisor, one bin hash aggregate. */
+    * the divisor (counted from the UNRANKED input — a column-pruned
+    * scan, so the 100M-row ranked frame has exactly one consumer and
+    * needs no pin; the first cut checkpointed it and paid a full
+    * materialization), one bin hash aggregate. */
   def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
                       tieCol: Column, bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 100000, s"bins out of range: $bins")
-    val ranked = SortedNeighborhood.globalRank(
-      df.select(scoreCol.cast("long").as("__s"),
-        when(labelCol, 1L).otherwise(0L).as("__y"), tieCol.as("__t")),
-      col("__s"), col("__t"))
-      .localCheckpoint()
-    val total = ranked.agg(count(lit(1)).as("__n"))
+    val src = df.select(scoreCol.cast("long").as("__s"),
+      when(labelCol, 1L).otherwise(0L).as("__y"), tieCol.as("__t"))
+    val total = src.agg(count(lit(1)).as("__n"))
+    val ranked = SortedNeighborhood.globalRank(src, col("__s"), col("__t"))
     ranked.crossJoin(broadcast(total))
       .withColumn("bin", expr(s"((rank - 1) * $bins) div __n"))
       .groupBy("bin")
