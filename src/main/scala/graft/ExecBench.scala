@@ -398,7 +398,7 @@ object ExecBench {
       val scored = spark.range(0L, 100000000L, 1, 64)
         .withColumn("score", pmod(col("id") * 7919L, lit(100000L)))
         .withColumn("label", pmod(col("id") * 104729L, lit(7L)) === 0L)
-      Evaluation.aucStats(scored.toDF(), col("score"), col("label"), col("id"))
+      Evaluation.aucStats(scored.toDF(), col("score"), col("label"))
         .count(); 100000000L
     }
     t("calibration 100M  ") {

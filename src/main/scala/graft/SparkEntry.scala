@@ -3082,17 +3082,19 @@ object SparkEntry {
         col("ts").cast("timestamp") >= lit("2024-01-16 00:00:00").cast("timestamp"))),
 
     // exact tie-aware ROC AUC of the centi-quantized value score against
-    // the purchase label — Mann–Whitney with half-credit ties via
-    // consecutive-rank min+max (no tie-rank pass), two-pass global rank
-    // (never a single-task sort), one shared final IEEE expression
+    // the purchase label — Mann–Whitney with half-credit ties from
+    // per-score (t, p) counts + a score-cardinality global prefix sum:
+    // the data-sized work is ONE hash aggregate, nothing row-sized ever
+    // sorts; one shared final IEEE expression
     "q_auc" -> ((s, dir) =>
       Evaluation.aucStats(
         events(s, dir).where(col("value").isNotNull),
         round(col("value") * 100).cast("long"),
-        col("event_type") === "purchase", col("event_id"))),
+        col("event_type") === "purchase")),
 
     // the reliability diagram: equal-frequency score deciles with exact
-    // (n_rows, n_pos) and a one-division rate — same ranked frame
+    // (n_rows, n_pos) and a one-division rate — row-rank based (bins cut
+    // through tied score groups by the (score, tie) order)
     "q_calibration" -> ((s, dir) =>
       Evaluation.calibrationBins(
         events(s, dir).where(col("value").isNotNull),

@@ -27,31 +27,31 @@ object Evaluation {
     * sampling, no sketch. Returns ONE row (n_pos, n_neg, r2_pos, auc);
     * the three integers are exact, auc is [[AucFinalSql]] applied once.
     *
-    * Tie handling without a tie-rank pass: rows are totally ordered by
-    * (score, tieCol) through the two-pass range-partitioned
-    * [[SortedNeighborhood.globalRank]] (no single-task sort), so a tied
-    * score group occupies CONSECUTIVE ranks and its tie-averaged rank is
-    * (min + max)/2 — one hash aggregate per distinct score recovers
-    * exact doubled rank sums from the distinct ranks.
+    * Tie handling without ranking a single raw row: a tied score group
+    * occupies consecutive ranks [below+1, below+t] in any (score, tie)
+    * total order, so its tie-averaged doubled rank sum is
+    * p·(2·below + t + 1) — recovered from per-score (t, p) counts plus a
+    * global weighted prefix sum over the SCORE table
+    * ([[SortedNeighborhood.globalPrefixSum]], the two-pass
+    * range-partitioned shape). The expensive pass is therefore ONE hash
+    * aggregate over the data; everything ordered is score-cardinality
+    * rows (a 100M-row table with 100k distinct scores range-sorts 100k
+    * rows, not 100M — ranking raw rows measured 7× slower at 100M).
     *
-    * Shape at scale: the two-pass rank (one range exchange + a
-    * partition-count-bounded offset broadcast), one per-score hash
-    * aggregate, one 1-row final. Integer headroom: r2_pos ≤ 2·P·n — the
-    * same double-domain guard as giniIndex trips loudly past ~4.6e18. */
-  def aucStats(df: DataFrame, scoreCol: Column, labelCol: Column,
-               tieCol: Column): DataFrame = {
-    val ranked = SortedNeighborhood.globalRank(
-      df.select(scoreCol.cast("long").as("__s"),
-        when(labelCol, 1L).otherwise(0L).as("__y"), tieCol.as("__t")),
-      col("__s"), col("__t"))
-    val perScore = ranked.groupBy(col("__s"))
-      .agg(min(col("rank")).as("__mn"), max(col("rank")).as("__mx"),
-        sum(col("__y")).as("__p"), count(lit(1)).as("__n"))
-    perScore
+    * Integer headroom: r2_pos ≤ 2·P·n — the same double-domain guard as
+    * giniIndex trips loudly past ~4.6e18. */
+  def aucStats(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val perScore = df
+      .select(scoreCol.cast("long").as("__s"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__p"))
+    val withBelow = SortedNeighborhood.globalPrefixSum(perScore, col("__s"), col("__t"))
+    withBelow
       .agg(sum(col("__p")).as("n_pos"),
-        sum(col("__n") - col("__p")).as("n_neg"),
-        sum(col("__p") * (col("__mn") + col("__mx"))).as("r2_pos"),
-        max(col("__mx")).as("__maxr"))
+        sum(col("__t") - col("__p")).as("n_neg"),
+        sum(col("__p") * (lit(2L) * col("below") + col("__t") + 1L)).as("r2_pos"),
+        max(col("below") + col("__t")).as("__maxr"))
       .withColumn("__ok",
         when(col("n_pos").cast("double") * 2 * col("__maxr").cast("double")
           <= lit(4.6e18), true)

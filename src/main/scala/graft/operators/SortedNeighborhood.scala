@@ -56,6 +56,32 @@ object SortedNeighborhood {
       .drop("__pid", "__lr", "__off")
   }
 
+  /** Global weighted PREFIX SUM over a key-ordered table — for each row,
+    * the sum of `weight` over all STRICTLY-smaller keys — with the same
+    * two-pass range-partitioned shape as [[globalRank]] (per-partition
+    * running sums + a partition-count-bounded offset broadcast; no
+    * single-task sort). Keys must be DISTINCT (the per-key aggregate
+    * shape every caller feeds); equal keys within a partition would
+    * share a range-frame cumulative and the contract would be ill-posed.
+    * Returns the input columns plus `below`. */
+  private[graft] def globalPrefixSum(df: DataFrame, key: Column,
+                                     weight: Column): DataFrame = {
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val ranged = df.repartitionByRange(parts, key.asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = ranged.withColumn("__lc",
+      sum(weight).over(Window.partitionBy("__pid").orderBy(key.asc)) - weight)
+    val offsets = local.groupBy("__pid").agg(sum(weight).as("__c"))
+      .withColumn("__off", coalesce(
+        sum("__c").over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("below", col("__lc") + col("__off"))
+      .drop("__pid", "__lc", "__off")
+  }
+
   /** Candidate pairs within `window` sorted positions of each other,
     * canonicalized to id_a < id_b. Candidate volume is exactly
     * n*(window-1) rows pre-join — a plan-time constant multiplier, never

@@ -12,7 +12,7 @@ class EvaluationSpec extends SparkTestBase {
   private def auc(rows: Seq[(Long, Boolean, Long)]): (Long, Long, Long, Option[Double]) = {
     import spark.implicits._
     val df = rows.toDF("score", "label", "tie")
-    Evaluation.aucStats(df, col("score"), col("label"), col("tie"))
+    Evaluation.aucStats(df, col("score"), col("label"))
       .as[(Long, Long, Long, Option[Double])].head()
   }
 
