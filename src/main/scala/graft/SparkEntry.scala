@@ -3081,6 +3081,17 @@ object SparkEntry {
       Validation.tvDrift(events(s, dir), col("event_type"),
         col("ts").cast("timestamp") >= lit("2024-01-16 00:00:00").cast("timestamp"))),
 
+    // two-sample Kolmogorov-Smirnov between the two January halves'
+    // centi-quantized value distributions: D·nA·nB = max |cumA·nB −
+    // cumB·nA| over the value grid — three exact int64s + one shared
+    // division; per-value counts + two value-cardinality prefix sums,
+    // nothing row-sized ever sorts
+    "q_ks_test" -> ((s, dir) =>
+      Evaluation.ksTest(
+        events(s, dir).where(col("value").isNotNull),
+        round(col("value") * 100).cast("long"),
+        col("ts").cast("timestamp") >= lit("2024-01-16 00:00:00").cast("timestamp"))),
+
     // exact tie-aware ROC AUC of the centi-quantized value score against
     // the purchase label — Mann–Whitney with half-credit ties from
     // per-score (t, p) counts + a score-cardinality global prefix sum:
@@ -6543,6 +6554,24 @@ object SparkEntry {
          |        CAST(sum(y) AS BIGINT) AS n_pos
          |      FROM r, t GROUP BY 1, n)
          |SELECT bin, n_rows, n_pos, ${Evaluation.CalibrationRateSql} AS rate FROM b""".stripMargin,
+
+    // the same per-value counts, inclusive-prefix window sums, and max
+    // cross-multiplied CDF gap — exact integers and the engine's final
+    "q_ks_test" ->
+      s"""WITH s AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
+         |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |c AS (SELECT v, CAST(sum(1 - y) AS BIGINT) AS ta, CAST(sum(y) AS BIGINT) AS tb
+         |      FROM s GROUP BY 1),
+         |p AS (SELECT v, ta, tb,
+         |        CAST(sum(ta) OVER w AS BIGINT) AS cuma,
+         |        CAST(sum(tb) OVER w AS BIGINT) AS cumb
+         |      FROM c WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT CAST(sum(ta) AS BIGINT) AS n_a, CAST(sum(tb) AS BIGINT) AS n_b FROM c),
+         |a AS (SELECT t.n_a, t.n_b,
+         |        max(abs(p.cuma*t.n_b - p.cumb*t.n_a)) AS d_num
+         |      FROM p, t GROUP BY 1, 2)
+         |SELECT n_a, n_b, d_num, ${Evaluation.KsFinalSql} AS ks FROM a""".stripMargin,
 
     // the same one-aggregate-plus-totals arithmetic in SQL; every output
     // an exact integer

@@ -61,6 +61,50 @@ object Evaluation {
         expr(AucFinalSql).as("auc"))
   }
 
+  /** The KS final expression over (n_a, n_b, d_num) — shared verbatim
+    * with the SQL oracle. D = d_num / (n_a·n_b). */
+  val KsFinalSql: String =
+    """CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      | ELSE CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) END""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of two periods, EXACTLY — the ordered-CDF drift test
+    * that [[graft.operators.Validation.tvDrift]]'s categorical gate
+    * cannot express (a small shift of a continuous score moves every
+    * quantile a little; TV on buckets dilutes it, the CDF sup-gap does
+    * not). Integer form: D·n_a·n_b = max over values of
+    * |cumA·n_b − cumB·n_a| (cum = inclusive prefix counts in value
+    * order), so the output row (n_a, n_b, d_num, ks) carries three exact
+    * int64s and ONE shared final division.
+    *
+    * Shape at scale: ONE data-sized hash aggregate to per-value
+    * (a, b) counts, then two value-cardinality
+    * [[SortedNeighborhood.globalPrefixSum]] passes (range exchanges of
+    * the distinct-value table only) and a 1-row max — nothing row-sized
+    * ever sorts, the same compaction that makes [[aucStats]] scale.
+    * Integer headroom: cum·n ≤ n_a·n_b, guarded loudly past 4.6e18. */
+  def ksTest(df: DataFrame, valueCol: Column, isPeriodB: Column): DataFrame = {
+    val perVal = df
+      .select(valueCol.cast("long").as("__v"),
+        when(isPeriodB, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__v"))
+      .agg(sum(lit(1L) - col("__y")).as("__ta"), sum(col("__y")).as("__tb"))
+    val withA = SortedNeighborhood.globalPrefixSum(perVal, col("__v"), col("__ta"))
+      .withColumnRenamed("below", "__belowA")
+    val withB = SortedNeighborhood.globalPrefixSum(withA, col("__v"), col("__tb"))
+      .withColumnRenamed("below", "__belowB")
+    val totals = perVal.agg(sum(col("__ta")).as("__na"), sum(col("__tb")).as("__nb"))
+    withB.crossJoin(broadcast(totals))
+      .withColumn("__ok",
+        when(col("__na").cast("double") * col("__nb").cast("double") <= lit(4.6e18), true)
+          .otherwise(raise_error(lit("ksTest: cum*n overflows int64"))))
+      .where(col("__ok"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs((col("__belowA") + col("__ta")) * col("__nb")
+          - (col("__belowB") + col("__tb")) * col("__na"))).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"), expr(KsFinalSql).as("ks"))
+  }
+
   /** The per-bin rate expression — shared verbatim with the SQL oracle. */
   val CalibrationRateSql: String =
     "CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE)"

@@ -42,6 +42,28 @@ class EvaluationSpec extends SparkTestBase {
     assert(math.abs(expect - (2.0 * wins + ties) / (2.0 * p * nn)) < 1e-12)
   }
 
+  test("ksTest: identical samples 0, disjoint supports 1, random == brute CDF sup-gap") {
+    import spark.implicits._
+    def ks(rows: Seq[(Long, Boolean)]): (Long, Long, Long, Option[Double]) =
+      Evaluation.ksTest(rows.toDF("v", "p"), col("v"), col("p"))
+        .as[(Long, Long, Long, Option[Double])].head()
+    val same = (1L to 40L).flatMap(i => Seq((i % 7, false), (i % 7, true)))
+    assert(ks(same) == ((40L, 40L, 0L, Some(0.0))))
+    val disjoint = (1L to 30L).map(i => (i, false)) ++ (31L to 55L).map(i => (i, true))
+    assert(ks(disjoint)._4.contains(1.0))
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextBoolean()))
+    val (na, nb, dnum, d) = ks(rows)
+    val a = rows.filterNot(_._2).map(_._1)
+    val b = rows.filter(_._2).map(_._1)
+    assert(na == a.size && nb == b.size)
+    val grid = (a ++ b).distinct.sorted
+    val brute = grid.map { v =>
+      math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na) }.max
+    assert(dnum == brute)
+    assert(d.contains(dnum.toDouble / (na.toDouble * nb.toDouble)))
+  }
+
   test("calibration bins partition the rows near-equally; a ranked fixture is monotone") {
     import spark.implicits._
     val rows = (1L to 1003L).map(i => (i, i > 700L, i))
