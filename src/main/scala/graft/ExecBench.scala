@@ -423,6 +423,12 @@ object ExecBench {
       val e2 = ids.select(col("id").as("id_a"), (col("id") + 2).as("id_b")).where(col("id_b") < n)
       Graphs.degreeAssortativity(e1.unionAll(e2).toDF()).count(); 20000000L
     }
+    t("ksTest 100M       ") {
+      val scored = spark.range(0L, 100000000L, 1, 64)
+        .withColumn("v", pmod(col("id") * 7919L, lit(100000L)))
+        .withColumn("p", pmod(col("id") * 104729L, lit(2L)) === 0L)
+      Evaluation.ksTest(scored.toDF(), col("v"), col("p")).count(); 100000000L
+    }
     t("mkStream 10M fold ") {
       val vals = spark.range(0L, 10000000L, 1, 64)
         .withColumn("user_id", col("id") % 100000L)
