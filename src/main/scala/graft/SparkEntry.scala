@@ -3103,6 +3103,16 @@ object SparkEntry {
         round(col("value") * 100).cast("long"),
         col("event_type") === "purchase")),
 
+    // one-way ANOVA: does value differ by event type? 15 exact integer
+    // group moments from ONE conditional aggregate (the pivot IS the
+    // aggregate — single row at any input size), F as one fixed-order
+    // IEEE tree shared with the oracle
+    "q_anova" -> ((s, dir) =>
+      Evaluation.anovaF(
+        events(s, dir).where(col("value").isNotNull),
+        round(col("value") * 100).cast("long"), col("event_type"),
+        groups = Seq("click", "error", "purchase", "signup", "view"))),
+
     // the reliability diagram: equal-frequency score deciles with exact
     // (n_rows, n_pos) and a one-division rate — row-rank based (bins cut
     // through tied score groups by the (score, tie) order)
@@ -6542,6 +6552,23 @@ object SparkEntry {
          |a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(t - p) AS BIGINT) AS n_neg,
          |        CAST(sum(p*(mn+mx)) AS BIGINT) AS r2_pos FROM v)
          |SELECT n_pos, n_neg, r2_pos, ${Evaluation.AucFinalSql} AS auc FROM a""".stripMargin,
+
+    // the identical conditional pivot and the engine's own fixed-order F
+    "q_anova" -> {
+      val groups = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = groups.zipWithIndex.flatMap { case (g, i) => Seq(
+        s"CAST(sum(CASE WHEN event_type = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS n_$i",
+        s"CAST(sum(CASE WHEN event_type = '$g' THEN y ELSE 0 END) AS BIGINT) AS s_$i",
+        s"CAST(sum(CASE WHEN event_type = '$g' THEN y*y ELSE 0 END) AS BIGINT) AS q_$i")
+      }.mkString(",\n")
+      s"""WITH s AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL
+         |    AND event_type IN (${groups.map(g => s"'$g'").mkString(", ")})),
+         |a AS (SELECT
+         |$aggs
+         |FROM s)
+         |SELECT a.*, ${Evaluation.anovaFinalSql(groups.size)} AS f_stat FROM a""".stripMargin
+    },
 
     // the same rank, bin index arithmetic, and rate expression
     "q_calibration" ->

@@ -105,6 +105,51 @@ object Evaluation {
       .select(col("n_a"), col("n_b"), col("d_num"), expr(KsFinalSql).as("ks"))
   }
 
+  /** The one-way ANOVA F expression over the 3k exact integer group
+    * moments (n_i, s_i, q_i), groups in FIXED index order so both
+    * engines build the identical left-associated IEEE sum trees — shared
+    * verbatim with the SQL oracle. NULL when any group is empty or the
+    * within-group variation is zero. */
+  def anovaFinalSql(k: Int): String = {
+    val bsum = (0 until k)
+      .map(i => s"(CAST(s_$i AS DOUBLE)*CAST(s_$i AS DOUBLE)/CAST(n_$i AS DOUBLE))")
+      .mkString(" + ")
+    val qsum = (0 until k).map(i => s"CAST(q_$i AS DOUBLE)").mkString(" + ")
+    val ssum = (0 until k).map(i => s"CAST(s_$i AS DOUBLE)").mkString(" + ")
+    val nsum = (0 until k).map(i => s"CAST(n_$i AS DOUBLE)").mkString(" + ")
+    val anyZero = (0 until k).map(i => s"n_$i = 0").mkString(" OR ")
+    s"""CASE WHEN $anyZero THEN NULL
+       | WHEN ($qsum) - ($bsum) = 0 THEN NULL
+       | ELSE ((($bsum) - ($ssum)*($ssum)/($nsum)) / ${k - 1})
+       |  / ((($qsum) - ($bsum)) / (($nsum) - $k)) END""".stripMargin
+  }
+
+  /** One-way ANOVA F statistic of an integer-quantized value across a
+    * FIXED list of groups — "does this signal actually differ by
+    * category?", the analysis gate behind per-source/per-language quality
+    * decisions. Per group: exact int64 (n, Σy, Σy²) from ONE conditional
+    * hash aggregate (no groupBy — the pivot is the aggregate, so the
+    * result is a single row however large the input); the F ratio is
+    * [[anovaFinalSql]] applied once, with the group terms summed in
+    * index order — deterministic doubles, no order-dependent float
+    * aggregation anywhere. Output: one row (n_0, s_0, q_0, …, f_stat).
+    * Rows outside `groups` are excluded. Integer headroom: Σy² exact
+    * while n·maxY² < 2⁶³ (~3.6e9 rows at |y| ≤ 5·10⁴). */
+  def anovaF(df: DataFrame, valueCol: Column, groupCol: Column,
+             groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 20,
+      s"groups size out of range: ${groups.size}")
+    require(groups.distinct.size == groups.size, "duplicate groups")
+    val y = valueCol.cast("long")
+    val aggs = groups.zipWithIndex.flatMap { case (g, i) => Seq(
+      sum(when(groupCol === g, 1L).otherwise(0L)).as(s"n_$i"),
+      sum(when(groupCol === g, y).otherwise(0L)).as(s"s_$i"),
+      sum(when(groupCol === g, y * y).otherwise(0L)).as(s"q_$i")) }
+    df.where(groupCol.isin(groups: _*))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("f_stat", expr(anovaFinalSql(groups.size)))
+  }
+
   /** The per-bin rate expression — shared verbatim with the SQL oracle. */
   val CalibrationRateSql: String =
     "CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE)"

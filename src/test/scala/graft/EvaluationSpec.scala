@@ -64,6 +64,36 @@ class EvaluationSpec extends SparkTestBase {
     assert(d.contains(dnum.toDouble / (na.toDouble * nb.toDouble)))
   }
 
+  test("anovaF: closed forms (identical means 0, empty group NULL) and scalar replay") {
+    import spark.implicits._
+    def f(rows: Seq[(Long, String)], groups: Seq[String]) =
+      Evaluation.anovaF(rows.toDF("y", "g"), col("y"), col("g"), groups)
+        .select("f_stat").as[Option[Double]].head()
+    // identical group distributions -> SSB = 0 -> F = 0
+    assert(f(Seq((1L, "a"), (3L, "a"), (1L, "b"), (3L, "b")), Seq("a", "b")).contains(0.0))
+    // empty group -> NULL; zero within-variation -> NULL
+    assert(f(Seq((1L, "a"), (2L, "a")), Seq("a", "b")).isEmpty)
+    assert(f(Seq((1L, "a"), (1L, "a"), (5L, "b"), (5L, "b")), Seq("a", "b")).isEmpty)
+    // scalar replay of the same fixed-order expression tree
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 300).map { _ =>
+      val g = Seq("a", "b", "c")(rnd.nextInt(3))
+      val y = (rnd.nextInt(30) + (if (g == "c") 12 else 0)).toLong
+      (y, g)
+    }
+    val got = f(rows, Seq("a", "b", "c"))
+    val by = rows.groupBy(_._2)
+    val (ns, ss, qs) = (Seq("a", "b", "c").map(g => by(g).size.toDouble),
+      Seq("a", "b", "c").map(g => by(g).map(_._1).sum.toDouble),
+      Seq("a", "b", "c").map(g => by(g).map(v => v._1 * v._1).sum.toDouble))
+    val bsum = (ss, ns).zipped.map((s, n) => s * s / n).reduce(_ + _)
+    val (qsum, ssum, nsum) = (qs.reduce(_ + _), ss.reduce(_ + _), ns.reduce(_ + _))
+    val expect = ((bsum - ssum * ssum / nsum) / 2) / ((qsum - bsum) / (nsum - 3))
+    assert(got.exists(v => java.lang.Double.doubleToLongBits(v) ==
+      java.lang.Double.doubleToLongBits(expect)), s"$got != $expect")
+    assert(got.exists(_ > 10.0), "fixture degenerate: shifted group should separate")
+  }
+
   test("calibration bins partition the rows near-equally; a ranked fixture is monotone") {
     import spark.implicits._
     val rows = (1L to 1003L).map(i => (i, i > 700L, i))
