@@ -1845,6 +1845,18 @@ object SparkEntry {
       Graphs.modularity(edges, Graphs.labelPropagation(edges, rounds = 3))
     }),
 
+    // per-edge triangle support over the proximity graph (the k-truss
+    // filter): node counts cannot see a zero-support bridge between two
+    // cliques — this names it; exact integers, same wedge bound
+    "q_truss_support" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val edges = SpatialJoin.distanceJoin(pts, "lat", "lon", "c_custkey", radiusM = 500000.0)
+        .select("id_a", "id_b")
+      Graphs.edgeTriangleSupport(edges, minSupport = 2L)
+    }),
+
     // global transitivity of the proximity graph: 3·triangles/wedges as
     // 2·t3/w2 over two exact integers — the one-number density summary
     "q_transitivity" -> ((s, dir) => {
@@ -5044,6 +5056,22 @@ object SparkEntry {
          |    CAST(sum(4*mm.m*j.ecs - j.dcs*j.dcs) AS BIGINT) AS q_num
          |  FROM j, mm)
          |SELECT m, q_num, ${Graphs.ModularityFinalSql} AS modularity FROM a""".stripMargin
+    },
+
+    // the a<b<c triple join exploded to its three edges, counted per edge
+    "q_truss_support" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |e AS MATERIALIZED (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |  WHERE $d <= 500000.0),
+         |t AS (SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c FROM e p1
+         |  JOIN e p2 ON p2.id_a = p1.id_b
+         |  JOIN e p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+         |ed AS (SELECT a AS id_a, b AS id_b FROM t
+         |  UNION ALL SELECT a, c FROM t UNION ALL SELECT b, c FROM t)
+         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS support
+         |FROM ed GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
     },
 
     // the triple-join triangle count and degree sums reduced to the two

@@ -36,7 +36,16 @@ object Graphs {
   /** [[triangleCounts]] on an already-pinned canonical edge list —
     * callers that feed the same pinned edges to several graph passes
     * (e.g. [[clusteringCoefficient]]) avoid a second materialization. */
-  private def triangleCountsOn(edges: DataFrame): DataFrame = {
+  private def triangleCountsOn(edges: DataFrame): DataFrame =
+    trianglesOn(edges)
+      .select(explode(array(col("a"), col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+
+  /** The degree-ordered triangle ENUMERATION on a pinned canonical edge
+    * list: one row (a, u, v) per triangle, u < v, each triangle exactly
+    * once — the shared core of [[triangleCounts]] and
+    * [[edgeTriangleSupport]], with the O(m^1.5) wedge bound. */
+  private def trianglesOn(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("id_a").as("id"))
       .unionAll(edges.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -54,10 +63,32 @@ object Graphs {
     val wedges = dir.as("e1").join(dir.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("u"), col("e2.dst").as("v"))
-    val tri = wedges.join(edges,
-      wedges("u") === edges("id_a") && wedges("v") === edges("id_b"))
-    tri.select(explode(array(col("a"), col("u"), col("v"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    wedges.join(edges,
+        wedges("u") === edges("id_a") && wedges("v") === edges("id_b"))
+      .select(col("a"), col("u"), col("v"))
+  }
+
+  /** Per-EDGE triangle support — how many triangles each edge closes, the
+    * k-truss filter ([[triangleCounts]]' node counts can't see it: a
+    * BRIDGE between two cliques has triangle-rich ENDPOINTS but zero
+    * support itself, and it is exactly the edge a dup-cluster splitter
+    * wants to cut). Output: (id_a, id_b, support) for edges with
+    * support ≥ `minSupport` — canonical order, exact integers.
+    *
+    * Shape: the shared triangle enumeration (O(m^1.5) wedges), each
+    * triangle exploded to its three canonicalized edges, one hash
+    * aggregate — 16-byte edge rows throughout. */
+  def edgeTriangleSupport(edges0: DataFrame, minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val edges = edges0.select(col("id_a"), col("id_b")).localCheckpoint()
+    trianglesOn(edges)
+      .select(explode(array(
+        struct(least(col("a"), col("u")).as("id_a"), greatest(col("a"), col("u")).as("id_b")),
+        struct(least(col("a"), col("v")).as("id_a"), greatest(col("a"), col("v")).as("id_b")),
+        struct(col("u").as("id_a"), col("v").as("id_b")))).as("__e"))
+      .select(col("__e.id_a").as("id_a"), col("__e.id_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
   }
 
   /** Bounded-hop single-source shortest paths (Bellman-Ford relaxation,

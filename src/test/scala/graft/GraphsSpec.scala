@@ -81,6 +81,36 @@ class GraphsSpec extends SparkTestBase {
     assert(got.nonEmpty && got.values.exists(_._3.exists(x => x > 0 && x < 1)))
   }
 
+  test("edgeTriangleSupport: K4 edges support 2, a clique bridge 0, brute replay") {
+    import spark.implicits._
+    def sup(edges: Seq[(Long, Long)], min: Long = 1L): Map[(Long, Long), Long] =
+      Graphs.edgeTriangleSupport(edges.toDF("id_a", "id_b"), min)
+        .as[(Long, Long, Long)].collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    val k4a = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val k4b = for (i <- 10L to 13L; j <- i + 1 to 13L) yield (i, j)
+    val bridge = (3L, 10L)
+    val got = sup(k4a ++ k4b :+ bridge)
+    // every K4 edge closes exactly 2 triangles; the bridge closes none
+    assert(got.size == 12 && got.values.forall(_ == 2L))
+    assert(!got.contains(bridge))
+    // brute replay on a random graph, including the min-support gate
+    val rnd = new scala.util.Random(37)
+    val edges = (for {
+      i <- 0L until 40L; j <- i + 1 until 40L if rnd.nextDouble() < 0.18
+    } yield (i, j)).toSeq
+    val eset = edges.toSet
+    val want = collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for {
+      a <- 0L until 40L; b <- a + 1 until 40L if eset((a, b))
+      c <- b + 1 until 40L if eset((b, c)) && eset((a, c))
+    } {
+      want((a, b)) += 1; want((a, c)) += 1; want((b, c)) += 1
+    }
+    assert(sup(edges) == want.toMap)
+    assert(sup(edges, min = 3L) == want.filter(_._2 >= 3L).toMap)
+    assert(want.values.exists(_ >= 3L), "fixture too sparse for the gate test")
+  }
+
   test("transitivity: K4 is 1.0, a star 0.0, random == brute 3T/wedges") {
     import spark.implicits._
     def tr(edges: Seq[(Long, Long)]): (Long, Long, Option[Double]) =
