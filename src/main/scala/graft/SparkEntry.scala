@@ -3115,6 +3115,15 @@ object SparkEntry {
         round(col("value") * 100).cast("long"),
         col("event_type") === "purchase")),
 
+    // per-row percentile of value within its event type — the
+    // per-category rank feature; exact (rank, n_grp) integers from the
+    // grouped two-pass range rank (never a per-group single-task window),
+    // one shared final division
+    "q_group_percentile" -> ((s, dir) =>
+      Evaluation.groupPercentile(
+        events(s, dir).where(col("value").isNotNull),
+        "event_type", round(col("value") * 100).cast("long"), col("event_id"))),
+
     // one-way ANOVA: does value differ by event type? 15 exact integer
     // group moments from ONE conditional aggregate (the pivot IS the
     // aggregate — single row at any input size), F as one fixed-order
@@ -6580,6 +6589,21 @@ object SparkEntry {
          |a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(t - p) AS BIGINT) AS n_neg,
          |        CAST(sum(p*(mn+mx)) AS BIGINT) AS r2_pos FROM v)
          |SELECT n_pos, n_neg, r2_pos, ${Evaluation.AucFinalSql} AS auc FROM a""".stripMargin,
+
+    // the same total order per group (a window is fine at oracle scale —
+    // the engine's two-pass shape changes the plan, never the rank) and
+    // the engine's own percentile text
+    "q_group_percentile" ->
+      s"""WITH s AS (SELECT event_type, event_id,
+         |    CAST(round(value*100) AS BIGINT) AS value_q
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT event_type, event_id AS row_id, value_q,
+         |        CAST(row_number() OVER (PARTITION BY event_type
+         |          ORDER BY value_q, event_id) AS BIGINT) AS rank,
+         |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_grp
+         |      FROM s)
+         |SELECT event_type, row_id, value_q, rank, n_grp,
+         |  ${Evaluation.PercentileFinalSql} AS pct FROM r""".stripMargin,
 
     // the identical conditional pivot and the engine's own fixed-order F
     "q_anova" -> {

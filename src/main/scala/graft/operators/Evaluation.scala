@@ -105,6 +105,38 @@ object Evaluation {
       .select(col("n_a"), col("n_b"), col("d_num"), expr(KsFinalSql).as("ks"))
   }
 
+  /** The percentile expression over (rank, n_grp) — shared verbatim with
+    * the SQL oracle; singleton groups are NULL (no [0,1] span exists). */
+  val PercentileFinalSql: String =
+    """CASE WHEN n_grp <= 1 THEN NULL
+      | ELSE CAST(rank - 1 AS DOUBLE) / CAST(n_grp - 1 AS DOUBLE) END""".stripMargin
+
+  /** PER-ROW percentile of a value within its group — the per-category
+    * rank feature (percentile-scaled signals survive distribution shift
+    * between categories where raw values don't; the row-level sibling of
+    * [[graft.operators.Curation]]'s corpus-level quantile normalization).
+    * pct = (rank − 1)/(n_grp − 1) over the exact integer (rank, n_grp)
+    * pair, ONE shared final division; rank is total-ordered by
+    * (value, tie), so the whole output is hash-exact.
+    *
+    * Shape at scale: the grouped two-pass range rank
+    * ([[SpatialPartition.groupedGlobalRank]]) — a per-group window would
+    * serialize each group into one task (5 groups × 20M rows each = five
+    * single-task sorts); the two-pass shape range-partitions by
+    * (group, value, tie) and attaches offsets from a
+    * partition-count-bounded broadcast instead. Output: (grpCol, tieCol,
+    * value-as-long, rank, n_grp, pct). */
+  def groupPercentile(df: DataFrame, grpCol: String, valueCol: Column,
+                      tieCol: Column): DataFrame = {
+    val ranked = SpatialPartition.groupedGlobalRank(
+      df.select(col(grpCol), valueCol.cast("long").as("__v"), tieCol.as("__tie")),
+      grpCol, col("__v"), col("__tie"))
+    ranked
+      .select(col(grpCol), col("__tie").as("row_id"), col("__v").as("value_q"),
+        col("rank"), col("__tot").as("n_grp"))
+      .withColumn("pct", expr(PercentileFinalSql))
+  }
+
   /** The one-way ANOVA F expression over the 3k exact integer group
     * moments (n_i, s_i, q_i), groups in FIXED index order so both
     * engines build the identical left-associated IEEE sum trees — shared

@@ -64,6 +64,26 @@ class EvaluationSpec extends SparkTestBase {
     assert(d.contains(dnum.toDouble / (na.toDouble * nb.toDouble)))
   }
 
+  test("groupPercentile == per-group scalar rank; singleton groups NULL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (1L to 300L).map(i =>
+      (Seq("a", "b", "c")(rnd.nextInt(3)), i, rnd.nextInt(25).toLong)) :+ (("solo", 999L, 5L))
+    val got = Evaluation.groupPercentile(rows.toDF("g", "id", "v"),
+        "g", col("v"), col("id"))
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+    val byGrp = rows.groupBy(_._1)
+    got.foreach { case (g, id, v, rank, n, pct) =>
+      val sorted = byGrp(g).sortBy(r => (r._3, r._2))
+      val idx = sorted.indexWhere(_._2 == id)
+      assert(v == sorted(idx)._3 && rank == idx + 1 && n == sorted.size)
+      if (n <= 1) assert(pct.isEmpty)
+      else assert(pct.contains((rank - 1).toDouble / (n - 1).toDouble))
+    }
+    assert(got.count(_._6.isEmpty) == 1) // the singleton
+    assert(got.length == rows.size)
+  }
+
   test("anovaF: closed forms (identical means 0, empty group NULL) and scalar replay") {
     import spark.implicits._
     def f(rows: Seq[(Long, String)], groups: Seq[String]) =
