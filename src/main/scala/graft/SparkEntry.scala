@@ -1434,6 +1434,18 @@ object SparkEntry {
           .withColumn("lon", expr(lonSqlFor("event_id"))),
         "lat", "lon", 2, "ts", "2024-01-01", "2024-01-16", "2024-01-31")),
 
+    // compact coverage: the observed zoom-5 tile set normalized to the
+    // minimal mixed-level quadtree cover (the web-mercator twin of the
+    // kernel's CellUnion.Normalize as a distributed query) — 1023 of
+    // 1024 tiles observed at sf0.01 collapse to 15 rows, the missing
+    // tile's ancestor chain blocking full promotion at every level
+    "q_compact_coverage" -> ((s, dir) =>
+      Tiling.zxyCompactCoverage(
+        events(s, dir)
+          .withColumn("lat", expr(latSqlFor("event_id")))
+          .withColumn("lon", expr(lonSqlFor("event_id"))),
+        "lat", "lon", z = 5)),
+
     // local spatial outliers: zoom-4 tiles deviating > 3x MAD from their
     // 3x3 neighborhood median — the robust raster QA gate (34 of 256
     // tiles at sf0.01: the mercator edge pile-ups, exactly what it should
@@ -4751,6 +4763,33 @@ object SparkEntry {
 
     // geohashTrend replayed exactly: same window bounds, conditional sums,
     // and the identical integer-ratio expression
+    // the same bottom-up promotion unrolled: per level, parents with all
+    // 4 children present promote, survivors emit — pure integer div-2
+    // arithmetic
+    "q_compact_coverage" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val (z, n) = (5, 32)
+      val rounds = (z to 1 by -1).map { l =>
+        s""",
+           |f$l AS (SELECT zx // 2 AS pzx, zy // 2 AS pzy FROM c$l
+           |  GROUP BY 1, 2 HAVING count(*) = 4),
+           |e$l AS (SELECT $l AS zoom, c.zx, c.zy FROM c$l c
+           |  LEFT JOIN f$l f ON f.pzx = c.zx // 2 AND f.pzy = c.zy // 2
+           |  WHERE f.pzx IS NULL),
+           |c${l - 1} AS (SELECT pzx AS zx, pzy AS zy FROM f$l)""".stripMargin
+      }.mkString
+      val union = ((z to 1 by -1).map(l => s"SELECT * FROM e$l") :+
+        "SELECT 0 AS zoom, zx, zy FROM c0").mkString("\nUNION ALL\n")
+      s"""WITH pts AS (SELECT $evLat AS lat, $evLon AS lon FROM events),
+         |c$z AS (SELECT DISTINCT
+         |  least(${n - 1}, greatest(0, CAST(floor((lon + 180.0) / 360.0 * $n.0) AS BIGINT))) AS zx,
+         |  least(${n - 1}, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)
+         |    + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * $n.0) AS BIGINT))) AS zy
+         | FROM pts)$rounds
+         |SELECT CAST(zoom AS INTEGER) AS zoom, zx, zy FROM ($union) t""".stripMargin
+    },
+
     // the zoom-4 replay + the same scatter, zero-pad, and list-median
     // arithmetic — every comparison an exact integer
     "q_tile_outliers" -> {

@@ -320,6 +320,46 @@ object Tiling {
       .select("zx", "zy", "n", "med", "mad")
   }
 
+  /** COMPACT COVERAGE: the observed zoom-`z` tile set normalized to a
+    * minimal mixed-level quadtree cover — a parent replaces its children
+    * exactly when ALL FOUR are covered, recursively to zoom 0 (the
+    * web-mercator twin of the S2 kernel's `CellUnion.Normalize`,
+    * s2/S2CellUnion.scala:214-252, as a DISTRIBUTED query over billions
+    * of points). The compact form is what a coverage manifest stores: a
+    * fully-mapped region costs one row instead of 4^z. Output:
+    * (zoom, zx, zy), exactly covering the observed tiles — no overlap,
+    * no loss (the spec's expansion round-trip pins it).
+    *
+    * Shape at scale: one (tile) distinct over points, then `z` bounded
+    * rounds of parent-count aggregates — each round's input is the
+    * PROMOTED parents only (≤ ¼ of the prior round), so total work after
+    * the distinct is < 4/3 × observed-tile-count rows however deep the
+    * pyramid; per-round pins stop the lineage from compounding. */
+  def zxyCompactCoverage(df: DataFrame, latCol: String, lonCol: String,
+                         z: Int): DataFrame = {
+    require(z >= 1 && z <= 30, s"zoom out of range: $z")
+    var cur = zxyAssign(df, latCol, lonCol, z)
+      .select("zx", "zy").distinct().localCheckpoint()
+    var out: DataFrame = null
+    var lvl = z
+    while (lvl >= 1) {
+      val parents = cur
+        .groupBy(expr("zx div 2").as("pzx"), expr("zy div 2").as("pzy"))
+        .agg(count(lit(1)).as("__c"))
+        .localCheckpoint()
+      val full = parents.where(col("__c") === 4).select("pzx", "pzy")
+      val kept = cur
+        .join(full.select(col("pzx"), col("pzy")),
+          expr("zx div 2") === col("pzx") &&
+            expr("zy div 2") === col("pzy"), "left_anti")
+        .select(lit(lvl).as("zoom"), col("zx"), col("zy"))
+      out = if (out == null) kept else out.unionByName(kept)
+      cur = full.select(col("pzx").as("zx"), col("pzy").as("zy")).localCheckpoint()
+      lvl -= 1
+    }
+    out.unionByName(cur.select(lit(0).as("zoom"), col("zx"), col("zy")))
+  }
+
   /** `sqrt(3)/3` and `2/3`, the axial-conversion constants of [[hexBin]],
     * fixed here so Spark and any SQL replay parse identical doubles. */
   val HexC1: Double = math.sqrt(3.0) / 3.0

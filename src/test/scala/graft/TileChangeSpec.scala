@@ -154,6 +154,40 @@ class TileChangeSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("zxyCompactCoverage: full blocks promote, partial blocks stay, expansion round-trips") {
+    import spark.implicits._
+    def center(zx: Long, zy: Long, z: Int): (Double, Double) = {
+      val n = (1L << z).toDouble
+      val lon = (zx + 0.5) / n * 360.0 - 180.0
+      val yf = (zy + 0.5) / n
+      val lat = math.toDegrees(math.atan(math.sinh(math.Pi * (1 - 2 * yf))))
+      (lat, lon)
+    }
+    // z=3: an aligned full 4x4 block (-> one z=1 tile), an aligned full
+    // 2x2 block (-> one z=2 tile), one lone tile (stays at z=3)
+    val pts = (for { zx <- 0L to 3L; zy <- 0L to 3L } yield center(zx, zy, 3)) ++
+      (for { zx <- 6L to 7L; zy <- 6L to 7L } yield center(zx, zy, 3)) :+
+      center(5L, 1L, 3)
+    val got = Tiling.zxyCompactCoverage(pts.toDF("lat", "lon"), "lat", "lon", z = 3)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == Set((1, 0L, 0L), (2, 3L, 3L), (3, 5L, 1L)), s"got $got")
+    // round-trip: expanding the compacted cover back to z reproduces the
+    // observed tile set exactly (no overlap, no loss) on random points
+    val rnd = new scala.util.Random(47)
+    val rpts = Seq.fill(3000)((rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 360 - 180))
+    val observed = Tiling.zxyAssign(rpts.toDF("lat", "lon"), "lat", "lon", 5)
+      .select("zx", "zy").distinct().as[(Long, Long)].collect().toSet
+    val compact = Tiling.zxyCompactCoverage(rpts.toDF("lat", "lon"), "lat", "lon", z = 5)
+      .as[(Int, Long, Long)].collect()
+    val expanded = compact.flatMap { case (zoom, zx, zy) =>
+      val f = 1L << (5 - zoom)
+      for (dx <- 0L until f; dy <- 0L until f) yield (zx * f + dx, zy * f + dy)
+    }
+    assert(expanded.length == expanded.toSet.size, "overlapping cover")
+    assert(expanded.toSet == observed, "expansion does not round-trip")
+    assert(compact.length < observed.size, "nothing compacted — fixture degenerate")
+  }
+
   test("tileSeasonalAnomalies: zero-filled lower median, spike/quiet gates, zero-med branch") {
     import spark.implicits._
     def at(lon: Double, h: Int) =
