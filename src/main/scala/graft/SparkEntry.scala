@@ -1434,6 +1434,16 @@ object SparkEntry {
           .withColumn("lon", expr(lonSqlFor("event_id"))),
         "lat", "lon", 2, "ts", "2024-01-01", "2024-01-16", "2024-01-31")),
 
+    // coverage gaps: zoom-7 tiles with NO observation in their 3x3
+    // neighborhood — the catalog-holes report (143 of 16384 at sf0.01);
+    // the grid is executor-generated, the dilation is observed-set-sized
+    "q_coverage_gaps" -> ((s, dir) =>
+      Tiling.zxyCoverageGaps(
+        events(s, dir)
+          .withColumn("lat", expr(latSqlFor("event_id")))
+          .withColumn("lon", expr(lonSqlFor("event_id"))),
+        "lat", "lon", z = 7)),
+
     // compact coverage: the observed zoom-5 tile set normalized to the
     // minimal mixed-level quadtree cover (the web-mercator twin of the
     // kernel's CellUnion.Normalize as a distributed query) — 1023 of
@@ -4763,6 +4773,25 @@ object SparkEntry {
 
     // geohashTrend replayed exactly: same window bounds, conditional sums,
     // and the identical integer-ratio expression
+    // the same dilation + grid anti-join in SQL (range() cross join grid)
+    "q_coverage_gaps" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val n = 128
+      s"""WITH pts AS (SELECT $evLat AS lat, $evLon AS lon FROM events),
+         |t AS (SELECT DISTINCT
+         |  least(${n - 1}, greatest(0, CAST(floor((lon + 180.0) / 360.0 * $n.0) AS BIGINT))) AS zx,
+         |  least(${n - 1}, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)
+         |    + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * $n.0) AS BIGINT))) AS zy
+         | FROM pts),
+         |o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+         |dil AS (SELECT DISTINCT (t.zx + o.dx + $n) % $n AS zx, t.zy + o.dy AS zy FROM t, o
+         |        WHERE t.zy + o.dy >= 0 AND t.zy + o.dy < $n),
+         |grid AS (SELECT x.range AS zx, y.range AS zy FROM range($n) x, range($n) y)
+         |SELECT g.zx, g.zy FROM grid g
+         |LEFT JOIN dil d ON d.zx = g.zx AND d.zy = g.zy WHERE d.zx IS NULL""".stripMargin
+    },
+
     // the same bottom-up promotion unrolled: per level, parents with all
     // 4 children present promote, survivors emit — pure integer div-2
     // arithmetic

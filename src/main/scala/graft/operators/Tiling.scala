@@ -360,6 +360,37 @@ object Tiling {
     out.unionByName(cur.select(lit(0).as("zoom"), col("zx"), col("zy")))
   }
 
+  /** COVERAGE GAPS: zoom-`z` tiles with NO observation anywhere in their
+    * 3×3 neighborhood — the "where do we have no imagery at all?" holes
+    * report, the complement of [[zxyCompactCoverage]]'s manifest (a tile
+    * merely EMPTY next to data is a sampling artifact; a tile whose whole
+    * neighborhood is empty is a genuine catalog hole). Neighborhoods wrap
+    * in lon and clamp in lat, the same contract as [[zxyLocalOutliers]].
+    * Output: (zx, zy) gap tiles, integer-exact.
+    *
+    * Shape at scale: one (tile) distinct over points, a ≤9× dilation of
+    * the OBSERVED tile set (never the grid), and one anti-join against
+    * the executor-generated 4^z grid — the grid is `spark.range`, never
+    * driver-side, and the dilated set is observed-cardinality-bounded. */
+  def zxyCoverageGaps(df: DataFrame, latCol: String, lonCol: String,
+                      z: Int): DataFrame = {
+    require(z >= 2 && z <= 14, s"zoom out of range for a 4^z grid scan: $z")
+    val n = 1L << z
+    val tiles = zxyAssign(df, latCol, lonCol, z)
+      .select("zx", "zy").distinct().localCheckpoint()
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      struct(((col("zx") + lit(dx.toLong) + lit(n)) % lit(n)).as("dzx"),
+        (col("zy") + lit(dy.toLong)).as("dzy"))
+    val dilated = tiles
+      .select(explode(array(offsets: _*)).as("__d"))
+      .select(col("__d.dzx").as("zx"), col("__d.dzy").as("zy"))
+      .where(col("zy") >= 0 && col("zy") < n)
+      .distinct()
+    df.sparkSession.range(n * n)
+      .select(expr(s"id div $n").as("zx"), (col("id") % n).as("zy"))
+      .join(dilated, Seq("zx", "zy"), "left_anti")
+  }
+
   /** `sqrt(3)/3` and `2/3`, the axial-conversion constants of [[hexBin]],
     * fixed here so Spark and any SQL replay parse identical doubles. */
   val HexC1: Double = math.sqrt(3.0) / 3.0

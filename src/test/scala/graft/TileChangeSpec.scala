@@ -154,6 +154,25 @@ class TileChangeSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("zxyCoverageGaps == scalar dilation complement; observed+dilated tiles never gap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val pts = Seq.fill(150)((rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 360 - 180))
+    val z = 5
+    val n = 1L << z
+    val got = Tiling.zxyCoverageGaps(pts.toDF("lat", "lon"), "lat", "lon", z)
+      .as[(Long, Long)].collect().toSet
+    val observed = Tiling.zxyAssign(pts.toDF("lat", "lon"), "lat", "lon", z)
+      .select("zx", "zy").distinct().as[(Long, Long)].collect().toSet
+    val dilated = observed.flatMap { case (zx, zy) =>
+      for { dx <- -1 to 1; dy <- -1 to 1; zy2 = zy + dy if zy2 >= 0 && zy2 < n }
+        yield (((zx + dx + n) % n), zy2)
+    }
+    val want = (for { x <- 0L until n; y <- 0L until n } yield (x, y)).toSet -- dilated
+    assert(got == want)
+    assert(got.nonEmpty && observed.forall(t => !got.contains(t)))
+  }
+
   test("zxyCompactCoverage: full blocks promote, partial blocks stay, expansion round-trips") {
     import spark.implicits._
     def center(zx: Long, zy: Long, z: Int): (Double, Double) = {
