@@ -1434,6 +1434,16 @@ object SparkEntry {
           .withColumn("lon", expr(lonSqlFor("event_id"))),
         "lat", "lon", 2, "ts", "2024-01-01", "2024-01-16", "2024-01-31")),
 
+    // per-tile freshness: zoom-6 tiles whose latest observation trails
+    // the corpus frontier by > 10 days (953 of 3660 at sf0.01) — the
+    // refresh-scheduler report; exact integer day arithmetic
+    "q_stale_tiles" -> ((s, dir) =>
+      Tiling.zxyStaleTiles(
+        events(s, dir)
+          .withColumn("lat", expr(latSqlFor("event_id")))
+          .withColumn("lon", expr(lonSqlFor("event_id"))),
+        "lat", "lon", "ts", z = 6, staleDays = 10L)),
+
     // coverage gaps: zoom-7 tiles with NO observation in their 3x3
     // neighborhood — the catalog-holes report (143 of 16384 at sf0.01);
     // the grid is executor-generated, the dilation is observed-set-sized
@@ -4773,6 +4783,25 @@ object SparkEntry {
 
     // geohashTrend replayed exactly: same window bounds, conditional sums,
     // and the identical integer-ratio expression
+    // the same per-tile max timestamp, frontier, and integer day gap
+    "q_stale_tiles" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      val n = 64
+      s"""WITH pts AS (SELECT ts, $evLat AS lat, $evLon AS lon FROM events),
+         |t AS (SELECT zx, zy, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us FROM (SELECT ts,
+         |  least(${n - 1}, greatest(0, CAST(floor((lon + 180.0) / 360.0 * $n.0) AS BIGINT))) AS zx,
+         |  least(${n - 1}, greatest(0, CAST(floor((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)
+         |    + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat)) * pi() / 180.0)) / pi()) / 2.0 * $n.0) AS BIGINT))) AS zy
+         | FROM pts) g GROUP BY 1, 2),
+         |f AS (SELECT max(last_us) AS front FROM t)
+         |SELECT t.zx, t.zy, t.n, t.last_us,
+         |  CAST(f.front // 86400000000 - t.last_us // 86400000000 AS BIGINT) AS silent_days
+         |FROM t, f
+         |WHERE f.front // 86400000000 - t.last_us // 86400000000 > 10""".stripMargin
+    },
+
     // the same dilation + grid anti-join in SQL (range() cross join grid)
     "q_coverage_gaps" -> {
       val evLat = latSqlFor("event_id")

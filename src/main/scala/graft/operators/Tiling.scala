@@ -391,6 +391,34 @@ object Tiling {
       .join(dilated, Seq("zx", "zy"), "left_anti")
   }
 
+  /** Per-tile FRESHNESS report: tiles whose latest observation is more
+    * than `staleDays` behind the corpus frontier — the "which map areas
+    * are out of date?" query a refresh scheduler runs ([[zxyCoverageGaps]]
+    * finds places with NO data; this finds places with OLD data). Output:
+    * (zx, zy, n, last_us, silent_days) for stale tiles only — counts and
+    * microsecond/day arithmetic all exact integers (silent_days =
+    * frontier-day − last-day in UTC days).
+    *
+    * Shape: one (tile) aggregate over points (count + max timestamp), a
+    * 1-row frontier broadcast, one integer filter — nothing after the
+    * aggregate is data-sized. */
+  def zxyStaleTiles(df: DataFrame, latCol: String, lonCol: String,
+                    tsCol: String, z: Int, staleDays: Long): DataFrame = {
+    require(staleDays >= 1, s"staleDays must be >= 1: $staleDays")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val tiles = zxyAssign(df, latCol, lonCol, z)
+      .withColumn("__us", us)
+      .groupBy("zx", "zy")
+      .agg(count(lit(1)).as("n"), max(col("__us")).as("last_us"))
+      .localCheckpoint()
+    val frontier = tiles.agg(max(col("last_us")).as("__front"))
+    tiles.crossJoin(broadcast(frontier))
+      .withColumn("silent_days",
+        expr("__front div 86400000000") - expr("last_us div 86400000000"))
+      .where(col("silent_days") > staleDays)
+      .select("zx", "zy", "n", "last_us", "silent_days")
+  }
+
   /** `sqrt(3)/3` and `2/3`, the axial-conversion constants of [[hexBin]],
     * fixed here so Spark and any SQL replay parse identical doubles. */
   val HexC1: Double = math.sqrt(3.0) / 3.0

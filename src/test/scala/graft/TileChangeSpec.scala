@@ -154,6 +154,23 @@ class TileChangeSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("zxyStaleTiles: planted old/fresh tiles flag exactly; frontier tile never flags") {
+    import spark.implicits._
+    def at(lon: Double, day: Int) =
+      (20.0, lon, new java.sql.Timestamp(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(day).atStartOfDay()
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000L))
+    // three distinct z=4 tiles: fresh (day 30), mildly old (day 25,
+    // 5 days silent — below the gate), stale (day 3)
+    val pts = Seq(at(-150.0, 30), at(-150.0, 1), at(-60.0, 25), at(60.0, 3))
+    val got = Tiling.zxyStaleTiles(pts.toDF("lat", "lon", "ts"),
+        "lat", "lon", "ts", z = 4, staleDays = 10L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (zx, _, n, _, silent) = got.head
+    assert(zx == 10L && n == 1L && silent == 27L, s"got ${got.toSeq}") // lon 60 -> zx 10
+  }
+
   test("zxyCoverageGaps == scalar dilation complement; observed+dilated tiles never gap") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)
