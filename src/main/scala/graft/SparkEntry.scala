@@ -3147,6 +3147,16 @@ object SparkEntry {
         round(col("value") * 100).cast("long"),
         col("event_type") === "purchase")),
 
+    // per-segment AUC: the same exact Mann-Whitney statistic sliced by
+    // UTC weekday — the dashboard view that catches a failing segment an
+    // overall AUC hides; same compaction, grouped prefix sum
+    "q_auc_by_day" -> ((s, dir) =>
+      Evaluation.aucStatsBy(
+        events(s, dir).where(col("value").isNotNull)
+          .withColumn("wd", dayofweek(col("ts")).cast("long")),
+        "wd", round(col("value") * 100).cast("long"),
+        col("event_type") === "purchase")),
+
     // per-row percentile of value within its event type — the
     // per-category rank feature; exact (rank, n_grp) integers from the
     // grouped two-pass range rank (never a per-group single-task window),
@@ -6686,6 +6696,25 @@ object SparkEntry {
          |a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(t - p) AS BIGINT) AS n_neg,
          |        CAST(sum(p*(mn+mx)) AS BIGINT) AS r2_pos FROM v)
          |SELECT n_pos, n_neg, r2_pos, ${Evaluation.AucFinalSql} AS auc FROM a""".stripMargin,
+
+    // per-(weekday, score) counts, the within-group prefix window, and
+    // the engine's own final expression per segment
+    "q_auc_by_day" ->
+      s"""WITH s AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS wd,
+         |    CAST(round(value*100) AS BIGINT) AS sc,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |c AS (SELECT wd, sc, CAST(count(*) AS BIGINT) AS t, CAST(sum(y) AS BIGINT) AS p
+         |      FROM s GROUP BY 1, 2),
+         |w AS (SELECT wd, sc, t, p,
+         |        CAST(sum(t) OVER (PARTITION BY wd ORDER BY sc
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS BIGINT) AS below
+         |      FROM c),
+         |a AS (SELECT wd, CAST(sum(p) AS BIGINT) AS n_pos,
+         |        CAST(sum(t - p) AS BIGINT) AS n_neg,
+         |        CAST(sum(p*(2*below + t + 1)) AS BIGINT) AS r2_pos
+         |      FROM w GROUP BY 1)
+         |SELECT wd, n_pos, n_neg, r2_pos, ${Evaluation.AucFinalSql} AS auc FROM a""".stripMargin,
 
     // the same total order per group (a window is fine at oracle scale —
     // the engine's two-pass shape changes the plan, never the rank) and

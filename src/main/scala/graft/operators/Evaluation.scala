@@ -105,6 +105,37 @@ object Evaluation {
       .select(col("n_a"), col("n_b"), col("d_num"), expr(KsFinalSql).as("ks"))
   }
 
+  /** [[aucStats]] PER SEGMENT — the evaluation slice every monitoring
+    * dashboard needs (an overall AUC of 0.8 hiding a 0.5 segment is the
+    * classic silent failure): one row (grpCol, n_pos, n_neg, r2_pos, auc)
+    * per group, same exact tie-aware integers, same compaction — the
+    * data-sized work is ONE (group, score) hash aggregate, then the
+    * grouped prefix sum runs over (group × distinct-score) rows only.
+    * Segments with one class report NULL, as [[AucFinalSql]] defines. */
+  def aucStatsBy(df: DataFrame, grpCol: String, scoreCol: Column,
+                 labelCol: Column): DataFrame = {
+    val perScore = df
+      .select(col(grpCol), scoreCol.cast("long").as("__s"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col(grpCol), col("__s"))
+      .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__p"))
+    val withBelow = SortedNeighborhood.groupedPrefixSum(perScore, grpCol,
+      col("__s"), col("__t"))
+    withBelow
+      .groupBy(col(grpCol))
+      .agg(sum(col("__p")).as("n_pos"),
+        sum(col("__t") - col("__p")).as("n_neg"),
+        sum(col("__p") * (lit(2L) * col("below") + col("__t") + 1L)).as("r2_pos"),
+        max(col("below") + col("__t")).as("__maxr"))
+      .withColumn("__ok",
+        when(col("n_pos").cast("double") * 2 * col("__maxr").cast("double")
+          <= lit(4.6e18), true)
+          .otherwise(raise_error(lit("aucStatsBy: rank sum overflows int64"))))
+      .where(col("__ok"))
+      .select(col(grpCol), col("n_pos"), col("n_neg"), col("r2_pos"),
+        expr(AucFinalSql).as("auc"))
+  }
+
   /** The percentile expression over (rank, n_grp) — shared verbatim with
     * the SQL oracle; singleton groups are NULL (no [0,1] span exists). */
   val PercentileFinalSql: String =

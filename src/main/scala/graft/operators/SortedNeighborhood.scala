@@ -82,6 +82,31 @@ object SortedNeighborhood {
       .drop("__pid", "__lc", "__off")
   }
 
+  /** [[globalPrefixSum]] PER GROUP: for each row, the sum of `weight`
+    * over strictly-smaller keys WITHIN its group — range-partitioned by
+    * (group, key) with per-(partition, group) offsets, the
+    * [[SpatialPartition.groupedGlobalRank]] shape for weighted sums.
+    * Keys must be distinct within each group. Returns the input columns
+    * plus `below`. */
+  private[graft] def groupedPrefixSum(df: DataFrame, grpCol: String,
+                                      key: Column, weight: Column): DataFrame = {
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val ranged = df.repartitionByRange(parts, col(grpCol).asc, key.asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = ranged.withColumn("__lc",
+      sum(weight).over(Window.partitionBy(col("__pid"), col(grpCol))
+        .orderBy(key.asc)) - weight)
+    val offsets = local.groupBy(col("__pid"), col(grpCol)).agg(sum(weight).as("__c"))
+      .withColumn("__off", coalesce(
+        sum("__c").over(Window.partitionBy(grpCol).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col(grpCol), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid", grpCol))
+      .withColumn("below", col("__lc") + col("__off"))
+      .drop("__pid", "__lc", "__off")
+  }
+
   /** Candidate pairs within `window` sorted positions of each other,
     * canonicalized to id_a < id_b. Candidate volume is exactly
     * n*(window-1) rows pre-join — a plan-time constant multiplier, never

@@ -64,6 +64,27 @@ class EvaluationSpec extends SparkTestBase {
     assert(d.contains(dnum.toDouble / (na.toDouble * nb.toDouble)))
   }
 
+  test("aucStatsBy == per-segment aucStats; one-class segments NULL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val rows = (1 to 600).map { _ =>
+      val g = Seq("x", "y", "z")(rnd.nextInt(3))
+      (g, rnd.nextInt(15).toLong, rnd.nextBoolean())
+    } :+ (("onlypos", 3L, true)) :+ (("onlypos", 5L, true))
+    val df = rows.toDF("g", "score", "label")
+    val got = Evaluation.aucStatsBy(df, "g", col("score"), col("label"))
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    for (g <- Seq("x", "y", "z")) {
+      val single = Evaluation.aucStats(df.where(col("g") === g),
+          col("score"), col("label"))
+        .as[(Long, Long, Long, Option[Double])].head()
+      assert(got(g) == ((single._1, single._2, single._3, single._4)), s"segment $g")
+    }
+    assert(got("onlypos")._4.isEmpty)
+    assert(got.size == 4)
+  }
+
   test("groupPercentile == per-group scalar rank; singleton groups NULL") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
