@@ -1194,6 +1194,16 @@ object SparkEntry {
         .select("id_a", "id_b", "haus_m")
     }),
 
+    // per-user anchor point: the coordinate-wise lower-median fix on the
+    // micro-degree grid — the robust home-location estimate; two grouped
+    // two-pass ranks, never a per-entity sort, every output exact
+    "q_anchor_points" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.anchorPoints(pts, "user_id", "lat", "lon")
+    }),
+
     // DTW track-similarity join: the alignment-aware sibling of
     // q_hausdorff_join — every user pair's 8-fix signature warped by the
     // classic DP over EXACT 10m-quantized integer local costs, so the
@@ -4360,6 +4370,23 @@ object SparkEntry {
 
     // brute-force symmetric Hausdorff: max-of-min over all cross point
     // pairs per user pair — min/max pick elements, so the only fp-order
+    // the same micro-degree quantization and lower-median rank selection
+    "q_anchor_points" ->
+      s"""WITH p AS (SELECT user_id,
+         |    CAST(round((${latSqlFor("event_id")}) * 1000000) AS BIGINT) AS lat6,
+         |    CAST(round((${lonSqlFor("event_id")}) * 1000000) AS BIGINT) AS lon6
+         |  FROM events),
+         |la AS (SELECT user_id, lat6 AS med_lat_e6, n FROM (
+         |  SELECT user_id, lat6, row_number() OVER (PARTITION BY user_id ORDER BY lat6) AS r,
+         |         count(*) OVER (PARTITION BY user_id) AS n FROM p) t
+         |  WHERE r = (n + 1) // 2),
+         |lo AS (SELECT user_id, lon6 AS med_lon_e6 FROM (
+         |  SELECT user_id, lon6, row_number() OVER (PARTITION BY user_id ORDER BY lon6) AS r,
+         |         count(*) OVER (PARTITION BY user_id) AS n FROM p) t
+         |  WHERE r = (n + 1) // 2)
+         |SELECT la.user_id, CAST(la.n AS BIGINT) AS n_obs, la.med_lat_e6, lo.med_lon_e6
+         |FROM la JOIN lo USING (user_id)""".stripMargin,
+
     // the DP unrolled per anti-diagonal: local whole-meter costs from the
     // shared haversine text, then 15 MATERIALIZED diagonal CTEs (each cell
     // takes least() of its up/left/diagonal predecessors, NULLs ignored at

@@ -736,6 +736,40 @@ object Trajectories {
         expr("CAST(__sq AS DOUBLE) / CAST(n_visits * n_visits AS DOUBLE)").as("hhi"))
   }
 
+  /** Per-entity ANCHOR point: the coordinate-wise LOWER MEDIAN of each
+    * entity's fixes on the micro-degree integer grid — the robust
+    * home/base-location estimate (a mean drags toward travel bursts and
+    * GPS glitches; the median ignores them; home detection is the first
+    * step of almost every mobility analysis). Output: (idCol, n_obs,
+    * med_lat_e6, med_lon_e6), all exact integers — the lower median is
+    * the ((n+1) div 2)-th smallest, so the whole contract is
+    * hash-exact. The anchor is coordinate-wise (not a true geometric
+    * median): a documented, oracle-able contract rather than an
+    * iterative transcendental fit.
+    *
+    * Shape at scale: TWO grouped two-pass range ranks (lat, lon) — never
+    * a per-entity single-task sort and never an O(n)-per-entity collect;
+    * each pass keeps one row per fix and the median filter is a rank
+    * equality. */
+  def anchorPoints(points: DataFrame, idCol: String, latCol: String,
+                   lonCol: String): DataFrame = {
+    val src = points.select(col(idCol),
+      round(col(latCol) * 1000000).cast("long").as("__lat6"),
+      round(col(lonCol) * 1000000).cast("long").as("__lon6"))
+    def med(valCol: String, out: String): DataFrame =
+      SpatialPartition.groupedGlobalRank(
+          src.select(col(idCol), col(valCol)), idCol, col(valCol), col(valCol))
+        // row_number is unique even under value ties, so exactly one row
+        // per entity carries the ((n+1) div 2)-th smallest — and its
+        // VALUE is deterministic whatever the tie order
+        .where(col("rank") === expr("(__tot + 1) div 2"))
+        .select(col(idCol), col(valCol).as(out), col("__tot").as(s"__n_$out"))
+    med("__lat6", "med_lat_e6")
+      .join(med("__lon6", "med_lon_e6"), idCol)
+      .select(col(idCol), col("__n_med_lat_e6").as("n_obs"),
+        col("med_lat_e6"), col("med_lon_e6"))
+  }
+
   /** Dynamic-time-warping track-similarity join — the alignment-aware
     * sibling of [[hausdorffJoin]]: two tracks sampled at different rates
     * along the same route score LOW (DTW warps the time axis), where

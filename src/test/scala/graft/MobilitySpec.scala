@@ -111,4 +111,29 @@ class MobilitySpec extends SparkTestBase {
       Trajectories.visitEpisodes(bad, "user_id", "ts", "event_id", "region_id", "lon", regions)
     }
   }
+
+  test("anchorPoints == per-entity scalar lower medians; outliers cannot drag the anchor") {
+    import spark.implicits._
+    // user 1: nine fixes at home plus one glitch on the other side of the
+    // planet — the anchor must stay exactly home
+    val home = (0 until 9).map(i => (1L, 52.5 + i * 0.0001, 13.4 - i * 0.0001))
+    val glitch = Seq((1L, -33.9, 151.2))
+    val rnd = new scala.util.Random(61)
+    val others = for (u <- 2L to 6L; _ <- 0 until (5 + rnd.nextInt(10)))
+      yield (u, rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 340 - 170)
+    val rows = home ++ glitch ++ others
+    val got = Trajectories.anchorPoints(rows.toDF("uid", "lat", "lon"),
+        "uid", "lat", "lon")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def med(vs: Seq[Long]): Long = vs.sorted.apply((vs.size + 1) / 2 - 1)
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val lats = vs.map(v => math.round(v._2 * 1000000)).toSeq
+      val lons = vs.map(v => math.round(v._3 * 1000000)).toSeq
+      assert(got(u) == ((vs.size.toLong, med(lats), med(lons))), s"user $u")
+    }
+    // the glitch landed the user's anchor inside the home cluster
+    val (_, la, lo) = got(1L)
+    assert(la >= 52500000L && la <= 52501000L && lo >= 13399000L && lo <= 13400000L)
+  }
 }
