@@ -1194,6 +1194,17 @@ object SparkEntry {
         .select("id_a", "id_b", "haus_m")
     }),
 
+    // home drift: per-user anchors for the two January halves + the
+    // great-circle distance between them — the relocation/takeover
+    // screen; entity-cardinality rows after the ranks
+    "q_home_drift" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.anchorDrift(pts, "user_id", "lat", "lon",
+        col("ts").cast("timestamp") >= lit("2024-01-16 00:00:00").cast("timestamp"))
+    }),
+
     // per-user anchor point: the coordinate-wise lower-median fix on the
     // micro-degree grid — the robust home-location estimate; two grouped
     // two-pass ranks, never a per-entity sort, every output exact
@@ -4370,6 +4381,36 @@ object SparkEntry {
 
     // brute-force symmetric Hausdorff: max-of-min over all cross point
     // pairs per user pair — min/max pick elements, so the only fp-order
+    // both periods' anchor replays joined, the shared haversine text
+    // over the reconstructed anchor degrees, rounded to integer meters
+    "q_home_drift" -> {
+      val d = haversineExpr("la.med_lat_e6 / 1000000.0", "la.med_lon_e6 / 1000000.0",
+        "lb.med_lat_e6 / 1000000.0", "lb.med_lon_e6 / 1000000.0")
+      def half(name: String, pred: String) =
+        s"""p$name AS (SELECT user_id,
+           |    CAST(round((${latSqlFor("event_id")}) * 1000000) AS BIGINT) AS lat6,
+           |    CAST(round((${lonSqlFor("event_id")}) * 1000000) AS BIGINT) AS lon6
+           |  FROM events WHERE $pred),
+           |la$name AS (SELECT user_id, lat6 AS med_lat_e6, n FROM (
+           |  SELECT user_id, lat6, row_number() OVER (PARTITION BY user_id ORDER BY lat6) AS r,
+           |         count(*) OVER (PARTITION BY user_id) AS n FROM p$name) t
+           |  WHERE r = (n + 1) // 2),
+           |lo$name AS (SELECT user_id, lon6 AS med_lon_e6 FROM (
+           |  SELECT user_id, lon6, row_number() OVER (PARTITION BY user_id ORDER BY lon6) AS r,
+           |         count(*) OVER (PARTITION BY user_id) AS n FROM p$name) t
+           |  WHERE r = (n + 1) // 2),
+           |anch$name AS (SELECT la$name.user_id, CAST(la$name.n AS BIGINT) AS n_obs,
+           |    la$name.med_lat_e6, lo$name.med_lon_e6
+           |  FROM la$name JOIN lo$name USING (user_id))""".stripMargin
+      s"""WITH ${half("A", "ts < TIMESTAMP '2024-01-16 00:00:00'")},
+         |${half("B", "ts >= TIMESTAMP '2024-01-16 00:00:00'")}
+         |SELECT la.user_id, la.n_obs AS n_a, la.med_lat_e6 AS lat_a_e6,
+         |  la.med_lon_e6 AS lon_a_e6, lb.n_obs AS n_b,
+         |  lb.med_lat_e6 AS lat_b_e6, lb.med_lon_e6 AS lon_b_e6,
+         |  CAST(round($d) AS BIGINT) AS drift_m
+         |FROM anchA la JOIN anchB lb USING (user_id)""".stripMargin
+    },
+
     // the same micro-degree quantization and lower-median rank selection
     "q_anchor_points" ->
       s"""WITH p AS (SELECT user_id,

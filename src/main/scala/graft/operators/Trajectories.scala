@@ -770,6 +770,36 @@ object Trajectories {
         col("med_lat_e6"), col("med_lon_e6"))
   }
 
+  /** HOME-DRIFT detection: each entity's [[anchorPoints]] anchor computed
+    * separately for two periods, joined, with the great-circle distance
+    * between the two anchors — "who moved?", the migration/relocation
+    * screen (and the account-takeover signal: a home that jumps
+    * continents between two weeks is rarely the same person). Output:
+    * (idCol, n_a, n_b, lat/lon anchors for both periods, drift_m) for
+    * entities observed in BOTH periods; drift_m = round(haversine meters)
+    * between the micro-degree anchor grid points — integer-exact given
+    * the half-meter rounding margin (spec-pinned; anchors are grid
+    * points, so the margin is a property of the finite anchor set).
+    *
+    * Shape: two anchor passes (each two grouped range ranks over its
+    * period's rows) + one entity equi-join — entity-cardinality rows
+    * after the ranks. */
+  def anchorDrift(points: DataFrame, idCol: String, latCol: String,
+                  lonCol: String, isPeriodB: Column): DataFrame = {
+    val a = anchorPoints(points.where(!isPeriodB), idCol, latCol, lonCol)
+      .select(col(idCol), col("n_obs").as("n_a"),
+        col("med_lat_e6").as("lat_a_e6"), col("med_lon_e6").as("lon_a_e6"))
+    val b = anchorPoints(points.where(isPeriodB), idCol, latCol, lonCol)
+      .select(col(idCol), col("n_obs").as("n_b"),
+        col("med_lat_e6").as("lat_b_e6"), col("med_lon_e6").as("lon_b_e6"))
+    a.join(b, idCol)
+      .withColumn("drift_m", round(s2_distance_m(
+        col("lat_a_e6").cast("double") / 1000000.0,
+        col("lon_a_e6").cast("double") / 1000000.0,
+        col("lat_b_e6").cast("double") / 1000000.0,
+        col("lon_b_e6").cast("double") / 1000000.0)).cast("long"))
+  }
+
   /** Dynamic-time-warping track-similarity join — the alignment-aware
     * sibling of [[hausdorffJoin]]: two tracks sampled at different rates
     * along the same route score LOW (DTW warps the time axis), where

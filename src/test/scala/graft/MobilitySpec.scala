@@ -136,4 +136,37 @@ class MobilitySpec extends SparkTestBase {
     val (_, la, lo) = got(1L)
     assert(la >= 52500000L && la <= 52501000L && lo >= 13399000L && lo <= 13400000L)
   }
+
+  test("anchorDrift: a mover drifts, a stayer stays near zero; rounding margins (sf0.01)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stayer: same home both periods; mover: Berlin -> Sydney
+    val rows =
+      (0 until 5).map(i => (1L, false, 52.5 + i * 0.001, 13.4)) ++
+      (0 until 5).map(i => (1L, true, 52.5 + i * 0.001, 13.4)) ++
+      (0 until 5).map(i => (2L, false, 52.5, 13.4 + i * 0.001)) ++
+      (0 until 5).map(i => (2L, true, -33.87, 151.2 + i * 0.001))
+    val got = Trajectories.anchorDrift(rows.toDF("uid", "pb", "lat", "lon"),
+        "uid", "lat", "lon", col("pb"))
+      .select("uid", "drift_m").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L)
+    assert(got(2L) > 16000000L && got(2L) < 17000000L, s"mover drift ${got(2L)}")
+    // oracle margin: no sf0.01 drift sits near a half-meter rounding edge
+    val pts = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
+    val drifts = Trajectories.anchorDrift(pts, "user_id", "lat", "lon",
+        col("ts").cast("timestamp") >= lit("2024-01-16 00:00:00").cast("timestamp"))
+      .select(col("lat_a_e6"), col("lon_a_e6"), col("lat_b_e6"), col("lon_b_e6"))
+      .as[(Long, Long, Long, Long)].collect()
+    var minGap = Double.MaxValue
+    drifts.foreach { case (la, lo, lb, lb2) =>
+      val d = graft.s2.S2LatLng.fromDegrees(la / 1e6, lo / 1e6)
+        .getEarthDistance(graft.s2.S2LatLng.fromDegrees(lb / 1e6, lb2 / 1e6))
+      val frac = d - math.floor(d)
+      minGap = math.min(minGap, math.abs(frac - 0.5))
+    }
+    assert(drifts.length > 100)
+    assert(minGap > 1e-6, s"half-meter rounding margin too thin: $minGap")
+  }
 }
