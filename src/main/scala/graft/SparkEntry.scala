@@ -1194,6 +1194,16 @@ object SparkEntry {
         .select("id_a", "id_b", "haus_m")
     }),
 
+    // away rate: fraction of each user's fixes > 8000 km from their
+    // anchor — the roaming metric; exact integer counts, one shared
+    // division, anchor table joined back entity-keyed
+    "q_away_rate" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .withColumn("lat", expr(latSqlFor("event_id")))
+        .withColumn("lon", expr(lonSqlFor("event_id")))
+      Trajectories.awayRate(pts, "user_id", "lat", "lon", radiusM = 8000000.0)
+    }),
+
     // home drift: per-user anchors for the two January halves + the
     // great-circle distance between them — the relocation/takeover
     // screen; entity-cardinality rows after the ranks
@@ -4381,6 +4391,34 @@ object SparkEntry {
 
     // brute-force symmetric Hausdorff: max-of-min over all cross point
     // pairs per user pair — min/max pick elements, so the only fp-order
+    // the anchor replay joined back to every fix, the shared haversine
+    // gate, exact counts + the engine's own rate expression
+    "q_away_rate" -> {
+      val d = haversineExpr("p.lat", "p.lon",
+        "a.med_lat_e6 / 1000000.0", "a.med_lon_e6 / 1000000.0")
+      s"""WITH pts AS (SELECT user_id, event_id,
+         |    ${latSqlFor("event_id")} AS lat, ${lonSqlFor("event_id")} AS lon
+         |  FROM events),
+         |p6 AS (SELECT user_id,
+         |    CAST(round(lat * 1000000) AS BIGINT) AS lat6,
+         |    CAST(round(lon * 1000000) AS BIGINT) AS lon6 FROM pts),
+         |la AS (SELECT user_id, lat6 AS med_lat_e6 FROM (
+         |  SELECT user_id, lat6, row_number() OVER (PARTITION BY user_id ORDER BY lat6) AS r,
+         |         count(*) OVER (PARTITION BY user_id) AS n FROM p6) t
+         |  WHERE r = (n + 1) // 2),
+         |lo AS (SELECT user_id, lon6 AS med_lon_e6 FROM (
+         |  SELECT user_id, lon6, row_number() OVER (PARTITION BY user_id ORDER BY lon6) AS r,
+         |         count(*) OVER (PARTITION BY user_id) AS n FROM p6) t
+         |  WHERE r = (n + 1) // 2),
+         |a AS (SELECT la.user_id, la.med_lat_e6, lo.med_lon_e6
+         |      FROM la JOIN lo USING (user_id)),
+         |g AS (SELECT p.user_id, CASE WHEN $d > 8000000.0 THEN 1 ELSE 0 END AS away
+         |      FROM pts p JOIN a ON a.user_id = p.user_id),
+         |f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+         |        CAST(sum(away) AS BIGINT) AS n_away FROM g GROUP BY 1)
+         |SELECT user_id, n_obs, n_away, ${Trajectories.AwayRateSql} AS away_rate FROM f""".stripMargin
+    },
+
     // both periods' anchor replays joined, the shared haversine text
     // over the reconstructed anchor degrees, rounded to integer meters
     "q_home_drift" -> {

@@ -800,6 +800,37 @@ object Trajectories {
         col("lon_b_e6").cast("double") / 1000000.0)).cast("long"))
   }
 
+  /** The away-rate final expression — shared verbatim with the oracle. */
+  val AwayRateSql: String =
+    "CAST(n_away AS DOUBLE) / CAST(n_obs AS DOUBLE)"
+
+  /** Per-entity AWAY RATE: the fraction of fixes farther than `radiusM`
+    * from the entity's [[anchorPoints]] anchor — the travel/roaming
+    * metric (a courier lives away from home; a desk worker doesn't), and
+    * with a small radius the GPS-noise rate. Output: (idCol, n_obs,
+    * n_away, away_rate) — counts exact integers (the distance-vs-radius
+    * gate's margin is a property of the finite fixture, spec-pinned),
+    * rate one shared division.
+    *
+    * Shape: the anchor pass, then ONE broadcast-or-shuffle equi-join of
+    * the entity-cardinality anchor table back onto the fixes and one
+    * count aggregate — fixes shuffle once (for the rank) and join on
+    * their own key thereafter. */
+  def awayRate(points: DataFrame, idCol: String, latCol: String,
+               lonCol: String, radiusM: Double): DataFrame = {
+    require(radiusM > 0, s"radiusM must be positive: $radiusM")
+    val anchors = anchorPoints(points, idCol, latCol, lonCol)
+      .select(col(idCol), col("med_lat_e6"), col("med_lon_e6"))
+    points.select(col(idCol), col(latCol), col(lonCol))
+      .join(anchors, idCol)
+      .withColumn("__away", when(s2_distance_m(col(latCol), col(lonCol),
+        col("med_lat_e6").cast("double") / 1000000.0,
+        col("med_lon_e6").cast("double") / 1000000.0) > radiusM, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_obs"), sum(col("__away")).as("n_away"))
+      .withColumn("away_rate", expr(AwayRateSql))
+  }
+
   /** Dynamic-time-warping track-similarity join — the alignment-aware
     * sibling of [[hausdorffJoin]]: two tracks sampled at different rates
     * along the same route score LOW (DTW warps the time axis), where

@@ -137,6 +137,39 @@ class MobilitySpec extends SparkTestBase {
     assert(la >= 52500000L && la <= 52501000L && lo >= 13399000L && lo <= 13400000L)
   }
 
+  test("awayRate == scalar anchor-distance gate; radius-boundary margin (sf0.01)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+      .withColumn("lat", expr(SparkEntry.latSqlFor("event_id")))
+      .withColumn("lon", expr(SparkEntry.lonSqlFor("event_id")))
+    val r = 8000000.0
+    val got = Trajectories.awayRate(pts, "user_id", "lat", "lon", r)
+      .select("user_id", "n_obs", "n_away").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val rows = pts.select("user_id", "lat", "lon")
+      .as[(Long, Double, Double)].collect()
+    val anchors = rows.groupBy(_._1).map { case (u, vs) =>
+      def med(xs: Seq[Long]) = xs.sorted.apply((xs.size + 1) / 2 - 1)
+      u -> (med(vs.map(v => math.round(v._2 * 1e6)).toSeq),
+        med(vs.map(v => math.round(v._3 * 1e6)).toSeq))
+    }
+    var minGap = Double.MaxValue
+    val want = rows.groupBy(_._1).map { case (u, vs) =>
+      val (la, lo) = anchors(u)
+      val a = graft.s2.S2LatLng.fromDegrees(la / 1e6, lo / 1e6)
+      val away = vs.count { v =>
+        val d = graft.s2.S2LatLng.fromDegrees(v._2, v._3).getEarthDistance(a)
+        minGap = math.min(minGap, math.abs(d - r))
+        d > r
+      }
+      u -> ((vs.size.toLong, away.toLong))
+    }
+    assert(got == want)
+    assert(minGap > 1e-3, s"radius margin too thin: $minGap m")
+    assert(got.values.exists(v => v._2 > 0 && v._2 < v._1), "fixture degenerate")
+  }
+
   test("anchorDrift: a mover drifts, a stayer stays near zero; rounding margins (sf0.01)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
