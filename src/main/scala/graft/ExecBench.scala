@@ -423,6 +423,14 @@ object ExecBench {
       val e2 = ids.select(col("id").as("id_a"), (col("id") + 2).as("id_b")).where(col("id_b") < n)
       Graphs.degreeAssortativity(e1.unionAll(e2).toDF()).count(); 20000000L
     }
+    t("anchors 1M ents   ") {
+      Trajectories.anchorPoints(trk.toDF(), "user_id", "lat", "lon")
+        .count(); 100000000L
+    }
+    t("awayRate 1M ents  ") {
+      Trajectories.awayRate(trk.toDF(), "user_id", "lat", "lon",
+        radiusM = 8000000.0).count(); 100000000L
+    }
     t("ksTest 100M       ") {
       val scored = spark.range(0L, 100000000L, 1, 64)
         .withColumn("v", pmod(col("id") * 7919L, lit(100000L)))

@@ -747,25 +747,35 @@ object Trajectories {
     * median): a documented, oracle-able contract rather than an
     * iterative transcendental fit.
     *
-    * Shape at scale: TWO grouped two-pass range ranks (lat, lon) — never
-    * a per-entity single-task sort and never an O(n)-per-entity collect;
-    * each pass keeps one row per fix and the median filter is a rank
-    * equality. */
+    * Shape at scale: per axis, ONE (entity, value) count aggregate over
+    * the fixes and one per-entity weighted-median fold over the sorted
+    * (value, count) list — per-entity state is the DISTINCT quantized
+    * values, not the fixes (100 fixes on 30 spots fold 30 structs), the
+    * same per-key-state contract as the EWMA/Holt folds and ~50× cheaper
+    * at 100M rows than ranking every fix (a first cut ran two full
+    * grouped range ranks: 125 s vs 2.5 s at 1M entities). The hot-key
+    * tail (one entity with 10⁹ DISTINCT positions) is the documented
+    * limit. */
   def anchorPoints(points: DataFrame, idCol: String, latCol: String,
                    lonCol: String): DataFrame = {
-    val src = points.select(col(idCol),
-      round(col(latCol) * 1000000).cast("long").as("__lat6"),
-      round(col(lonCol) * 1000000).cast("long").as("__lon6"))
-    def med(valCol: String, out: String): DataFrame =
-      SpatialPartition.groupedGlobalRank(
-          src.select(col(idCol), col(valCol)), idCol, col(valCol), col(valCol))
-        // row_number is unique even under value ties, so exactly one row
-        // per entity carries the ((n+1) div 2)-th smallest — and its
-        // VALUE is deterministic whatever the tie order
-        .where(col("rank") === expr("(__tot + 1) div 2"))
-        .select(col(idCol), col(valCol).as(out), col("__tot").as(s"__n_$out"))
-    med("__lat6", "med_lat_e6")
-      .join(med("__lon6", "med_lon_e6"), idCol)
+    def axisMedian(v: org.apache.spark.sql.Column, out: String): DataFrame =
+      points.select(col(idCol), v.as("__v"))
+        .groupBy(col(idCol), col("__v")).agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(struct(col("__v"), col("__c")))).as("__vc"),
+          sum(col("__c")).as(s"__n_$out"))
+        // walk the sorted histogram to the ((n+1) div 2)-th fix
+        .withColumn(out, expr(
+          s"""aggregate(__vc,
+             |  named_struct('cum', 0L, 'ans', CAST(NULL AS BIGINT)),
+             |  (acc, x) -> IF(acc.ans IS NOT NULL, acc,
+             |    named_struct('cum', acc.cum + x.__c,
+             |      'ans', IF(acc.cum + x.__c >= (__n_$out + 1) div 2,
+             |                x.__v, CAST(NULL AS BIGINT)))),
+             |  acc -> acc.ans)""".stripMargin))
+        .select(col(idCol), col(out), col(s"__n_$out"))
+    axisMedian(round(col(latCol) * 1000000).cast("long"), "med_lat_e6")
+      .join(axisMedian(round(col(lonCol) * 1000000).cast("long"), "med_lon_e6"), idCol)
       .select(col(idCol), col("__n_med_lat_e6").as("n_obs"),
         col("med_lat_e6"), col("med_lon_e6"))
   }
