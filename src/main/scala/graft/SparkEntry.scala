@@ -1216,8 +1216,9 @@ object SparkEntry {
     }),
 
     // per-user anchor point: the coordinate-wise lower-median fix on the
-    // micro-degree grid — the robust home-location estimate; two grouped
-    // two-pass ranks, never a per-entity sort, every output exact
+    // micro-degree grid — the robust home-location estimate; per axis one
+    // (entity, value) count aggregate + a per-entity sorted-histogram
+    // median fold (state = distinct values, not fixes), every output exact
     "q_anchor_points" -> ((s, dir) => {
       val pts = events(s, dir)
         .withColumn("lat", expr(latSqlFor("event_id")))
@@ -6727,6 +6728,7 @@ object SparkEntry {
         |  WHERE q.vec_id < 40 AND e.vec_id <> q.vec_id) t WHERE rnk <= 5),
         |v AS (SELECT nn.query_id, l.label AS lbl, CAST(count(*) AS BIGINT) AS votes
         |  FROM nn JOIN embeddings l ON l.vec_id = nn.neighbor_id
+        |  WHERE l.label IS NOT NULL
         |  GROUP BY 1, 2)
         |SELECT query_id, lbl AS pred_label, votes FROM (
         |  SELECT query_id, lbl, votes, row_number() OVER (

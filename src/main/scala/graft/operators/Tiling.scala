@@ -283,7 +283,13 @@ object Tiling {
     * integer comparisons: no margins, the SQL oracle replays it verbatim.
     * Output: flagged tiles only, (zx, zy, n, med, mad); a zero-MAD
     * neighborhood (perfectly flat) flags ANY deviation — the documented
-    * sharp-null contract.
+    * sharp-null contract. SCOPE: only tiles with at least one observation
+    * are outlier CANDIDATES — a zero-count tile surrounded by heavy
+    * neighbors (the inverse "hole" anomaly) is never flagged, because the
+    * candidate set is the observed-tile set, not its dilation. Hole
+    * detection would evaluate the dilated tile set with n=0 fill
+    * (8 extra scatter rows per observed tile); this operator
+    * deliberately does not.
     *
     * Shape at scale: one (tile) count pass over points, then a bounded
     * scatter (8 rows per OBSERVED tile) and one collect of ≤ 8 longs per

@@ -755,11 +755,16 @@ object Trajectories {
     * at 100M rows than ranking every fix (a first cut ran two full
     * grouped range ranks: 125 s vs 2.5 s at 1M entities). The hot-key
     * tail (one entity with 10⁹ DISTINCT positions) is the documented
-    * limit. */
+    * limit. Fixes with a NULL latitude or longitude are dropped up front
+    * (matching the value-series operators' NULL-value filters): a NULL
+    * quantized value would group and sort FIRST in the histogram,
+    * inflating n and leaving the fold's 'ans' unset through the NULL
+    * group, skewing the median for entities with NULL fixes. */
   def anchorPoints(points: DataFrame, idCol: String, latCol: String,
                    lonCol: String): DataFrame = {
+    val clean = points.where(col(latCol).isNotNull && col(lonCol).isNotNull)
     def axisMedian(v: org.apache.spark.sql.Column, out: String): DataFrame =
-      points.select(col(idCol), v.as("__v"))
+      clean.select(col(idCol), v.as("__v"))
         .groupBy(col(idCol), col("__v")).agg(count(lit(1)).as("__c"))
         .groupBy(col(idCol))
         .agg(sort_array(collect_list(struct(col("__v"), col("__c")))).as("__vc"),
@@ -791,9 +796,9 @@ object Trajectories {
     * the half-meter rounding margin (spec-pinned; anchors are grid
     * points, so the margin is a property of the finite anchor set).
     *
-    * Shape: two anchor passes (each two grouped range ranks over its
-    * period's rows) + one entity equi-join — entity-cardinality rows
-    * after the ranks. */
+    * Shape: two anchor passes (each folding a per-entity sorted
+    * (value, count) position histogram per axis — see [[anchorPoints]]) +
+    * one entity equi-join — entity-cardinality rows after the folds. */
   def anchorDrift(points: DataFrame, idCol: String, latCol: String,
                   lonCol: String, isPeriodB: Column): DataFrame = {
     val a = anchorPoints(points.where(!isPeriodB), idCol, latCol, lonCol)
