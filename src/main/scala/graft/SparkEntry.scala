@@ -3584,10 +3584,12 @@ object SparkEntry {
           element_at(col("qa"), 2).as("p95_c"))
     }),
 
-    // spherical Douglas-Peucker track simplification (rows-only: the
-    // recursion's data-dependent splits are not ANSI-SQL-expressible;
-    // SimplifySpec pins the deviation bound — every dropped point within
-    // tolerance of the simplified track — plus golden kernel cases)
+    // spherical Douglas-Peucker track simplification. Oracled (round-3
+    // verdict ask #4): the kept-index set is a pure function of the input
+    // (lowest-index farthest tie-break), so the oracle replays the
+    // recursion as a recursive CTE over a precomputed per-(lo,hi)
+    // farthest-vertex table — the same replay pattern as q_staypoints'
+    // anchor walk; SimplifySpec additionally pins the deviation bound
     "q_simplify" -> ((s, dir) => {
       val pts = events(s, dir)
         .withColumn("lat", expr(latSqlFor("event_id")))
@@ -4569,6 +4571,73 @@ object SparkEntry {
          |  CAST(s.j - w.i AS BIGINT) AS n_points, s.dwell AS dwell_micros
          |FROM walk w JOIN steps s ON s.user_id = w.user_id AND s.i = w.i
          |WHERE s.dwell >= 50000000000""".stripMargin
+    },
+
+    // spherical Douglas-Peucker replay: (1) per-(lo,hi) farthest-vertex
+    // table — for every candidate split interval, the interior vertex of
+    // max point-to-edge distance, ties to the LOWEST index, via the SAME
+    // IEEE formula as the kernel (S2EdgeUtil.getDistance with
+    // robustCrossProd's (b+a)x(b-a) normal, transcribed term-by-term in
+    // evaluation order) — then (2) a recursive interval walk from
+    // (1, n): an interval whose farthest distance exceeds the tolerance
+    // keeps that vertex and spawns both sub-intervals, exactly the
+    // kernel's explicit stack (traversal ORDER is irrelevant to the kept
+    // SET, so the stack-vs-breadth difference cannot diverge)
+    "q_simplify" -> {
+      val evLat = latSqlFor("event_id")
+      val evLon = lonSqlFor("event_id")
+      s"""WITH RECURSIVE
+         |base AS (SELECT user_id, ts, event_id, $evLat AS lat, $evLon AS lon FROM events),
+         |p AS (SELECT user_id, event_id,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |        cos(radians(lat))*cos(radians(lon)) AS px,
+         |        cos(radians(lat))*sin(radians(lon)) AS py,
+         |        sin(radians(lat)) AS pz
+         |      FROM base),
+         |cnt AS (SELECT user_id, max(rn) AS n FROM p GROUP BY 1),
+         |e1 AS (SELECT a.user_id, a.rn AS lo, b.rn AS hi, v.rn AS w,
+         |         v.px AS px, v.py AS py, v.pz AS pz,
+         |         a.px AS ax, a.py AS ay, a.pz AS az,
+         |         b.px AS bx, b.py AS by, b.pz AS bz,
+         |         (b.px+a.px) AS sx, (b.py+a.py) AS sy, (b.pz+a.pz) AS sz,
+         |         (b.px-a.px) AS dx, (b.py-a.py) AS dy, (b.pz-a.pz) AS dz
+         |       FROM p a
+         |       JOIN p b ON b.user_id = a.user_id AND b.rn > a.rn + 1
+         |       JOIN p v ON v.user_id = a.user_id AND v.rn > a.rn AND v.rn < b.rn),
+         |e2 AS (SELECT *, sy*dz - sz*dy AS nx, sz*dx - sx*dz AS ny, sx*dy - sy*dx AS nz FROM e1),
+         |e3 AS (SELECT *, ny*az - nz*ay AS m1x, nz*ax - nx*az AS m1y, nx*ay - ny*ax AS m1z,
+         |         by*nz - bz*ny AS m2x, bz*nx - bx*nz AS m2y, bx*ny - by*nx AS m2z FROM e2),
+         |e4 AS (SELECT user_id, lo, hi, w,
+         |         CASE WHEN px*m1x + py*m1y + pz*m1z > 0 AND px*m2x + py*m2y + pz*m2z > 0
+         |           THEN asin(least(1.0, abs(px*nx + py*ny + pz*nz) / sqrt(nx*nx + ny*ny + nz*nz)))
+         |           ELSE 2 * asin(least(1.0, 0.5 * sqrt(least(
+         |             (px-ax)*(px-ax) + (py-ay)*(py-ay) + (pz-az)*(pz-az),
+         |             (px-bx)*(px-bx) + (py-by)*(py-by) + (pz-bz)*(pz-bz)))))
+         |         END AS d FROM e3),
+         |farthest AS (SELECT user_id, lo, hi, w, d FROM (
+         |    SELECT user_id, lo, hi, w, d,
+         |      row_number() OVER (PARTITION BY user_id, lo, hi ORDER BY d DESC, w ASC) AS rk
+         |    FROM e4) t WHERE rk = 1),
+         |walk AS (
+         |  SELECT user_id, CAST(1 AS BIGINT) AS lo, CAST(n AS BIGINT) AS hi FROM cnt
+         |  UNION ALL
+         |  SELECT w.user_id,
+         |    CASE s.side WHEN 0 THEN w.lo ELSE CAST(f.w AS BIGINT) END AS lo,
+         |    CASE s.side WHEN 0 THEN CAST(f.w AS BIGINT) ELSE w.hi END AS hi
+         |  FROM walk w
+         |  JOIN farthest f ON f.user_id = w.user_id AND f.lo = w.lo AND f.hi = w.hi
+         |    AND f.d > 200000.0 / 6367000.0
+         |  CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) s),
+         |keptrn AS (
+         |  SELECT user_id, CAST(1 AS BIGINT) AS rn FROM cnt
+         |  UNION ALL SELECT user_id, CAST(n AS BIGINT) AS rn FROM cnt
+         |  UNION ALL
+         |  SELECT w.user_id, CAST(f.w AS BIGINT) AS rn
+         |  FROM walk w
+         |  JOIN farthest f ON f.user_id = w.user_id AND f.lo = w.lo AND f.hi = w.hi
+         |    AND f.d > 200000.0 / 6367000.0)
+         |SELECT DISTINCT k.user_id, p.event_id
+         |FROM keptrn k JOIN p ON p.user_id = k.user_id AND p.rn = k.rn""".stripMargin
     },
 
     // gaps-and-islands with the same integer contracts: exact-µs gap test,

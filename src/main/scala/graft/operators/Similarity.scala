@@ -259,6 +259,22 @@ object Similarity {
       .limit(trainLimit).cache()
     var centroids: Array[Array[Double]] = train.orderBy(col(idCol)).limit(nlist)
       .collect().map(r => normalized(r.getSeq[Float](1).toArray.map(_.toDouble)))
+    centroids = lloydIterate(train, vecCol, centroids, iters)
+    train.unpersist()
+    centroids
+  }
+
+  /** Spherical-Lloyd refinement from GIVEN initial centroids — the
+    * iteration loop of [[trainIvfCentroids]], shared with
+    * [[rebalanceIvfIndex]]'s occupancy-weighted re-seeding. */
+  private def lloydIterate(train: DataFrame, vecCol: String,
+                           init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    val spark = train.sparkSession
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var centroids = init
     for (_ <- 0 until iters) {
       val assign = assignUdf(spark, centroids)
       // the assignment UDF must be materialized in its own projection
@@ -280,7 +296,6 @@ object Similarity {
         if (s.forall(_ == 0.0)) old else normalized(s)
       }
     }
-    train.unpersist()
     centroids
   }
 
@@ -376,15 +391,22 @@ object Similarity {
   def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                     indexDir: String, nlist: Int = 64, iters: Int = 5,
                     trainLimit: Int = 20000): Unit = {
-    val spark = embeddings.sparkSession
     val centroids = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters, trainLimit)
+    writeIvfLayout(embeddings, idCol, vecCol, centroids, indexDir)
+  }
+
+  /** Write the clustered (centroids + hive-partitioned lists) layout for
+    * GIVEN centroids — shared by [[buildIvfIndex]] and
+    * [[rebalanceIvfIndex]]. */
+  private def writeIvfLayout(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: Array[Array[Double]], indexDir: String): Unit = {
+    val spark = df.sparkSession
     import spark.implicits._
     centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     val assign = assignUdf(spark, centroids)
-    embeddings
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("norm"))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("norm"))
       .withColumn("list", assign(col("vec")))
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/lists")
@@ -396,8 +418,9 @@ object Similarity {
     * list directories it touches). The index-maintenance companion of
     * [[graft.operators.Dedup.incrementalNearDup]]: daily ingest is
     * O(batch), never O(corpus). Centroid drift under sustained appends is
-    * a retrain-policy decision (rebuild when recall decays), not an
-    * operator concern. */
+    * handled by the explicit lifecycle below: check [[ivfListStats]]
+    * after appends and run [[rebalanceIvfIndex]] when the skew threshold
+    * trips ([[maybeRebalanceIvfIndex]] composes the two). */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
                        indexDir: String): Unit = {
     val spark = batch.sparkSession
@@ -407,6 +430,120 @@ object Similarity {
       .withColumn("list", assign(col("vec")))
       .repartition(col("list"))
       .write.mode("append").partitionBy("list").parquet(s"$indexDir/lists")
+  }
+
+  /** Per-list row counts of a persisted IVF index plus the skew summary
+    * (maxSize, lower-median size over NON-EMPTY lists). Derived from the
+    * clustered layout itself — parquet row-group metadata, a
+    * metadata-only aggregate — rather than a side stats file that could
+    * drift out of sync with concurrent appends. A healthy quantizer keeps
+    * max/median small; sustained drifted appends (all new rows near one
+    * centroid) grow one hot list unboundedly, silently degrading both
+    * recall (the hot list's residuals stop matching the centroid) and
+    * probe pruning (one probed partition carries most of the data). */
+  def ivfListStats(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): (Long, Long, DataFrame) = {
+    val counts = spark.read.parquet(s"$indexDir/lists")
+      .groupBy("list").agg(count(lit(1)).as("n"))
+    val sizes = counts.select("n").collect().map(_.getLong(0)).sorted
+    require(sizes.nonEmpty, s"ivfListStats: empty index at $indexDir")
+    (sizes.last, sizes((sizes.length - 1) / 2), counts)
+  }
+
+  /** Re-train and re-assign a persisted IVF index in place — the drift
+    * recovery action. Plain retraining cannot fix append drift: the
+    * quantizer's lowest-id seeding never places a centroid among the
+    * appended (high-id) rows, so Lloyd parks exactly ONE centroid on a
+    * drifted cluster however large it grows. Rebalance therefore seeds
+    * from the index's OWN occupancy: each list receives
+    * ceil(size / design-occupancy) seeds, drawn evenly across the list's
+    * id-ranked rows — a hot list holding half the corpus contributes a
+    * seed per design-size slice, so the refined quantizer splits it into
+    * design-size lists while every already-balanced list keeps its one
+    * centroid (a fixed point; existing regions lose no resolution — the
+    * rebuilt index grows its list count instead, the natural lifecycle
+    * for a growing corpus). The refined layout is rebuilt into a staging
+    * directory and fully materialized BEFORE the swap (a crash
+    * mid-rebuild leaves the old index intact); the swap follows the
+    * clustered store's staged-swap convention (Tiling.mergeClustered)
+    * and assumes the index's single maintainer. */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                        nlist: Int = 64, iters: Int = 5,
+                        trainLimit: Int = 20000): Unit = {
+    val lists = spark.read.parquet(s"$indexDir/lists")
+    val counts: Array[(Int, Long)] = lists.groupBy("list").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    require(total > 0, s"rebalanceIvfIndex: empty index at $indexDir")
+    // seed quotas: each existing list receives ceil(size / target) seeds,
+    // where target = total/nlist is the DESIGN occupancy the index was
+    // built for. Balanced lists keep exactly one seed (their existing
+    // neighborhood — a fixed point), while a hot drifted list receives
+    // one seed per target-size slice of its rows, so the rebuilt index
+    // GROWS its list count to give the new region capacity instead of
+    // confiscating centroids from (and degrading recall in) the regions
+    // the index already serves — the list-count lifecycle a growing
+    // corpus needs (nlist here is the target-size divisor, not a cap).
+    val target = math.max(1L, total / nlist)
+    val seedQuota = counts.map { case (lid, n) => (lid, (n + target - 1) / target, n) }
+    // training sample quotas: proportional to occupancy within trainLimit
+    val trainQuota = counts.map { case (lid, n) =>
+      (lid, math.max(1L, trainLimit.toLong * n / total), n)
+    }
+    import spark.implicits._
+    def evenSelect(quota: Seq[(Int, Long, Long)]): DataFrame = {
+      // per list, the q rows whose id-rank satisfies the classic even-
+      // selection predicate ((rn-1)*q) % n < q — exactly q of n, evenly
+      val qdf = broadcast(quota.toDF("list", "__q", "__n"))
+      val w = Window.partitionBy("list").orderBy("id")
+      lists.select(col("list"), col("id"), col("vec"))
+        .withColumn("__rn", row_number().over(w))
+        .join(qdf, "list")
+        .where(((col("__rn") - 1) * col("__q")) % col("__n") < col("__q"))
+    }
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val seeds = evenSelect(seedQuota)
+      .orderBy("list", "id").select("vec")
+      .collect().map(r => normalized(r.getSeq[Float](0).toArray.map(_.toDouble)))
+    val train = evenSelect(trainQuota.toSeq).select("id", "vec").localCheckpoint()
+    val centroids = lloydIterate(train, "vec", seeds, iters)
+    val staged = s"$indexDir/.rebuild"
+    writeIvfLayout(lists.select("id", "vec"), "id", "vec", centroids, staged)
+    def swap(sub: String): Unit = {
+      val live = new java.io.File(s"$indexDir/$sub")
+      val old = new java.io.File(s"$indexDir/.old_$sub")
+      val fresh = new java.io.File(s"$staged/$sub")
+      if (old.exists()) delete(old)
+      require(live.renameTo(old), s"rebalance: cannot stage out $live")
+      require(fresh.renameTo(live), s"rebalance: cannot stage in $fresh")
+      delete(old)
+    }
+    swap("centroids")
+    swap("lists")
+    delete(new java.io.File(staged))
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete(): Unit
+  }
+
+  /** The drift policy: rebuild the index iff the largest list exceeds
+    * `maxMedianRatio` times the median list (both from [[ivfListStats]]).
+    * Returns true when a rebalance ran. Call after append waves; the
+    * threshold trips only under genuine drift (uniform growth scales all
+    * lists together), so routine ingest never pays a rebuild. */
+  def maybeRebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                             maxMedianRatio: Double = 4.0, nlist: Int = 64,
+                             iters: Int = 5, trainLimit: Int = 20000): Boolean = {
+    require(maxMedianRatio >= 1.0, s"maxMedianRatio must be >= 1: $maxMedianRatio")
+    val (maxSize, medianSize, _) = ivfListStats(spark, indexDir)
+    val skewed = maxSize.toDouble > maxMedianRatio * medianSize
+    if (skewed) rebalanceIvfIndex(spark, indexDir, nlist, iters, trainLimit)
+    skewed
   }
 
   /** Centroids of a persisted index (nlist rows, driver-side). */
