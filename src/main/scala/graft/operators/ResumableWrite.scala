@@ -125,6 +125,12 @@ object ResumableWrite {
     * one-by-one (atomic rename + manifest append), so a crash at any point
     * either commits a partition completely or leaves it pending.
     *
+    * The whole run holds the store's exclusive [[WriterLock]] (owner =
+    * the runId): a SECOND writer — even one with a different runId —
+    * fails loudly instead of interleaving renames and manifest appends
+    * with ours, while a retry of a CRASHED run (same runId) reclaims the
+    * stale lock and resumes, preserving the resume contract.
+    *
     * Null partition values are rejected explicitly (they cannot be
     * round-tripped through directory names or resumed reliably).
     *
@@ -135,10 +141,9 @@ object ResumableWrite {
   def write(df: DataFrame, outDir: String, partitionCol: String, runId: String,
             input: String = "", maxPartitionsThisRun: Int = Int.MaxValue): Seq[PartitionRecord] = {
     Files.createDirectories(Paths.get(outDir))
+    WriterLock.withLock(outDir, s"resumable:$runId") {
     // idempotent: clear OUR OWN torn temp root from a crashed attempt with
-    // this runId. Other _tmp_<runId> roots are left alone — they may belong
-    // to a concurrently running writer on the same outDir; abandoned ones
-    // are harmless garbage the owner's retry (same runId) will clear.
+    // this runId (the lock guarantees no other writer is live here).
     deleteRecursively(Paths.get(outDir, s"_tmp_$runId"))
 
     val done = committedPartitions(outDir)
@@ -151,7 +156,7 @@ object ResumableWrite {
       s"empty-string $partitionCol partition values are not resumable (hive maps them to " +
         "__HIVE_DEFAULT_PARTITION__); filter or default them first")
     val todo = allParts.sorted.filterNot(done).take(maxPartitionsThisRun)
-    if (todo.isEmpty) return Nil
+    if (todo.isEmpty) Nil else {
     val todoSet = todo.toSet
 
     // scan 2: the single write pass over every pending partition, with
@@ -207,6 +212,8 @@ object ResumableWrite {
     }
     deleteRecursively(tmpRoot)
     out.toSeq
+    }
+    }
   }
 
   /** Read back everything committed so far: one directory per manifest

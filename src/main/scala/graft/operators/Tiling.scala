@@ -877,7 +877,8 @@ object Tiling {
 
   def mergeClustered(spark: SparkSession, dir: String, updates: DataFrame,
                      keyCol: String, latCol: String, lonCol: String,
-                     coarseLevel: Int = 5): MergeStats = {
+                     coarseLevel: Int = 5): MergeStats =
+      WriterLock.withLock(dir, s"mergeClustered:${java.util.UUID.randomUUID()}") {
     val existing = readLayoutStringParts(spark, dir)
     require(existing.columns.contains("coarse_tile") &&
       existing.columns.contains("__leaf_ord"),
@@ -931,19 +932,23 @@ object Tiling {
                        minFilesToCompact: Int = 2): CompactStats = {
     require(minFilesToCompact >= 2,
       s"compactClustered: minFilesToCompact must be >= 2, got $minFilesToCompact")
-    val inventory = partitionFileCounts(dir)
-    val toCompact = inventory.filter(_._2 >= minFilesToCompact)
-    if (toCompact.isEmpty)
-      return CompactStats(0, inventory.map(_._2).sum, inventory.map(_._2).sum)
-    val tokens = toCompact.map(_._1)
-    val rows = readLayoutStringParts(spark, dir)
-      .where(col("coarse_tile").isin(tokens: _*))
-    val (_, removed) = rewritePartitions(spark, dir, tokens, rows)
-    require(removed == 0,
-      s"compactClustered: $removed partitions vanished during compaction — " +
-        "layout mutated concurrently")
-    val after = partitionFileCounts(dir)
-    CompactStats(toCompact.length, inventory.map(_._2).sum, after.map(_._2).sum)
+    WriterLock.withLock(dir, s"compactClustered:${java.util.UUID.randomUUID()}") {
+      val inventory = partitionFileCounts(dir)
+      val toCompact = inventory.filter(_._2 >= minFilesToCompact)
+      if (toCompact.isEmpty)
+        CompactStats(0, inventory.map(_._2).sum, inventory.map(_._2).sum)
+      else {
+        val tokens = toCompact.map(_._1)
+        val rows = readLayoutStringParts(spark, dir)
+          .where(col("coarse_tile").isin(tokens: _*))
+        val (_, removed) = rewritePartitions(spark, dir, tokens, rows)
+        require(removed == 0,
+          s"compactClustered: $removed partitions vanished during compaction — " +
+            "layout mutated concurrently")
+        val after = partitionFileCounts(dir)
+        CompactStats(toCompact.length, inventory.map(_._2).sum, after.map(_._2).sum)
+      }
+    }
   }
 
   /** (token, parquet file count) per coarse-tile partition directory. */

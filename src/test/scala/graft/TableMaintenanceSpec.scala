@@ -166,4 +166,51 @@ class TableMaintenanceSpec extends SparkTestBase {
     assert(again.compactedPartitions == 0)
     assert(again.filesBefore == again.filesAfter)
   }
+
+  test("writer lock: a second writer fails loudly, store intact; stale own lock reclaimed") {
+    import graft.operators.WriterLock
+    val dir = tmpDir("lock")
+    Tiling.clusteredWrite(baseDf, "lat", "lon", dir, coarseLevel = 2)
+    val before = layoutSnapshot(dir)
+    val rowsBefore = readBack(dir)
+
+    // writer A holds the lock; writer B's merge AND compact must lose
+    // loudly, naming the holder, with the store untouched
+    WriterLock.withLock(dir, "writer-A") {
+      val upd = baseDf.where(col("id") < 5).withColumn("lat", col("lat") + 0.25)
+      val em = intercept[IllegalStateException] {
+        Tiling.mergeClustered(spark, dir, upd, "id", "lat", "lon", coarseLevel = 2)
+      }
+      assert(em.getMessage.contains("writer-A"), em.getMessage)
+      val ec = intercept[IllegalStateException] {
+        Tiling.compactClustered(spark, dir)
+      }
+      assert(ec.getMessage.contains("writer-A"), ec.getMessage)
+      val er = intercept[IllegalStateException] {
+        graft.operators.ResumableWrite.write(
+          baseDf.withColumn("p", lit("x")), dir, "p", "run_lock_test")
+      }
+      assert(er.getMessage.contains("writer-A"), er.getMessage)
+    }
+    assert(layoutSnapshot(dir) == before, "losing writers must not touch the store")
+    assert(readBack(dir) == rowsBefore)
+
+    // lock released: maintenance proceeds
+    val upd = baseDf.where(col("id") < 5).withColumn("lat", col("lat") + 0.25)
+    val stats = Tiling.mergeClustered(spark, dir, upd, "id", "lat", "lon", coarseLevel = 2)
+    assert(stats.stagedRows > 0)
+
+    // a stale lock left by a crashed run with the SAME owner id is
+    // reclaimed (the resume path), while a different owner still loses
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_writer.lock"),
+      """{"owner":"resumable:crashed-run","pid":0}""".getBytes)
+    val e2 = intercept[IllegalStateException] {
+      Tiling.compactClustered(spark, dir)
+    }
+    assert(e2.getMessage.contains("crashed-run"))
+    WriterLock.withLock(dir, "resumable:crashed-run") {
+      assert(WriterLock.holder(dir).exists(_.contains("crashed-run")))
+    }
+    assert(WriterLock.holder(dir).isEmpty, "lock must release on exit")
+  }
 }
