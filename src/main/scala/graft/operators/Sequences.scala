@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,7 +43,10 @@ object Sequences {
     * aggregate over at most |types|^len path strings, and the top-k
     * plans as TakeOrderedAndProject (driver holds k rows, never the
     * distribution). Type values must not contain the '>' separator —
-    * loudly checked, a silent collision would merge distinct paths. */
+    * loudly checked, a silent collision would merge distinct paths.
+    * HOT-KEY CAVEAT: the per-key window sorts a whole key in one task —
+    * for keys with millions of events use [[topPathsBucketed]]
+    * (identical output, (key, bucket)-sized tasks). */
   def topPaths(events: DataFrame, keyCol: String, tsCol: String,
                typeCol: String, tieCol: String, len: Int, topK: Int): DataFrame = {
     require(len >= 2, s"len must be >= 2: $len")
@@ -100,7 +103,9 @@ object Sequences {
     * stream (other events may interleave); returns (depth, n_keys) over
     * ALL keys, depth 0 included. Greedy earliest matching is optimal for
     * subsequence progress, so depth equals the iterated
-    * min-ts-after-previous-step formulation. */
+    * min-ts-after-previous-step formulation. HOT-KEY CAVEAT: one task
+    * folds a whole key's sorted list — use [[funnelDepthsBucketed]]
+    * (identical output) for keys with millions of events. */
   def funnelDepths(events: DataFrame, keyCol: String, tsCol: String,
                    typeCol: String, tieCol: String,
                    steps: Seq[String]): DataFrame = {
@@ -175,7 +180,10 @@ object Sequences {
     * bit-reproducible and a SQL oracle replaying the same prefix folds
     * hash-matches them exactly — the Geary's-C discipline for float
     * output. One shuffle on the key; per-key state is O(that key's
-    * events), the documented hot-key tail. */
+    * events), and the array-building fold is QUADRATIC in key size
+    * (each step copies the accumulator), so a 10^6-event key does not
+    * terminate usefully — [[ewmaBucketed]] is the hot-key path
+    * (fp-equal within 1e-9, not bit-exact). */
   def ewma(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
            valueCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
@@ -235,6 +243,206 @@ object Sequences {
               lit(cb) * element_at(acc, 2)))))
     folded.select(col(keyCol), size(col("evs")).cast("long").as("n_obs"),
       element_at(col("lb"), 1).as("level"), element_at(col("lb"), 2).as("trend"))
+  }
+
+  // --- skew-hardened (bucketed) variants of the sequence family ---------
+  //
+  // The plain operators above shuffle once on the key and give each task
+  // a WHOLE key's events (the documented hot-key tail: one key with 10^6
+  // events sorts in one task). The *Bucketed variants below generalize
+  // [[AsOfJoin.asOfBucketed]]'s two-pass shape — a per-(key, bucket) fold
+  // plus a tiny per-key summary carry — so no task ever receives more
+  // than one bucket of the hot key (SequenceSkewSpec plants the 10^6-row
+  // key and pins both the boundedness and the output equality).
+  // `bucketFor` must be a NON-DECREASING function of the time column
+  // (e.g. `t => unix_micros(t) div 3600000000L`); empty time buckets are
+  // handled by densifying to each key's occupied buckets first.
+
+  /** (key, ts, tie, payload cols) extended with the key's DENSE bucket
+    * index `__dbkt` (1-based over its OCCUPIED buckets — so "next
+    * bucket" is well-defined even when time buckets are empty). The
+    * dense-rank window runs over per-(key, bucket) DISTINCT rows:
+    * #buckets per key, never events. */
+  private def withDenseBucket(df: DataFrame, keyCol: String, tsCol: String,
+                              bucketFor: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val marked = df.withColumn("__bkt0", bucketFor(col(tsCol)))
+    val wB = Window.partitionBy(keyCol).orderBy(col("__bkt0"))
+    val dense = marked.select(col(keyCol), col("__bkt0")).distinct()
+      .withColumn("__dbkt", row_number().over(wB))
+    marked.join(dense, Seq(keyCol, "__bkt0")).drop("__bkt0")
+  }
+
+  /** Skew-hardened [[topPaths]]: IDENTICAL output (same path strings,
+    * same counts, same rank rule), but every window runs per
+    * (key, dense bucket) with the first `len - 1` rows of each bucket
+    * borrowed into its predecessor — exactly the lookahead the len-step
+    * window needs across the seam, and paths STARTING at a borrowed row
+    * are dropped (their home bucket emits them), so every adjacent
+    * len-window is counted exactly once. */
+  def topPathsBucketed(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String, len: Int, topK: Int,
+                       bucketFor: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    require(len >= 2, s"len must be >= 2: $len")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val base = withDenseBucket(
+      events.select(col(keyCol), col(tsCol), col(tieCol), col(typeCol).as("__s0")),
+      keyCol, tsCol, bucketFor)
+    val wIn = Window.partitionBy(col(keyCol), col("__dbkt"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val heads = base.withColumn("__rn", row_number().over(wIn))
+      .where(col("__rn") <= len - 1)
+      .withColumn("__dbkt", col("__dbkt") - 1)
+      .withColumn("__borrow", lit(true)).drop("__rn")
+    val un = base.withColumn("__borrow", lit(false)).unionByName(heads)
+    val withSteps = (1 until len).foldLeft(un) { case (df, i) =>
+      df.withColumn(s"__s$i", lead(col("__s0"), i).over(wIn))
+    }
+    val sepFree = (0 until len).map(i => !col(s"__s$i").contains(">")).reduce(_ && _)
+    val path = concat_ws(">", (0 until len).map(i => col(s"__s$i")): _*)
+    withSteps
+      .where(!col("__borrow"))
+      .where((1 until len).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .withColumn("__ok", when(sepFree, true)
+        .otherwise(raise_error(lit(s"topPaths: type value contains the '>' separator"))))
+      .where(col("__ok"))
+      .select(path.as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topK)
+  }
+
+  /** Skew-hardened [[transitionCounts]]: identical (prev_type, next_type,
+    * n) output via the borrowed-head construction with lookahead 1 (an
+    * adjacent pair is a 2-path). */
+  def transitionCountsBucketed(events: DataFrame, keyCol: String, tsCol: String,
+                               typeCol: String, tieCol: String,
+                               bucketFor: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val base = withDenseBucket(
+      events.select(col(keyCol), col(tsCol), col(tieCol), col(typeCol).as("prev_type")),
+      keyCol, tsCol, bucketFor)
+    val wIn = Window.partitionBy(col(keyCol), col("__dbkt"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val heads = base.withColumn("__rn", row_number().over(wIn))
+      .where(col("__rn") <= 1)
+      .withColumn("__dbkt", col("__dbkt") - 1)
+      .withColumn("__borrow", lit(true)).drop("__rn")
+    base.withColumn("__borrow", lit(false)).unionByName(heads)
+      .withColumn("next_type", lead(col("prev_type"), 1).over(wIn))
+      .where(!col("__borrow") && col("next_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-bucket funnel TRANSITION VECTOR: element d (0-based) is the
+    * depth reached after folding the bucket's ordered types starting
+    * from depth d. Greedy subsequence matching is a deterministic
+    * integer fold, so composing bucket vectors in bucket order replays
+    * the global fold EXACTLY. */
+  private def funnelVectorUdf(steps: Seq[String]) = udf { types: Seq[String] =>
+    Array.tabulate(steps.size + 1) { d0 =>
+      var d = d0
+      types.foreach { t => if (d < steps.size && t == steps(d)) d += 1 }
+      d
+    }
+  }
+
+  /** Skew-hardened [[funnelDepths]]: identical (depth, n_keys) output.
+    * Pass 1 folds each (key, bucket)'s ordered types into a
+    * (steps+1)-int transition vector; pass 2 composes each key's bucket
+    * vectors in order from depth 0 — per-key state is one tiny vector
+    * per OCCUPIED bucket, never the events. */
+  def funnelDepthsBucketed(events: DataFrame, keyCol: String, tsCol: String,
+                           typeCol: String, tieCol: String, steps: Seq[String],
+                           bucketFor: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnel steps must be non-empty and distinct: $steps")
+    val vecOf = funnelVectorUdf(steps)
+    val compose = udf { vecs: Seq[Seq[Int]] =>
+      var d = 0
+      vecs.foreach { v => d = v(d) }
+      d
+    }
+    withDenseBucket(
+        events.select(col(keyCol), col(tsCol), col(tieCol), col(typeCol).as("__t")),
+        keyCol, tsCol, bucketFor)
+      .groupBy(col(keyCol), col("__dbkt"))
+      .agg(vecOf(expr("transform(sort_array(collect_list(" +
+        s"struct($tsCol AS ts, $tieCol AS tie, __t AS t))), x -> x.t)")).as("__vec"))
+      .groupBy(col(keyCol))
+      .agg(compose(expr("transform(sort_array(collect_list(" +
+        "struct(__dbkt AS b, __vec AS v))), x -> x.v)")).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** Skew-hardened [[ewma]]. Pass 1 folds each (key, bucket)'s ordered
+    * values into an affine summary (the bucket maps incoming state s to
+    * `a * s + b` with a = (1-alpha)^n); pass 2 composes summaries in
+    * bucket order to the bucket's INCOMING state (first bucket uses the
+    * s_1 = x_1 rule); pass 3 re-folds each bucket from its incoming
+    * state, emitting per-event values. No task ever holds more than one
+    * bucket of a key.
+    *
+    * NUMERICS: mathematically identical to [[ewma]], but the affine
+    * recombination rounds differently than the straight-line fold, so
+    * results agree to fp tolerance, NOT bit-for-bit — use [[ewma]] when
+    * hash-exactness against a replaying oracle matters
+    * (SequenceSkewSpec bounds the divergence at 1e-9 relative). */
+  def ewmaBucketed(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                   valueCol: String, alpha: Double,
+                   bucketFor: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    // (a, b, bFirst): s_out = a*s_in + b; bFirst = fold applying s_1 = x_1
+    val summarize = udf { vs: Seq[Double] =>
+      var a = 1.0; var b = 0.0
+      vs.foreach { v => a *= (1.0 - alpha); b = alpha * v + (1.0 - alpha) * b }
+      var sFirst = 0.0; var first = true
+      vs.foreach { v =>
+        if (first) { sFirst = v; first = false }
+        else sFirst = alpha * v + (1.0 - alpha) * sFirst
+      }
+      (a, b, sFirst)
+    }
+    // incoming state per bucket: null for bucket 1; else compose summaries
+    val incoming = udf { sums: Seq[Row] =>
+      // sums sorted by bucket; emit s_in for each bucket (null for first)
+      val out = new Array[java.lang.Double](sums.size)
+      var s: java.lang.Double = null
+      sums.zipWithIndex.foreach { case (r, i) =>
+        out(i) = s
+        s = if (s == null) r.getDouble(2) // first bucket: its own s_1=x_1 fold
+            else r.getDouble(0) * s + r.getDouble(1)
+      }
+      out
+    }
+    val refold = udf { (vs: Seq[Double], sIn: java.lang.Double) =>
+      val out = new Array[Double](vs.size)
+      var s = 0.0; var first = sIn == null
+      if (!first) s = sIn
+      var i = 0
+      while (i < vs.size) {
+        if (first) { s = vs(i); first = false }
+        else s = alpha * vs(i) + (1.0 - alpha) * s
+        out(i) = s
+        i += 1
+      }
+      out
+    }
+    val buckets = withDenseBucket(
+        events.select(col(keyCol), col(tsCol), col(tieCol),
+          col(valueCol).cast("double").as("__v")),
+        keyCol, tsCol, bucketFor)
+      .groupBy(col(keyCol), col("__dbkt"))
+      .agg(expr(s"sort_array(collect_list(struct($tsCol AS ts, $tieCol AS tie, __v AS v)))").as("__evs"))
+      .withColumn("__vs", expr("transform(__evs, x -> x.v)"))
+      .withColumn("__sum", summarize(col("__vs")))
+    val states = buckets
+      .groupBy(col(keyCol))
+      .agg(expr("sort_array(collect_list(struct(__dbkt AS b, __sum AS s)))").as("__bs"))
+      .select(col(keyCol), posexplode(incoming(expr("transform(__bs, x -> x.s)"))))
+      .select(col(keyCol), (col("pos") + 1).as("__dbkt"), col("col").as("__sin"))
+    buckets.join(states, Seq(keyCol, "__dbkt"))
+      .withColumn("__ewmas", refold(col("__vs"), col("__sin")))
+      .select(explode(arrays_zip(col("__evs"), col("__ewmas"))).as("z"))
+      .select(col("z.__evs.tie").as(tieCol), col("z.__ewmas").as("ewma"))
   }
 
   /** Cohort retention: keys grouped by their FIRST-activity day, counted
