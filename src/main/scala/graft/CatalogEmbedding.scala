@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.s2functions._
+import graft.operators._
+import graft.s2.{S2LatLngRect, S2Region, R1Interval, S1Interval}
+import graft.sources.GeoJson
+
+/** Catalog registry — similarity search and clustering over the embeddings table. Entries moved verbatim from SparkEntry
+  * (round-3 verdict ask #7: per-domain registries behind the same
+  * `queries` map; the 247-row correctness gate pins that nothing moved). */
+private[graft] object CatalogEmbedding {
+  import SparkEntry._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // mutual-kNN graph: pairs where EACH point is in the other's exact
+    // 5-NN — the noise-robust proximity graph clustering/SemDeDup-style
+    // pipelines build (one-sided kNN edges to a dense hub are dropped).
+    // The exact all-pairs kNN is computed once and pinned; mutuality is
+    // one equi-join of that (id, neighbor) table with itself
+    "q_mutual_knn" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      val knn = Knn.knnSelfJoin(pts, "c_custkey", "lat", "lon", k = 5)
+        .select(col("id"), col("neighbor_id")).localCheckpoint()
+      knn.as("a").join(knn.as("b"),
+          col("a.id") === col("b.neighbor_id") && col("a.neighbor_id") === col("b.id"))
+        .where(col("a.id") < col("a.neighbor_id"))
+        .select(col("a.id").as("id_a"), col("a.neighbor_id").as("id_b"))
+    }),
+
+    // density clustering (DBSCAN, exact): eps-graph from the bucketed
+    // distance self-join, cores by degree, clusters = min-label connected
+    // components of the core-core graph, borders -> min core-neighbor
+    // cluster; noise rows absent
+    // seeded integer-Lloyd k-means (3 rounds, k=8): squared-L2 assignment
+    // and sum-div-n centroid updates in pure int64, so the distributed
+    // iteration is hash-exact vs the unrolled-CTE replay — float Lloyd
+    // would depend on partial-agg addition order; centroids stay a
+    // broadcast plan-side table, never a driver collect
+    "q_kmeans" -> ((s, dir) => {
+      val pts = orders(s, dir)
+        .withColumn("x", expr("(o_orderkey * 9973 + 12345) % 18000"))
+        .withColumn("y", expr("(o_orderkey * 31337 + 54321) % 36000"))
+      Clustering.kMeansScaled(pts, "o_orderkey", "x", "y", KMeansSeeds, rounds = 3)
+    }),
+
+    "q_dbscan" -> ((s, dir) => {
+      val pts = customer(s, dir).select("c_custkey")
+        .withColumn("lat", expr(CustLatSql))
+        .withColumn("lon", expr(CustLonSql))
+      Clustering.dbscan(pts, "c_custkey", "lat", "lon",
+          epsM = DbscanEpsM, minPts = DbscanMinPts)
+        .select("id", "cluster_id", "is_core")
+    }),
+
+    // --- similarity search over embeddings ---
+    "q_ann_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embeddings(s, dir), "vec_id", "embedding",
+        queryIds = 0L until 10L, k = 5)
+        .select("query_id", "neighbor_id")),
+
+    // k-NN majority-vote classification: each probe labeled by its 5
+    // exact nearest neighbors under the deterministic (votes DESC, label
+    // ASC) rule — integer votes over q_ann_brute's pinned ranking, so the
+    // whole result is hash-exact; probes 0..39 give a non-unanimous mix
+    "q_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(embeddings(s, dir), "vec_id", "embedding", "label",
+        queryIds = 0L until 40L, k = 5)),
+
+    // hard-negative mining: per anchor, the 5 most-similar CROSS-label
+    // rows (the contrastive-training negatives that sit just across the
+    // decision boundary); q_ann_brute's shape plus the label predicate
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(embeddings(s, dir), "vec_id", "embedding", "label",
+        queryIds = 0L until 10L, k = 5)
+        .select("query_id", "neighbor_id")),
+
+    "q_ann_bucketed" -> ((s, dir) =>
+      Similarity.bucketedAnn(embeddings(s, dir), "vec_id", "embedding",
+        queryIds = 0L until 10L, k = 5, dim = EmbeddingDim)
+        .select("query_id", "neighbor_id")),
+
+    // IVF coarse-quantizer ANN through the PERSISTED index: the quantizer
+    // trains and assigns once (fixture); the measured query is the
+    // partition-pruned probe (approximate by design -> rows-only here;
+    // recall >= 0.9 vs brute force is pinned by EmbeddingRecallSpec)
+    // PQ ANN: asymmetric-distance shortlist over m-byte codes + exact
+    // re-rank — the compressed-scan member of the ANN family (rows-only
+    // here; recall >= 0.9 is EmbeddingRecallSpec-pinned like the others)
+    "q_ann_pq" -> ((s, dir) =>
+      Similarity.pqAnn(embeddings(s, dir), "vec_id", "embedding",
+        queryIds = 0L until 10L, k = 5)
+        .select("query_id", "neighbor_id", "rank")),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val idx = fixture(dir, "ivf_index") { p =>
+        Similarity.buildIvfIndex(embeddings(s, dir), "vec_id", "embedding", p)
+      }
+      Similarity.queryIvf(s, idx,
+        embeddings(s, dir).where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+    }),
+
+    // IVF-PQ: the two persisted-index halves composed (FAISS-IVFPQ shape) —
+    // partition-pruned probe of nprobe lists, vector-free ADC shortlist
+    // over the m-int codes, exact re-rank within the pruned partitions.
+    // Rows-only; recall >= 0.9 and both plan contracts (partition pruning,
+    // codes-not-vec shortlist schema) are EmbeddingRecallSpec-pinned
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val idx = fixture(dir, "ivfpq_index") { p =>
+        Similarity.buildIvfPqIndex(embeddings(s, dir), "vec_id", "embedding", p)
+      }
+      Similarity.queryIvfPq(s, idx,
+        embeddings(s, dir).where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // embedding-cosine near-duplicate pairs: exact all-pairs form (small
+    // vector tables; oracle-checked) and the LSH-bucketed scale path
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      // spread the streamed side of the cartesian across cores (the table
+      // is one parquet file = one input split)
+      val a = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id_a"), col("embedding").as("vec_a"),
+        Similarity.norm(col("embedding")).as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"),
+        Similarity.norm(col("embedding")).as("nb"))
+      a.crossJoin(b)
+        .where(col("id_a") < col("id_b"))
+        .where(Similarity.cosineFast(col("vec_a"), col("vec_b"), col("na"), col("nb")) >= 0.3)
+        .select("id_a", "id_b")
+    }),
+
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.embeddingNearDup(embeddings(s, dir), "vec_id", "embedding", minCosine = 0.3,
+        dim = EmbeddingDim)
+        .select("id_a", "id_b")),
+
+    // SemDeDup-style semantic keep list: connected components over the
+    // exact embedding-cosine near-dup graph (the oracle-grade pair path of
+    // q_embed_neardup), keep each cluster's canonical (min) vec_id plus
+    // all singletons. At 100 TB the same dedupKeep composes with the LSH
+    // pair path (q_embed_neardup_lsh) instead of the cartesian baseline
+    "q_semantic_keep" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val a = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id_a"), col("embedding").as("vec_a"),
+          Similarity.norm(col("embedding")).as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"),
+        Similarity.norm(col("embedding")).as("nb"))
+      val pairs = a.crossJoin(b)
+        .where(col("id_a") < col("id_b"))
+        .where(Similarity.cosineFast(col("vec_a"), col("vec_b"), col("na"), col("nb")) >= 0.3)
+        .select("id_a", "id_b")
+      Dedup.dedupKeep(emb.select("vec_id"), "vec_id", pairs)
+    }),
+
+    "q_embed_stats" -> ((s, dir) =>
+      embeddings(s, dir)
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+          min(element_at(col("embedding"), 1)).as("min_e1"),
+          max(element_at(col("embedding"), 1)).as("max_e1"))
+        .orderBy("label"))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+
+    // the exact 5-NN relation built once, mutuality as a self-join —
+    // identical tie rule (distance, then id) to q_knn_self
+    "q_mutual_knn" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH pts AS (SELECT c_custkey, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |r AS (SELECT a.c_custkey AS id, b.c_custkey AS nb,
+         |  row_number() OVER (PARTITION BY a.c_custkey ORDER BY $d, b.c_custkey) AS rnk
+         |  FROM pts a JOIN pts b ON a.c_custkey <> b.c_custkey),
+         |k AS (SELECT id, nb FROM r WHERE rnk <= 5)
+         |SELECT x.id AS id_a, x.nb AS id_b FROM k x
+         |JOIN k y ON x.id = y.nb AND x.nb = y.id
+         |WHERE x.id < x.nb""".stripMargin
+    },
+
+    // brute-force DBSCAN from first principles: all-pairs eps-graph, degree
+    // cores (count includes the point itself), recursive-CTE components of
+    // the core-core graph seeded (id, id) so singleton cores label
+    // themselves, borders = non-core with a core neighbor -> min cluster
+    "q_kmeans" -> KMeansOracleSql,
+
+    "q_dbscan" -> {
+      val d = haversineExpr("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH RECURSIVE
+         |pts AS (SELECT c_custkey AS id, $CustLatSql AS lat, $CustLonSql AS lon FROM customer),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM pts a JOIN pts b ON a.id < b.id WHERE $d <= $DbscanEpsM),
+         |edges AS (SELECT id_a AS s, id_b AS dd FROM p UNION SELECT id_b, id_a FROM p),
+         |core AS (SELECT s AS id FROM edges GROUP BY s HAVING count(*) + 1 >= $DbscanMinPts),
+         |ce AS (SELECT e.s, e.dd FROM edges e
+         |  JOIN core c1 ON e.s = c1.id JOIN core c2 ON e.dd = c2.id),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM core
+         |  UNION
+         |  SELECT r.src, e.dd FROM reach r JOIN ce e ON e.s = r.dst),
+         |cc AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |border AS (SELECT e.s AS id, min(cc.cluster_id) AS cluster_id
+         |  FROM edges e JOIN cc ON e.dd = cc.id
+         |  WHERE e.s NOT IN (SELECT id FROM core) GROUP BY e.s)
+         |SELECT id, cluster_id, TRUE AS is_core FROM cc
+         |UNION ALL SELECT id, cluster_id, FALSE AS is_core FROM border""".stripMargin
+    },
+
+    "q_ann_brute" ->
+      """SELECT query_id, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, embeddings q
+        | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t WHERE rnk <= 5""".stripMargin,
+
+    // q_ann_brute's pinned top-5 ranking + integer votes + the same
+    // (votes DESC, label ASC) row_number argmax
+    "q_knn_classify" ->
+      """WITH nn AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id < 40 AND e.vec_id <> q.vec_id) t WHERE rnk <= 5),
+        |v AS (SELECT nn.query_id, l.label AS lbl, CAST(count(*) AS BIGINT) AS votes
+        |  FROM nn JOIN embeddings l ON l.vec_id = nn.neighbor_id
+        |  WHERE l.label IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT query_id, lbl AS pred_label, votes FROM (
+        |  SELECT query_id, lbl, votes, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY votes DESC, lbl ASC) AS rk FROM v) t
+        |WHERE rk = 1""".stripMargin,
+
+    // q_ann_brute's oracle restricted to cross-label rows
+    "q_hard_negatives" ->
+      """SELECT query_id, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, embeddings q
+        | WHERE q.vec_id < 10 AND e.label <> q.label) t WHERE rnk <= 5""".stripMargin,
+
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin,
+
+    "q_embed_stats" ->
+      """SELECT label, count(*) AS cnt, min(embedding[1]) AS min_e1, max(embedding[1]) AS max_e1
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    // the q_embed_neardup pair graph closed into components (reachability
+    // CTE, same shape as the q_dup_clusters oracle), keep list = corpus
+    // minus non-canonical members
+    "q_semantic_keep" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst),
+        |cc AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM cc WHERE vec_id <> cluster_id)""".stripMargin
+  )
+}

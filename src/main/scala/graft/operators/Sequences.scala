@@ -274,11 +274,17 @@ object Sequences {
 
   /** Skew-hardened [[topPaths]]: IDENTICAL output (same path strings,
     * same counts, same rank rule), but every window runs per
-    * (key, dense bucket) with the first `len - 1` rows of each bucket
-    * borrowed into its predecessor — exactly the lookahead the len-step
-    * window needs across the seam, and paths STARTING at a borrowed row
-    * are dropped (their home bucket emits them), so every adjacent
-    * len-window is counted exactly once. */
+    * (key, dense bucket) with the first `len - 1` events of the key's
+    * REMAINING stream borrowed into each bucket — exactly the lookahead
+    * the len-step window needs across the seam, even when the following
+    * buckets hold fewer than len-1 events each (a 3-path can span three
+    * buckets). The borrow set comes from the per-bucket head candidates
+    * (any event among the first len-1 of a suffix is among the first
+    * len-1 of its own bucket), assigned to their target-bucket RANGE via
+    * one bounded lag + sequence-explode over candidate rows — at most
+    * (len-1) x buckets rows per key, never events. Paths STARTING at a
+    * borrowed row are dropped (their home bucket emits them), so every
+    * adjacent len-window is counted exactly once. */
   def topPathsBucketed(events: DataFrame, keyCol: String, tsCol: String,
                        typeCol: String, tieCol: String, len: Int, topK: Int,
                        bucketFor: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
@@ -289,10 +295,20 @@ object Sequences {
       keyCol, tsCol, bucketFor)
     val wIn = Window.partitionBy(col(keyCol), col("__dbkt"))
       .orderBy(col(tsCol).asc, col(tieCol).asc)
-    val heads = base.withColumn("__rn", row_number().over(wIn))
-      .where(col("__rn") <= len - 1)
-      .withColumn("__dbkt", col("__dbkt") - 1)
-      .withColumn("__borrow", lit(true)).drop("__rn")
+    val cands = base.withColumn("__rn", row_number().over(wIn))
+      .where(col("__rn") <= len - 1).drop("__rn")
+    // candidate c (in per-key candidate order) is among the first len-1
+    // events after bucket k exactly when its (len-1)-th predecessor sits
+    // in bucket <= k — so c serves targets k in [lag(dbkt, len-1), own-1]
+    // (no such predecessor -> from bucket 1)
+    val wCand = Window.partitionBy(col(keyCol))
+      .orderBy(col("__dbkt"), col(tsCol).asc, col(tieCol).asc)
+    val heads = cands
+      .withColumn("__lo", coalesce(lag(col("__dbkt"), len - 1).over(wCand), lit(1)))
+      .where(col("__lo") <= col("__dbkt") - 1)
+      .withColumn("__tgt", explode(sequence(col("__lo"), col("__dbkt") - 1)))
+      .withColumn("__dbkt", col("__tgt")).drop("__tgt", "__lo")
+      .withColumn("__borrow", lit(true))
     val un = base.withColumn("__borrow", lit(false)).unionByName(heads)
     val withSteps = (1 until len).foldLeft(un) { case (df, i) =>
       df.withColumn(s"__s$i", lead(col("__s0"), i).over(wIn))

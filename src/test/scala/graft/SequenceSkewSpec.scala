@@ -106,6 +106,28 @@ class SequenceSkewSpec extends SparkTestBase {
     }
   }
 
+  test("sparse buckets: 1-event buckets (maximum seam crossing) still match plain") {
+    // the q_path_topk_bucketed fixture regression: a 3-path can span
+    // THREE buckets when buckets hold fewer than len-1 events — the
+    // borrow set must be the first len-1 events of the remaining stream,
+    // not of the next bucket only. Width-1 buckets make every adjacency
+    // cross a seam.
+    val slice = events.where(col("ts") < 5000L || col("user_id") > 1L)
+    val one: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => t.cast("long")
+    val plainP = Sequences.topPaths(slice, "user_id", "ts", "event_type", "event_id",
+      len = 3, topK = 20).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val gotP = Sequences.topPathsBucketed(slice, "user_id", "ts", "event_type", "event_id",
+      len = 3, topK = 20, one).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotP == plainP)
+    val plainT = Sequences.transitionCounts(slice, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val gotT = Sequences.transitionCountsBucketed(slice, "user_id", "ts", "event_type",
+      "event_id", one)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(gotT == plainT)
+  }
+
   test("boundedness: the hot key occupies 100 buckets of 10k rows each") {
     import graft.operators.Sequences
     // the pass-1 grouping unit is (key, dense bucket): no unit exceeds the
