@@ -14,12 +14,16 @@ object ExecBench {
       .withColumn("lon", ((col("id") * 31337 + 54321) % 36000).cast("double") / lit(100.0) - lit(180.0))
     // args = substring filters: run only the entries whose name matches one
     val filters = args.toSeq
-    def t(name: String)(mk: => Long): Unit = {
+    def t(name: String)(mk: => Long): Unit = tn(name, 100000000L)(mk)
+    // explicit processed-row count (entries whose mk returns a result
+    // cardinality, or that process a non-100M input)
+    def tn(name: String, rows: Long)(mk: => Long): Unit = {
       if (filters.nonEmpty && !filters.exists(f => name.trim.contains(f))) return
       mk // warm
       var best = Double.MaxValue
-      for (_ <- 0 until 2) { val t0=System.nanoTime(); mk; best = math.min(best,(System.nanoTime()-t0)/1e9) }
-      println(f"$name: ${100e6/best/1e6}%.1f M rows/s (n=${mk})")
+      var n = 0L
+      for (_ <- 0 until 2) { val t0=System.nanoTime(); n = mk; best = math.min(best,(System.nanoTime()-t0)/1e9) }
+      println(f"$name: ${rows/best/1e6}%.1f M rows/s (n=$n)")
     }
     t("declarative pipJoin ") { SpatialJoin.pipJoin(pts.toDF(), "lat", "lon", SparkEntryRegions.rects).count() }
     t("custom S2PipJoinExec") { S2PipJoin.pipJoinExec(pts.toDF(), "lat", "lon", SparkEntryRegions.rects).count() }
@@ -469,6 +473,39 @@ object ExecBench {
     t("plain filter read ") {
       spark.read.parquet(pdir)
         .where(col("x") <= 100000.0 && col("y") <= 100000.0).count(); 100000000L
+    }
+    // sequence-family hot-key hardening at scale (round-4): 100M events
+    // on ONE key. The plain operators sort/fold the whole key in one
+    // task; the bucketed two-pass spreads it over (key, bucket) units —
+    // same answers (SequenceSkewSpec pins equality), here the
+    // wall-clock demonstration at the size where one-task shapes die
+    import graft.operators.Sequences
+    def hotSeq = spark.range(0L, 100000000L, 1, 128)
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", col("id"))
+      .withColumn("event_id", col("id"))
+      .withColumn("event_type",
+        element_at(array(lit("view"), lit("click"), lit("cart"), lit("buy")),
+          (pmod(col("id") * 2654435761L, lit(97L)) % 4 + 1).cast("int")))
+    // bucket width is task-sizing: the fold variants (funnel/ewma)
+    // collect a bucket's rows into one list, so ~100k rows/bucket keeps
+    // every aggregation buffer in the tens of MB (1M-row buckets OOM'd
+    // the partial collect at this scale); the window variants (paths/
+    // transitions) only sort per bucket and tolerate much larger ones
+    val dailyBkt: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => floor(c.cast("long") / lit(100000L)).cast("long") // 1000 buckets of 100k
+    t("topPathsBkt 100M    ") {
+      Sequences.topPathsBucketed(hotSeq.toDF(), "user_id", "ts", "event_type",
+        "event_id", len = 3, topK = 20, dailyBkt).count(); 100000000L
+    }
+    t("topPaths plain 1key") {
+      Sequences.topPaths(hotSeq.toDF(), "user_id", "ts", "event_type",
+        "event_id", len = 3, topK = 20).count(); 100000000L
+    }
+    tn("funnelBkt 20M 1key ", 20000000L) {
+      Sequences.funnelDepthsBucketed(hotSeq.where(col("id") < 20000000L).toDF(),
+        "user_id", "ts", "event_type",
+        "event_id", Seq("view", "click", "buy"), dailyBkt).count()
     }
     spark.stop()
   }

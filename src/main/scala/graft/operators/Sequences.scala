@@ -365,7 +365,12 @@ object Sequences {
     * Pass 1 folds each (key, bucket)'s ordered types into a
     * (steps+1)-int transition vector; pass 2 composes each key's bucket
     * vectors in order from depth 0 — per-key state is one tiny vector
-    * per OCCUPIED bucket, never the events. */
+    * per OCCUPIED bucket, never the events. Bucket width is
+    * TASK-SIZING: pass 1 collects one bucket's rows into a list, so
+    * choose `bucketFor` to keep buckets in the ~100k-row range
+    * (ExecBench runs a 20M-row single key over 100k-row buckets; the
+    * window-based [[topPathsBucketed]]/[[transitionCountsBucketed]]
+    * only SORT per bucket and tolerate much larger ones). */
   def funnelDepthsBucketed(events: DataFrame, keyCol: String, tsCol: String,
                            typeCol: String, tieCol: String, steps: Seq[String],
                            bucketFor: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
