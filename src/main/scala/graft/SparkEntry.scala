@@ -183,7 +183,7 @@ object SparkEntry {
     path
   }
 
-  private[graft] val FixtureVersion = "r3a"
+  private[graft] val FixtureVersion = "r5a"
 
   /** q_bloom_index_scan probe set: seven present doc ids + two absent
     * ones (the absent probes prove Bloom false positives never become

@@ -377,6 +377,74 @@ object Similarity {
 
   // --- persisted IVF index: build once at ingest, probe partition-pruned ---
 
+  // The index root is VERSIONED: `indexDir/_current` (one line: the live
+  // version directory name) -> `indexDir/v<N>/{centroids,codebook,lists}`.
+  // Every maintenance action (build, rebalance) materializes a COMPLETE
+  // new version directory first and then publishes it with ONE atomic
+  // rename of the `_current` pointer — a crash at any instant leaves
+  // either the old or the new index, never new centroids over old lists
+  // (the round-4 two-rename swap had exactly that torn-state window).
+  // Orphan version dirs left by a crash are swept by the next locked
+  // maintenance action. Readers resolve `_current` per call and never
+  // lock; a reader that raced a rebalance's orphan sweep fails on a
+  // missing file and simply re-runs against the published version.
+
+  private def currentPointer(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_current")
+
+  /** The live version directory of a persisted index ("indexDir/vN"), or
+    * `indexDir` itself for a legacy flat layout with no pointer. */
+  private[graft] def resolveIndexDir(indexDir: String): String = {
+    val p = currentPointer(indexDir)
+    if (java.nio.file.Files.exists(p))
+      s"$indexDir/${new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim}"
+    else indexDir
+  }
+
+  /** Next unused version name: one past the max over existing v<N> dirs
+    * (scanning the dirs, not just `_current`, so an unpublished orphan
+    * from a crashed rebuild is never reused before the sweep). */
+  private def nextVersion(indexDir: String): String = {
+    val root = new java.io.File(indexDir)
+    val existing = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong)
+    s"v${(if (existing.isEmpty) 0L else existing.max) + 1L}"
+  }
+
+  /** Publish `version` as the live index in ONE atomic step: write the
+    * pointer to a unique temp file and ATOMIC_MOVE it onto `_current`
+    * (POSIX rename replaces atomically; on an object store substitute
+    * its atomic-put/CAS primitive). */
+  private def publishVersion(indexDir: String, version: String): Unit = {
+    val tmp = java.nio.file.Paths.get(indexDir,
+      s"_current.tmp.${java.util.UUID.randomUUID}")
+    java.nio.file.Files.write(tmp,
+      version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, currentPointer(indexDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Delete every version directory except the live one, plus the legacy
+    * flat `centroids`/`codebook`/`lists` dirs once a pointer exists —
+    * the orphans a crash between publish and cleanup (or mid-rebuild)
+    * leaves behind. Caller holds the writer lock. */
+  private def sweepOrphanVersions(indexDir: String): Unit = {
+    val p = currentPointer(indexDir)
+    if (java.nio.file.Files.exists(p)) {
+      val live = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val root = new java.io.File(indexDir)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName != live &&
+          (f.getName.matches("v\\d+") ||
+            Set("centroids", "codebook", "lists")(f.getName)))
+        .foreach(delete)
+    }
+  }
+
   /** Build a persisted IVF index under `indexDir`: train the spherical
     * k-means coarse quantizer ONCE, assign every row to its nearest
     * centroid ONCE, and write the table hive-partitioned by list id with
@@ -386,13 +454,21 @@ object Similarity {
     * corpus needs (the ad-hoc [[ivfAnn]] retrains per call and exists for
     * exploratory use only).
     *
-    * Layout: `indexDir/centroids` (list, centroid) — nlist small rows —
-    * and `indexDir/lists/list=<k>/` (id, vec, norm). */
+    * Layout (inside the live version dir — see the versioned-root note
+    * above): `centroids` (list, centroid) — nlist small rows — and
+    * `lists/list=<k>/` (id, vec, norm). Holds the index's [[WriterLock]]
+    * with a fresh owner id, like every maintenance action here. */
   def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                     indexDir: String, nlist: Int = 64, iters: Int = 5,
                     trainLimit: Int = 20000): Unit = {
-    val centroids = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters, trainLimit)
-    writeIvfLayout(embeddings, idCol, vecCol, centroids, indexDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir)): Unit
+    WriterLock.withLock(indexDir, s"ivf-build:${java.util.UUID.randomUUID()}") {
+      val centroids = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters, trainLimit)
+      val v = nextVersion(indexDir)
+      writeIvfLayout(embeddings, idCol, vecCol, centroids, s"$indexDir/$v")
+      publishVersion(indexDir, v)
+      sweepOrphanVersions(indexDir)
+    }
   }
 
   /** Write the clustered (centroids + hive-partitioned lists) layout for
@@ -417,19 +493,35 @@ object Similarity {
     * layout (dynamic partition append — each batch adds files only to the
     * list directories it touches). The index-maintenance companion of
     * [[graft.operators.Dedup.incrementalNearDup]]: daily ingest is
-    * O(batch), never O(corpus). Centroid drift under sustained appends is
-    * handled by the explicit lifecycle below: check [[ivfListStats]]
-    * after appends and run [[rebalanceIvfIndex]] when the skew threshold
-    * trips ([[maybeRebalanceIvfIndex]] composes the two). */
+    * O(batch), never O(corpus). The append itself holds the index's
+    * [[WriterLock]] (fresh owner id — an append racing a rebalance's
+    * publish fails loudly instead of writing into a swept version dir).
+    *
+    * Centroid drift under sustained appends is handled INSIDE the append
+    * wave by default: after the locked append commits, the drift policy
+    * runs ([[maybeRebalanceIvfIndex]] — threshold-gated, so routine
+    * balanced ingest never pays a rebuild) and the wave's return value
+    * says whether a rebalance ran. Pass `autoRebalance = false` to drive
+    * the [[ivfListStats]] / [[rebalanceIvfIndex]] lifecycle explicitly. */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
-                       indexDir: String): Unit = {
+                       indexDir: String, autoRebalance: Boolean = true,
+                       maxMedianRatio: Double = 4.0, iters: Int = 5,
+                       trainLimit: Int = 20000): Boolean = {
     val spark = batch.sparkSession
-    val assign = assignUdf(spark, loadCentroids(spark, indexDir))
-    batch
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("norm"))
-      .withColumn("list", assign(col("vec")))
-      .repartition(col("list"))
-      .write.mode("append").partitionBy("list").parquet(s"$indexDir/lists")
+    WriterLock.withLock(indexDir, s"ivf-append:${java.util.UUID.randomUUID()}") {
+      sweepOrphanVersions(indexDir) // crash debris from an older maintainer
+      val live = resolveIndexDir(indexDir)
+      val assign = assignUdf(spark, loadCentroids(spark, indexDir))
+      batch
+        .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("norm"))
+        .withColumn("list", assign(col("vec")))
+        .repartition(col("list"))
+        .write.mode("append").partitionBy("list").parquet(s"$live/lists")
+    }
+    // the drift check takes its own lock: the policy read and a triggered
+    // rebuild must also exclude concurrent maintainers
+    autoRebalance && maybeRebalanceIvfIndex(spark, indexDir,
+      maxMedianRatio, nlist = 0, iters = iters, trainLimit = trainLimit)
   }
 
   /** Per-list row counts of a persisted IVF index plus the skew summary
@@ -443,7 +535,7 @@ object Similarity {
     * probe pruning (one probed partition carries most of the data). */
   def ivfListStats(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String): (Long, Long, DataFrame) = {
-    val counts = spark.read.parquet(s"$indexDir/lists")
+    val counts = spark.read.parquet(s"${resolveIndexDir(indexDir)}/lists")
       .groupBy("list").agg(count(lit(1)).as("n"))
     val sizes = counts.select("n").collect().map(_.getLong(0)).sorted
     require(sizes.nonEmpty, s"ivfListStats: empty index at $indexDir")
@@ -462,19 +554,35 @@ object Similarity {
     * design-size lists while every already-balanced list keeps its one
     * centroid (a fixed point; existing regions lose no resolution — the
     * rebuilt index grows its list count instead, the natural lifecycle
-    * for a growing corpus). The refined layout is rebuilt into a staging
-    * directory and fully materialized BEFORE the swap (a crash
-    * mid-rebuild leaves the old index intact); the swap follows the
-    * clustered store's staged-swap convention (Tiling.mergeClustered)
-    * and assumes the index's single maintainer. */
+    * for a growing corpus). The refined layout is rebuilt into a NEW
+    * version directory and fully materialized BEFORE the single-step
+    * atomic `_current` publish (a crash at any instant leaves the old or
+    * the new index whole, never new centroids over old lists), all under
+    * the index's [[WriterLock]] with a fresh owner id — a concurrent
+    * append or second rebalance fails loudly instead of corrupting the
+    * swap.
+    *
+    * `nlist = 0` (the auto-rebalance default) uses the LIVE index's list
+    * count as the design divisor — the occupancy target each rebuild was
+    * last built for, which the growing rebuild then carries forward. */
   def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-                        nlist: Int = 64, iters: Int = 5,
-                        trainLimit: Int = 20000): Unit = {
-    val lists = spark.read.parquet(s"$indexDir/lists")
+                        nlist: Int = 0, iters: Int = 5,
+                        trainLimit: Int = 20000): Unit =
+    WriterLock.withLock(indexDir, s"ivf-rebalance:${java.util.UUID.randomUUID()}") {
+      rebalanceLocked(spark, indexDir, nlist, iters, trainLimit)
+    }
+
+  private def rebalanceLocked(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                              nlistArg: Int, iters: Int,
+                              trainLimit: Int): Unit = {
+    val live = resolveIndexDir(indexDir)
+    val lists = spark.read.parquet(s"$live/lists")
     val counts: Array[(Int, Long)] = lists.groupBy("list").agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = counts.map(_._2).sum
     require(total > 0, s"rebalanceIvfIndex: empty index at $indexDir")
+    val nlist = if (nlistArg > 0) nlistArg
+      else spark.read.parquet(s"$live/centroids").count().toInt
     // seed quotas: each existing list receives ceil(size / target) seeds,
     // where target = total/nlist is the DESIGN occupancy the index was
     // built for. Balanced lists keep exactly one seed (their existing
@@ -510,20 +618,13 @@ object Similarity {
       .collect().map(r => normalized(r.getSeq[Float](0).toArray.map(_.toDouble)))
     val train = evenSelect(trainQuota.toSeq).select("id", "vec").localCheckpoint()
     val centroids = lloydIterate(train, "vec", seeds, iters)
-    val staged = s"$indexDir/.rebuild"
-    writeIvfLayout(lists.select("id", "vec"), "id", "vec", centroids, staged)
-    def swap(sub: String): Unit = {
-      val live = new java.io.File(s"$indexDir/$sub")
-      val old = new java.io.File(s"$indexDir/.old_$sub")
-      val fresh = new java.io.File(s"$staged/$sub")
-      if (old.exists()) delete(old)
-      require(live.renameTo(old), s"rebalance: cannot stage out $live")
-      require(fresh.renameTo(live), s"rebalance: cannot stage in $fresh")
-      delete(old)
-    }
-    swap("centroids")
-    swap("lists")
-    delete(new java.io.File(staged))
+    // the rebuilt layout streams straight out of the OLD version dir,
+    // which stays whole until the post-publish sweep — no need to pin
+    // the corpus in memory
+    val v = nextVersion(indexDir)
+    writeIvfLayout(lists.select("id", "vec"), "id", "vec", centroids, s"$indexDir/$v")
+    publishVersion(indexDir, v)
+    sweepOrphanVersions(indexDir)
   }
 
   private def delete(f: java.io.File): Unit = {
@@ -533,11 +634,13 @@ object Similarity {
 
   /** The drift policy: rebuild the index iff the largest list exceeds
     * `maxMedianRatio` times the median list (both from [[ivfListStats]]).
-    * Returns true when a rebalance ran. Call after append waves; the
-    * threshold trips only under genuine drift (uniform growth scales all
-    * lists together), so routine ingest never pays a rebuild. */
+    * Returns true when a rebalance ran. [[appendToIvfIndex]] invokes this
+    * after every append wave by default; the threshold trips only under
+    * genuine drift (uniform growth scales all lists together), so routine
+    * ingest never pays a rebuild. `nlist = 0` = the live list count (see
+    * [[rebalanceIvfIndex]]). */
   def maybeRebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-                             maxMedianRatio: Double = 4.0, nlist: Int = 64,
+                             maxMedianRatio: Double = 4.0, nlist: Int = 0,
                              iters: Int = 5, trainLimit: Int = 20000): Boolean = {
     require(maxMedianRatio >= 1.0, s"maxMedianRatio must be >= 1: $maxMedianRatio")
     val (maxSize, medianSize, _) = ivfListStats(spark, indexDir)
@@ -549,7 +652,7 @@ object Similarity {
   /** Centroids of a persisted index (nlist rows, driver-side). */
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                             indexDir: String): Array[Array[Double]] =
-    spark.read.parquet(s"$indexDir/centroids").orderBy("list").collect()
+    spark.read.parquet(s"${resolveIndexDir(indexDir)}/centroids").orderBy("list").collect()
       .map(_.getAs[Seq[Double]]("centroid").toArray)
 
   /** Query a persisted IVF index: each query probes its `nprobe` nearest
@@ -574,7 +677,7 @@ object Similarity {
       .withColumn("list", explode(probes(col("__qvec"))))
       .localCheckpoint()
     val probedLists = q.select("list").distinct().collect().map(_.getInt(0)).toSeq
-    val lists = spark.read.parquet(s"$indexDir/lists")
+    val lists = spark.read.parquet(s"${resolveIndexDir(indexDir)}/lists")
       .where(col("list").isin(probedLists: _*))
     (q, lists)
   }
@@ -722,32 +825,39 @@ object Similarity {
     * recompute; recall on the harness embeddings is
     * EmbeddingRecallSpec-pinned.
     *
-    * Layout: `indexDir/centroids` (list, centroid), `indexDir/codebook`
-    * (sub, code, centroid), `indexDir/lists/list=<k>/` (id, vec, norm,
-    * codes). */
+    * Layout (inside the live version dir — the same versioned root +
+    * atomic `_current` publish + [[WriterLock]] as [[buildIvfIndex]]):
+    * `centroids` (list, centroid), `codebook` (sub, code, centroid),
+    * `lists/list=<k>/` (id, vec, norm, codes). */
   def buildIvfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                       indexDir: String, nlist: Int = 64, m: Int = 8,
                       kc: Int = 256, iters: Int = 5,
                       trainLimit: Int = 20000): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroids = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters, trainLimit)
-    centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("list", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val codebook = trainPqCodebook(embeddings, idCol, vecCol, m, kc, iters, trainLimit)
-    (for { sub <- codebook.indices; code <- codebook(sub).indices }
-      yield (sub, code, codebook(sub)(code).toSeq))
-      .toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
-    val assign = assignUdf(spark, centroids)
-    val enc = encodeUdf(spark, codebook)
-    embeddings
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("norm"))
-      .withColumn("codes", enc(col("vec")))
-      .withColumn("list", assign(col("vec")))
-      .repartition(col("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/lists")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir)): Unit
+    WriterLock.withLock(indexDir, s"ivfpq-build:${java.util.UUID.randomUUID()}") {
+      val centroids = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters, trainLimit)
+      val v = nextVersion(indexDir)
+      centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("list", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$v/centroids")
+      val codebook = trainPqCodebook(embeddings, idCol, vecCol, m, kc, iters, trainLimit)
+      (for { sub <- codebook.indices; code <- codebook(sub).indices }
+        yield (sub, code, codebook(sub)(code).toSeq))
+        .toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$v/codebook")
+      val assign = assignUdf(spark, centroids)
+      val enc = encodeUdf(spark, codebook)
+      embeddings
+        .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("norm"))
+        .withColumn("codes", enc(col("vec")))
+        .withColumn("list", assign(col("vec")))
+        .repartition(col("list"))
+        .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/$v/lists")
+      publishVersion(indexDir, v)
+      sweepOrphanVersions(indexDir)
+    }
   }
 
   /** PQ encoder UDF over a broadcast codebook (shared by [[pqEncode]] and
@@ -793,7 +903,7 @@ object Similarity {
 
   private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$indexDir/codebook").collect()
+    val rows = spark.read.parquet(s"${resolveIndexDir(indexDir)}/codebook").collect()
       .map(r => ((r.getAs[Int]("sub"), r.getAs[Int]("code")),
         r.getAs[Seq[Double]]("centroid").toArray)).toMap
     val m = rows.keys.map(_._1).max + 1

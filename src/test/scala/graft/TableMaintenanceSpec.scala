@@ -213,4 +213,43 @@ class TableMaintenanceSpec extends SparkTestBase {
     }
     assert(WriterLock.holder(dir).isEmpty, "lock must release on exit")
   }
+
+  test("writer lock reclaim is race-safe: live foreign pid refused, dead pid claimed atomically, in-JVM re-entry refused") {
+    import graft.operators.WriterLock
+    val dir = tmpDir("lock_reclaim")
+    new java.io.File(dir).mkdirs()
+    val lock = java.nio.file.Paths.get(dir, "_writer.lock")
+
+    // a SAME-owner lock whose pid is a LIVE foreign process (pid 1) is a
+    // concurrent retry, not a crashed one — reclaim must refuse (the
+    // round-4 advice race: blind delete+create let two retries both win)
+    java.nio.file.Files.write(lock, """{"owner":"retry:r1","pid":1}""".getBytes)
+    val e = intercept[IllegalStateException] {
+      WriterLock.withLock(dir, "retry:r1") { fail("must not enter") }
+    }
+    assert(e.getMessage.contains("retry:r1"), e.getMessage)
+    java.nio.file.Files.delete(lock)
+
+    // a dead-pid stale lock IS reclaimed, through the atomic graveyard
+    // claim, and the fresh lock then carries THIS process's pid
+    java.nio.file.Files.write(lock, """{"owner":"retry:r2","pid":999999999}""".getBytes)
+    WriterLock.withLock(dir, "retry:r2") {
+      val h = WriterLock.holder(dir).get
+      assert(h.contains(s""""pid":${ProcessHandle.current.pid}"""), h)
+    }
+    assert(WriterLock.holder(dir).isEmpty)
+    assert(new java.io.File(dir).listFiles().forall(
+      !_.getName.startsWith("_writer.lock.claimed")),
+      "graveyard claims must not accumulate")
+
+    // in-JVM re-entry: same pid would always look reclaimable to the
+    // pid test, so the held-paths registry refuses it outright
+    WriterLock.withLock(dir, "retry:r3") {
+      val e2 = intercept[IllegalStateException] {
+        WriterLock.withLock(dir, "retry:r3") { fail("must not enter") }
+      }
+      assert(e2.getMessage.contains("retry:r3"), e2.getMessage)
+    }
+    assert(WriterLock.holder(dir).isEmpty, "outer lock must still release")
+  }
 }

@@ -127,6 +127,38 @@ class TileChangeSpec extends SparkTestBase {
     }
   }
 
+  test("zxyLocalOutliers: an empty tile inside a heavy field is NOT flagged (documented hole scope)") {
+    import spark.implicits._
+    // the scaladoc's SCOPE contract (round-4 verdict ask #8): outlier
+    // CANDIDATES are observed tiles only — a zero-count hole surrounded
+    // by heavy neighbors never appears in the output (hole detection is
+    // zxyCoverageHoles' job over the dilated tile set). Planted case: a
+    // 5x5 block of 50-point tiles with the CENTER left empty — a
+    // maximally anomalous hole (|0 - 50| >> 3*MAD were it a candidate).
+    def center(zx: Long, zy: Long): (Double, Double) = {
+      val n = 16.0
+      val lon = (zx + 0.5) / n * 360.0 - 180.0
+      val yf = (zy + 0.5) / n
+      val lat = math.toDegrees(math.atan(math.sinh(math.Pi * (1 - 2 * yf))))
+      (lat, lon)
+    }
+    val field = for {
+      zx <- 3L to 7L; zy <- 3L to 7L if (zx, zy) != ((5L, 5L)); _ <- 0 until 50
+    } yield center(zx, zy)
+    val got = Tiling.zxyLocalOutliers(field.toDF("lat", "lon"), "lat", "lon", z = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(!got.exists(t => t._1 == 5L && t._2 == 5L),
+      s"the empty hole must not be flagged (observed-tiles-only scope): $got")
+    // and the coverage-gap report draws the SAME line from the other
+    // side: a data-adjacent empty tile is a sampling artifact (inside
+    // every neighbor's dilation), while a tile with an all-empty
+    // neighborhood is a genuine catalog gap
+    val gaps = Tiling.zxyCoverageGaps(field.toDF("lat", "lon"), "lat", "lon", z = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(!gaps.contains((5L, 5L)), "data-adjacent hole is not a catalog gap")
+    assert(gaps.contains((12L, 12L)), "an isolated far tile is a catalog gap")
+  }
+
   test("zxyLocalOutliers == independent scalar replay on the sf0.01 fixture") {
     import spark.implicits._
     val pts = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
