@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// local-cluster[N,cores,mem] masters (Bench's scaling evidence) launch
+// real executor processes through the Spark launcher, which resolves
+// the distribution and its scala version from these.
+run / envVars ++= Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  "SPARK_SCALA_VERSION" -> "2.13",
+)

@@ -137,6 +137,26 @@ class MobilitySpec extends SparkTestBase {
     assert(la >= 52500000L && la <= 52501000L && lo >= 13399000L && lo <= 13400000L)
   }
 
+  test("anchorPoints: NULL-coordinate fixes are dropped up front (documented contract)") {
+    import spark.implicits._
+    // user 1: three clean fixes plus fixes with NULL lat, NULL lon, and
+    // both NULL — n_obs and both medians must come from the clean three
+    // alone (an unfiltered NULL would inflate n and leave the histogram
+    // fold's answer unset through the NULL group — the round-4 NULL-guard
+    // fix this spec pins); user 2 is all-NULL and must be absent
+    val rows: Seq[(Long, Option[Double], Option[Double])] = Seq(
+      (1L, Some(52.5001), Some(13.4001)), (1L, Some(52.5002), Some(13.4002)),
+      (1L, Some(52.5003), Some(13.4003)),
+      (1L, None, Some(13.9)), (1L, Some(52.9), None), (1L, None, None),
+      (2L, None, None), (2L, None, Some(1.0)))
+    val got = Trajectories.anchorPoints(rows.toDF("uid", "lat", "lon"),
+        "uid", "lat", "lon")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L), s"all-NULL users must be absent: $got")
+    assert(got(1L) == ((3L, 52500200L, 13400200L)), got(1L))
+  }
+
   test("awayRate == scalar anchor-distance gate; radius-boundary margin (sf0.01)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

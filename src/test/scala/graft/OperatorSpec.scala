@@ -296,6 +296,38 @@ class OperatorSpec extends SparkTestBase {
     assert(got.exists(_._3 < 5L), "fixture degenerate: every vote unanimous")
   }
 
+  test("knnClassify: NULL-labeled neighbors occupy top-k slots but never vote") {
+    import org.apache.spark.sql.functions.{col, when}
+    // NULL out ~half the labels (odd ids): neighbors keep their ranking
+    // slots (a partially-labeled table must not pull FURTHER rows into
+    // the vote) but only labeled neighbors vote, and pred_label can never
+    // be NULL — the round-4 NULL-guard contract, pinned with planted data
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("label",
+        when(col("vec_id") % 2 === 1, null).otherwise(col("label")))
+    val nn = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L until 20L, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val labelOf = emb.select("vec_id", "label").collect()
+      .flatMap(r => if (r.isNullAt(1)) None else Some(r.getAs[Long](0) -> r.getAs[Int](1)))
+      .toMap
+    val want = nn.groupBy(_._1).flatMap { case (q, rows) =>
+      val votes = rows.flatMap(r => labelOf.get(r._2))
+        .groupBy(identity).view.mapValues(_.length)
+      if (votes.isEmpty) None // whole neighborhood unlabeled -> absent
+      else {
+        val (lbl, n) = votes.toSeq.minBy { case (l, c) => (-c, l) }
+        Some((q, lbl, n.toLong))
+      }
+    }.toSet
+    val got = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+        0L until 20L, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("pred_label"),
+        r.getAs[Long]("votes"))).toSet
+    assert(got === want)
+    assert(got.forall(_._3 <= 5L))
+    assert(got.exists(_._3 < 5L), "planted NULLs must shrink some vote counts")
+  }
+
   test("image payload: synthesis is lossless PNG, captions verify, PSNR gate holds") {
     val keys = spark.read.parquet(s"$dir/part.parquet").select("p_partkey").limit(50)
     val images = ImagePayload.synthesize(keys, "p_partkey")
