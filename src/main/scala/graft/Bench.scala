@@ -156,6 +156,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .config("spark.executor.extraClassPath", classesDir)
+      // executor heap must be SET (standalone defaults to 1g regardless
+      // of worker memory): at ~100 MB/s/core allocation the 1g default
+      // young-GC-throttled every wide fleet ~10% (measured 33.6 -> 37.1M
+      // rows/s on the 4x4 side with 2560m)
+      .config("spark.executor.memory", s"${memMb - 512}m")
       // measure with the FULL fleet registered, not a ramping one
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
@@ -279,6 +284,14 @@ object Bench {
         val hwEff = (hwRate(p.nHi, 50000000L) / hwRate(p.nLo, 50000000L)) / 4.0
         (p, scaleRows, trials.map(_._1).max, trials.map(_._2).max, eff, hwEff, trials.length)
       }
+      // window context: host 1-min loadavg (NOT cgroup-scoped — includes
+      // co-tenants AND our own just-finished runs) sampled at section
+      // start, so an artifact's low pair is attributable to its window
+      def load1: Double =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+        catch { case _: Exception => -1.0 }
+      val loadAtStart = load1
       // three N->4N pairs up to cpus=32. The host has 32 shared vCPUs: the
       // wider the upper side, the more the pair conflates the engine with
       // the host's own all-core ceiling — each pair therefore also carries
@@ -291,7 +304,7 @@ object Bench {
         f"""{"cores_n":${p.nLo},"cores_4n":${p.nHi},"exec_n":${p.execLo},"exec_4n":${p.execLo * 4},"cores_per_exec":${p.coresPerExec},"scale_rows":$rows,"rows_per_sec_n":$rlo%.1f,"rows_per_sec_4n":$rhi%.1f,"efficiency":$eff%.3f,"hw":$hw%.3f,"vs_hw":${eff / hw}%.3f,"trials":$nTrials}"""
       }.mkString("[", ",", "]")
       val bestEff = pairs.map(_._5).max
-      f"""{"mode":"$scalingMode","pairs":$pairsJson,"efficiency":$bestEff%.3f,"rows_per_core":$rowsPerCore}"""
+      f"""{"mode":"$scalingMode","pairs":$pairsJson,"efficiency":$bestEff%.3f,"rows_per_core":$rowsPerCore,"host_load1_start":$loadAtStart%.1f,"host_load1_end":$load1%.1f}"""
     } else "null"
 
     // flagship + skew throughput, each in its own fresh session

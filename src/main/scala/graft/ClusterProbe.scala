@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * real executor processes on one host — the faithful model of ADDING
   * MACHINES that the north rule's N -> 4N criterion means, vs widening
   * one shared session. Run:
-  * `sbt "runMain graft.ClusterProbe <executors> <coresPerExec> <rowsM> [apc]"`
-  * — `apc=1` caps each executor JVM's ActiveProcessorCount at its core
-  * share so 8 co-located JVMs don't each spawn host-width GC/JIT pools. */
+  * `sbt "runMain graft.ClusterProbe <executors> <coresPerExec> <rowsM> [bigmem] [taskMult]"`
+  * — `bigmem=1` sets spark.executor.memory=2560m (standalone's 1g
+  * default young-GC-throttles allocation-heavy fleets ~10%; Bench's
+  * clusterSession always sets it). */
 object ClusterProbe {
   def main(args: Array[String]): Unit = {
     val execs = if (args.length > 0) args(0).toInt else 2
@@ -27,8 +28,7 @@ object ClusterProbe {
       .config("spark.executor.extraClassPath", classesDir)
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
-    val b2 = if (apc) b.config("spark.executor.extraJavaOptions",
-      s"-XX:ParallelGCThreads=$cores -XX:ConcGCThreads=1") else b
+    val b2 = if (apc) b.config("spark.executor.memory", "2560m") else b
     val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
