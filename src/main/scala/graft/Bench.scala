@@ -235,7 +235,30 @@ object Bench {
     // serialized tasks, block-manager broadcasts) are the faithful
     // single-host model of that. SPARK_GRAFT_SCALING_MODE=cores restores
     // the round-4 local[N] thread-widening proxy.
-    val scalingMode = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "cluster")
+    // canary: local-cluster needs SPARK_HOME + process spawn to work; if
+    // a tiny fleet cannot run one job inside 2 min (hung executor launch
+    // would otherwise stall the whole artifact), fall back to the
+    // local[N] proxy LOUDLY rather than hang or die.
+    def clusterModeWorks(): Boolean = {
+      @volatile var ok = false
+      val t = new Thread(() => {
+        try {
+          val s = clusterSession(1, 2, 1024)
+          try ok = s.range(1000).count() == 1000L finally s.stop()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] cluster canary failed: ${e.getClass.getName}: ${e.getMessage}")
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      t.join(120000)
+      if (!ok) System.err.println("[bench] local-cluster unavailable -> scaling falls back to local[N] mode")
+      ok
+    }
+    val scalingMode = {
+      val req = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "cluster")
+      if (req == "cluster" && doScaling && !clusterModeWorks()) "cores" else req
+    }
     val scalingJson = if (doScaling) {
       // rows scale with the pair's core count (same input WITHIN a pair —
       // that is what the N -> 4N comparison requires) so every pair's
